@@ -1,0 +1,370 @@
+"""Deterministic synthetic ``pages`` corpus + derivation from ``documents``.
+
+The primary input table per BASELINE.json ``input_hint``:
+
+    pages(url: string, warc_ts: timestamp[us], html: binary, text: string,
+          lang: string)
+
+``generate_pages(n, seed)`` builds a seeded corpus from a template grammar
+and emits, alongside ``pages``, the oracle companions FIXTURES.md §1 asks
+for — ``expected_text`` (byte-exact), ``expected_mentions`` (planted entity
+mentions with char offsets into the extracted text), ``expected_triples``
+(ground-truth (subj, pred, obj, url) with subj/obj as entity ids) and
+``alias_dict`` (alias → entity_id with priors, including ambiguous aliases
+and name collisions that force the deterministic tie-break suffix — the
+analog of the reference's ``register_unique_qn``,
+``function_registry.py:69-93``).
+
+The generator is self-checking: it asserts ``extract_text(html) ==
+expected_text`` for every generated row, so the fixture can never drift from
+the engine's extraction semantics.
+
+Deliberate stress content:
+- head-host skew: ~40% of urls on one host (salting path),
+- head-entity skew: entity E00000 mentioned on >50% of pages,
+- ambiguous aliases (1 alias → N entities) with priors,
+- two distinct entities whose names normalize identically (variant-suffix
+  rule),
+- ~3% malformed-HTML rows, ~1% invalid-UTF-8 rows, ~2% empty rows
+  (error-isolation path, ``definition_processor.py:447-449`` analog).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from code_graph_rag_ray.functions.html import (
+    decode_html_binary,
+    extract_text_array,
+)
+
+HEAD_HOST = "en.wikipedia.org"
+TAIL_HOSTS = (
+    "example.com",
+    "news.site",
+    "blog.net",
+    "docs.org",
+    "data.io",
+    "shop.biz",
+    "forum.co",
+    "wiki.page",
+    "archive.dev",
+)
+
+_ADJ = (
+    "Acme", "Orbit", "Vertex", "Nimbus", "Quantum", "Delta",
+    "Apex", "Zenith", "Lumen", "Atlas", "Nova", "Pioneer",
+)
+_NOUN = (
+    "Systems", "Labs", "Corp", "Analytics", "Networks", "Dynamics",
+    "Industries", "Partners", "Software", "Energy", "Robotics", "Media",
+)
+
+# relation surface form (as it appears in text) -> predicate id
+RELATIONS: dict[str, str] = {
+    "acquired": "acquired",
+    "founded": "founded",
+    "partnered with": "partnered_with",
+    "invested in": "invested_in",
+    "sued": "sued",
+}
+_REL_SURFACES = tuple(RELATIONS)
+
+_FILLER = (
+    "today", "reports", "suggest", "that", "the", "market", "shifted",
+    "while", "analysts", "observed", "steady", "growth", "across",
+    "regions", "during", "the", "quarter", "amid", "new", "announcements",
+)
+
+_LANGS = ("en", "en", "en", "en", "en", "en", "en", "en", "fr", "de", "es", "zh")
+
+
+@dataclass
+class PagesFixture:
+    pages: pa.Table
+    expected_text: pa.Table
+    expected_mentions: pa.Table
+    expected_triples: pa.Table
+    alias_dict: pa.Table
+
+
+def _build_entities(n_entities: int, rng: np.random.Generator):
+    """Entity universe + alias dictionary with planted ambiguity/collisions."""
+    entities: list[dict] = []
+    for i in range(n_entities):
+        adj = _ADJ[int(rng.integers(len(_ADJ)))]
+        noun = _NOUN[int(rng.integers(len(_NOUN)))]
+        entities.append({"entity_id": f"E{i:05d}", "name": f"{adj} {noun}"})
+    # Force one exact-name collision pair (distinct ids, same surface name):
+    # exercises the deterministic variant-suffix rule in canonicalization.
+    if n_entities >= 2:
+        entities[1]["name"] = entities[0]["name"]
+
+    # alias -> list[(entity_id, prior)]
+    alias_map: dict[str, list[tuple[str, float]]] = {}
+
+    def add(alias: str, eid: str, weight: float) -> None:
+        alias_map.setdefault(alias, []).append((eid, weight))
+
+    for ent in entities:
+        eid, name = ent["entity_id"], ent["name"]
+        add(name, eid, 0.9)
+        noun = name.split(" ")[1]
+        add(noun, eid, 0.3)  # shared noun → ambiguous alias across entities
+    # Normalize priors per alias, deterministic order by entity id.
+    rows = []
+    for alias in sorted(alias_map):
+        cands = sorted(alias_map[alias])
+        total = sum(w for _, w in cands)
+        # Descending prior by entity index → deterministic argmax winner.
+        weights = [w * (0.85**k) for k, (_, w) in enumerate(cands)]
+        wtotal = sum(weights)
+        del total
+        for (eid, _), w in zip(cands, weights):
+            rows.append({"alias": alias, "entity_id": eid, "prior": w / wtotal})
+    alias_tbl = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("alias", pa.string()), ("entity_id", pa.string()), ("prior", pa.float64())]
+        ),
+    )
+    return entities, alias_map, alias_tbl
+
+
+def _pick_alias(ent: dict, rng: np.random.Generator) -> str:
+    """Mention surface for an entity: full name 70%, bare noun 30%."""
+    if rng.random() < 0.7:
+        return ent["name"]
+    return ent["name"].split(" ")[1]
+
+
+def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
+    rng = np.random.default_rng(seed)
+    n_entities = max(12, n_pages // 8)
+    entities, _alias_map, alias_tbl = _build_entities(n_entities, rng)
+
+    urls: list[str] = []
+    warc_ts: list[int] = []
+    htmls: list[bytes] = []
+    langs: list[str] = []
+    exp_text_rows: list[dict] = []
+    mention_rows: list[dict] = []
+    triple_rows: list[dict] = []
+
+    base_ts = 1_700_000_000_000_000  # fixed epoch micros (2023-11-14)
+
+    for i in range(n_pages):
+        host = HEAD_HOST if rng.random() < 0.4 else TAIL_HOSTS[int(rng.integers(len(TAIL_HOSTS)))]
+        url = f"https://{host}/page/{i:06d}"
+        urls.append(url)
+        warc_ts.append(base_ts + i * 1_000_000)
+        langs.append(_LANGS[int(rng.integers(len(_LANGS)))])
+
+        kind = rng.random()
+        if kind < 0.02:  # empty body
+            htmls.append(b"")
+            continue
+        if kind < 0.05:  # malformed html — deterministic degradation, no plants
+            htmls.append(
+                (
+                    f'<html><body><p class="broken data-{i} <div>stray '
+                    f"<b>bold text for page {i}</p></body>"
+                ).encode()
+            )
+            continue
+        if kind < 0.06:  # invalid utf-8 — error-isolation path
+            htmls.append(b"\xff\xfe<html><body><p>bad bytes</p></body></html>")
+            continue
+
+        # --- well-formed page with planted mentions/triples -------------
+        # Build text and html token-streams in lockstep so char offsets in
+        # the extracted text are known exactly.
+        title = f"Report {i:06d} from {host}"
+        text_parts: list[str] = [title]
+        html_pars: list[str] = []
+        cursor = len(title) + 1  # +1 for the newline after the title
+
+        n_pars = 1 + int(rng.integers(3))
+        for _p in range(n_pars):
+            par_text_toks: list[str] = []
+            par_html_toks: list[str] = []
+            par_cursor = cursor
+
+            def emit(text_tok: str, html_tok: str | None = None) -> None:
+                nonlocal par_cursor
+                if par_text_toks:
+                    par_cursor += 1  # joining space
+                par_text_toks.append(text_tok)
+                par_html_toks.append(html_tok if html_tok is not None else text_tok)
+                par_cursor += len(text_tok)
+
+            n_sents = 1 + int(rng.integers(3))
+            for _s in range(n_sents):
+                if rng.random() < 0.75:
+                    # fact sentence: SUBJ REL OBJ .
+                    if rng.random() < 0.55:
+                        subj = entities[0]  # head-entity skew
+                    else:
+                        subj = entities[int(rng.integers(n_entities))]
+                    obj = entities[int(rng.integers(n_entities))]
+                    rel_surface = _REL_SURFACES[int(rng.integers(len(_REL_SURFACES)))]
+
+                    s_alias = _pick_alias(subj, rng)
+                    if par_text_toks:
+                        start = par_cursor + 1
+                    else:
+                        start = par_cursor
+                    if rng.random() < 0.25:
+                        href = f"https://{HEAD_HOST}/page/{int(rng.integers(n_pages)):06d}"
+                        emit(s_alias, f'<a href="{href}">{s_alias}</a>')
+                    else:
+                        emit(s_alias)
+                    mention_rows.append(
+                        {"url": url, "surface": s_alias, "start": start,
+                         "end": start + len(s_alias), "type": "ENTITY"}
+                    )
+                    for w in rel_surface.split(" "):
+                        emit(w)
+                    o_alias = _pick_alias(obj, rng)
+                    start = par_cursor + 1
+                    emit(o_alias)
+                    mention_rows.append(
+                        {"url": url, "surface": o_alias, "start": start,
+                         "end": start + len(o_alias), "type": "ENTITY"}
+                    )
+                    emit(".")
+                    triple_rows.append(
+                        {"subj": subj["entity_id"], "pred": RELATIONS[rel_surface],
+                         "obj": obj["entity_id"], "url": url}
+                    )
+                else:
+                    # filler sentence, occasionally with an & entity
+                    n_w = 3 + int(rng.integers(6))
+                    for _w in range(n_w):
+                        w = _FILLER[int(rng.integers(len(_FILLER)))]
+                        emit(w)
+                    if rng.random() < 0.1:
+                        emit("&", "&amp;")
+                    emit(".")
+
+            par_text = " ".join(par_text_toks)
+            text_parts.append(par_text)
+            html_pars.append("<p>" + " ".join(par_html_toks) + "</p>")
+            cursor = par_cursor + 1  # newline between paragraphs
+
+        page_text = "\n".join(text_parts)
+        html = (
+            "<html><head><title>" + title + "</title></head><body>"
+            + "".join(html_pars)
+            + "</body></html>"
+        )
+        htmls.append(html.encode())
+        exp_text_rows.append({"url": url, "text": page_text})
+
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(warc_ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array([""] * n_pages, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+    # Fill expected text for the degraded rows via the engine's own
+    # extraction (they have no planted structure), then self-check ALL rows.
+    decoded, _errs = decode_html_binary(pages["html"])
+    extracted = extract_text_array(decoded)
+    manual = {r["url"]: r["text"] for r in exp_text_rows}
+    full_rows = []
+    for u, t in zip(urls, extracted.to_pylist()):
+        if u in manual and manual[u] != t:
+            raise AssertionError(
+                f"fixture drift: manual text != extract_text for {u!r}:\n"
+                f"manual   ={manual[u]!r}\nextracted={t!r}"
+            )
+        full_rows.append({"url": u, "text": manual.get(u, t)})
+
+    expected_text = pa.Table.from_pylist(
+        full_rows, schema=pa.schema([("url", pa.string()), ("text", pa.string())])
+    )
+    expected_mentions = pa.Table.from_pylist(
+        mention_rows,
+        schema=pa.schema(
+            [("url", pa.string()), ("surface", pa.string()), ("start", pa.int64()),
+             ("end", pa.int64()), ("type", pa.string())]
+        ),
+    )
+    expected_triples = pa.Table.from_pylist(
+        triple_rows,
+        schema=pa.schema(
+            [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+             ("url", pa.string())]
+        ),
+    )
+    return PagesFixture(pages, expected_text, expected_mentions, expected_triples, alias_tbl)
+
+
+def write_fixture(out_dir: str, n_pages: int = 200, seed: int = 42) -> PagesFixture:
+    """Materialize the fixture as parquet files under ``out_dir``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    fx = generate_pages(n_pages, seed)
+    os.makedirs(out_dir, exist_ok=True)
+    for name in ("pages", "expected_text", "expected_mentions", "expected_triples", "alias_dict"):
+        pq.write_table(getattr(fx, name), os.path.join(out_dir, f"{name}.parquet"))
+    return fx
+
+
+# ---------------------------------------------------------------------------
+# pages derived from the driver's documents table (streaming, no materialize)
+# ---------------------------------------------------------------------------
+
+def _docs_to_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, text, lang, source, …) → pages schema, one row each.
+
+    Deterministic wrap: the html body embeds the document text verbatim, so
+    ``extract_text(html) == 'doc <id>\\n' + text`` — which gives the DuckDB
+    oracle a closed form (``'doc ' || doc_id || chr(10) || text``).
+    """
+    import pyarrow.compute as pc
+
+    doc_id = pc.cast(batch["doc_id"], pa.string())
+    url = pc.binary_join_element_wise(
+        pa.array(["https://"] * len(batch)), batch["source"],
+        pa.array([".example.org/doc/"] * len(batch)), doc_id, "",
+    )
+    html = pc.binary_join_element_wise(
+        pa.array(["<html><head><title>doc "] * len(batch)), doc_id,
+        pa.array(["</title></head><body><p>"] * len(batch)), batch["text"],
+        pa.array(["</p></body></html>"] * len(batch)), "",
+    )
+    base = 1_700_000_000_000_000
+    ts = pa.array(
+        (base + batch["doc_id"].to_numpy(zero_copy_only=False) * 1_000_000),
+        pa.timestamp("us"),
+    )
+    return pa.table(
+        {
+            "url": url,
+            "warc_ts": ts,
+            "html": pc.cast(html, pa.binary()),
+            "text": pa.array([""] * len(batch), pa.string()),
+            "lang": batch["lang"],
+        }
+    )
+
+
+def pages_from_documents(sf_dir: str):
+    """Ray Dataset of ``pages`` derived deterministically from documents.parquet."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    return ds.map_batches(_docs_to_pages_batch, batch_format="pyarrow")
