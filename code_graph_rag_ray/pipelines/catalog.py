@@ -1,0 +1,571 @@
+"""Driver-facing query catalog: named Ray pipelines + DuckDB oracle SQL.
+
+Every entry is one operator/pipeline from SURVEY.md §2 (or a training-data
+op the 100 TB engine adds), expressed Ray-Data-first, with an ANSI-SQL
+equivalent the driver cross-checks at sf=0.01. Column names match the SQL
+exactly (the driver hashes values after sorting columns by name). Float
+aggregates are rounded identically on both sides to absorb summation-order
+noise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from code_graph_rag_ray.functions.vocab import (
+    ENTITY_VOCAB_SORTED,
+    RELATION_VOCAB_SORTED,
+    STOPWORDS_SORTED,
+    sql_in_list,
+)
+from code_graph_rag_ray.stages.extract import doc_mentions_batch, doc_triples_batch
+from code_graph_rag_ray.stages.relational import (
+    broadcast_join,
+    broadcast_semi_join,
+    partial_groupby_sum,
+    top_k,
+)
+from code_graph_rag_ray.stages.text_analysis import (
+    fingerprint_batch,
+    quality_batch,
+    token_stats_batch,
+)
+from code_graph_rag_ray.stages.windows import session_windows, tumbling_window_agg
+
+_ENT_SQL = sql_in_list(ENTITY_VOCAB_SORTED)
+_REL_SQL = sql_in_list(RELATION_VOCAB_SORTED)
+_STOP_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_SORTED) + "]"
+
+
+def _round_cols(ds, cols: list[str], ndigits: int):
+    def f(b: pa.Table) -> pa.Table:
+        for c in cols:
+            b = b.set_column(
+                b.column_names.index(c), c, pc.round(b[c], ndigits=ndigits)
+            )
+        return b
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _pq(sf_dir: str, table: str, columns: list[str] | None = None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# relational (TPC-H-ish)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """Grouped pricing summary — two-phase (combiner) aggregation."""
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def add_disc(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("disc_price", disc)
+
+    ds = ds.map_batches(add_disc, batch_format="pyarrow")
+    out = partial_groupby_sum(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {"l_quantity": "sum_qty", "l_extendedprice": "sum_base_price",
+         "disc_price": "sum_disc_price"},
+        count_alias="n_rows",
+    )
+    return _round_cols(out, ["sum_qty", "sum_base_price", "sum_disc_price"], 2)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(sf_dir: str):
+    """Broadcast semi-join (customer segment) + broadcast hash join (orders)
+    + combiner aggregation + top-k. No all-to-all on the fact table."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    building = set(cust[cust.c_mktsegment == "BUILDING"].c_custkey)
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = broadcast_semi_join(orders, building, on="o_custkey")
+    odf = orders.to_pandas()
+    odf = odf[odf.o_orderdate < pd.Timestamp("1997-01-01")][["o_orderkey", "o_orderdate"]]
+    # date as string: timestamp columns change resolution through shuffles
+    odf["o_orderdate"] = odf["o_orderdate"].dt.strftime("%Y-%m-%d")
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = broadcast_join(li, odf, on="l_orderkey", right_on="o_orderkey")
+
+    def add_rev(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("rev", rev)
+
+    agg = partial_groupby_sum(
+        joined.map_batches(add_rev, batch_format="pyarrow"),
+        ["o_orderkey", "o_orderdate"],
+        {"rev": "revenue"},
+    )
+    top = top_k(agg, "revenue", 10).to_pandas()
+    top = top.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
+    top["revenue"] = top["revenue"].round(2)
+    return top[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
+
+
+Q3_SQL = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q5_nation_revenue(sf_dir: str):
+    """Multi-way broadcast join over the dimension chain; one streaming pass
+    over lineitem (c_nationkey = s_nationkey, TPC-H q5 shape)."""
+    nation = _pq(sf_dir, "nation").to_pandas()
+    supplier = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    customer = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+
+    ordc = orders.merge(customer, left_on="o_custkey", right_on="c_custkey")
+    ord_nation = dict(zip(ordc.o_orderkey, ordc.c_nationkey))
+    supp_nation = dict(zip(supplier.s_suppkey, supplier.s_nationkey))
+    nation_name = dict(zip(nation.n_nationkey, nation.n_name))
+
+    import ray
+
+    ref = ray.put((ord_nation, supp_nation, nation_name))
+
+    class Resolve:
+        def __init__(self, r):
+            ord_nation, supp_nation, nation_name = (
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            )
+            # vectorized lookup tables built once per actor
+            self.ord_nation = pd.Series(ord_nation)
+            self.supp_nation = pd.Series(supp_nation)
+            self.nation_name = pd.Series(nation_name)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ok = pd.Series(b["l_orderkey"].to_numpy(zero_copy_only=False))
+            sk = pd.Series(b["l_suppkey"].to_numpy(zero_copy_only=False))
+            cn = ok.map(self.ord_nation).to_numpy()
+            sn = sk.map(self.supp_nation).to_numpy()
+            keep = (cn == sn) & ~pd.isna(cn)
+            rev = pc.multiply(
+                b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+            ).to_numpy(zero_copy_only=False)
+            names = pd.Series(cn[keep]).map(self.nation_name).to_numpy()
+            return pa.table(
+                {"n_name": pa.array(names, pa.string()),
+                 "rev": pa.array(rev[keep], pa.float64())}
+            )
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    resolved = li.map_batches(Resolve, fn_constructor_args=(ref,), batch_format="pyarrow",
+                              concurrency=2, num_cpus=1)
+    out = partial_groupby_sum(resolved, ["n_name"], {"rev": "revenue"})
+    return _round_cols(out, ["revenue"], 2)
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+def orders_by_priority(sf_dir: str):
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = partial_groupby_sum(
+        ds, ["o_orderpriority"], {"o_totalprice": "sum_totalprice"}, count_alias="n_orders"
+    )
+    return _round_cols(out, ["sum_totalprice"], 2)
+
+
+ORDERS_PRIORITY_SQL = """
+SELECT o_orderpriority, round(sum(o_totalprice), 2) AS sum_totalprice, count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def top10_customers(sf_dir: str):
+    ds = _pq(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    t = top_k(ds, "c_acctbal", 10).to_pandas()
+    return t.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True]).head(10).reset_index(drop=True)
+
+
+TOP10_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+"""
+
+
+def distinct_mktsegments(sf_dir: str):
+    ds = _pq(sf_dir, "customer", ["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+DISTINCT_MKTSEG_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+# ---------------------------------------------------------------------------
+# events (stream-shaped)
+# ---------------------------------------------------------------------------
+
+def events_hourly(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["ts", "event_type", "value"])
+    out = tumbling_window_agg(ds, window_s=3600)
+    return _round_cols(out, ["sum_value"], 2)
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       round(sum(value), 2) AS sum_value, count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sessions(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    return session_windows(ds, gap_s=1800)
+
+
+EVENTS_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: extraction / text analysis / dedup
+# ---------------------------------------------------------------------------
+
+def doc_mentions(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(doc_mentions_batch, batch_format="pyarrow")
+    return partial.groupby(["doc_id", "surface"]).aggregate(
+        Sum("n_mentions", alias_name="n_mentions")
+    )
+
+
+DOC_MENTIONS_SQL = f"""
+SELECT doc_id, w AS surface, count(*) AS n_mentions
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+WHERE w IN {_ENT_SQL}
+GROUP BY doc_id, w
+"""
+
+
+def doc_triples(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(doc_triples_batch, batch_format="pyarrow")
+
+
+DOC_TRIPLES_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+     idx AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t)
+SELECT doc_id, toks[i] AS subj, toks[i+1] AS pred, toks[i+2] AS obj,
+       CAST(i - 1 AS BIGINT) AS pos
+FROM idx
+WHERE toks[i] IN {_ENT_SQL} AND toks[i+1] IN {_REL_SQL} AND toks[i+2] IN {_ENT_SQL}
+"""
+
+
+def doc_token_stats(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow")
+
+
+DOC_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]')) AS n_bpe_tokens,
+       length(text) AS n_chars_text
+FROM documents
+"""
+
+
+def doc_quality(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(quality_batch, batch_format="pyarrow")
+    return _round_cols(out, ["stop_ratio", "mean_token_len", "quality"], 6)
+
+
+DOC_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       round(len(list_filter(toks, w -> list_contains({_STOP_SQL_LIST}, w))) / greatest(n, 1), 6) AS stop_ratio,
+       round((length(text) - (greatest(n, 1) - 1)) / greatest(n, 1), 6) AS mean_token_len,
+       round(least(1.0, greatest(n, 1) / 50.0)
+             * (1.0 - abs(len(list_filter(toks, w -> list_contains({_STOP_SQL_LIST}, w))) / greatest(n, 1) - 0.2)), 6) AS quality
+FROM t
+"""
+
+
+def doc_fingerprint(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "md5"])
+
+
+DOC_FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS md5 FROM documents"
+
+
+def doc_exact_dup_clusters(sf_dir: str):
+    from code_graph_rag_ray.stages.dedup import exact_dup_clusters
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dup_clusters(ds)
+
+
+DOC_EXACT_DUP_SQL = """
+SELECT md5(text) AS md5, count(*) AS n_dups, min(doc_id) AS keeper
+FROM documents GROUP BY 1
+"""
+
+
+def doc_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _pq(sf_dir, "documents", ["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+DOC_LANG_COUNTS_SQL = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def knn_brute(sf_dir: str):
+    from code_graph_rag_ray.stages.similarity import knn_brute_force
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = pd.DataFrame(
+        [r for r in ds.take_all() if r["vec_id"] < 5]
+    ).sort_values("vec_id")
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf.embedding])
+    out = knn_brute_force(ds, queries, qdf.vec_id.tolist(), k=10)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"query_id": b["query_id"], "vec_id": b["vec_id"],
+             "cosine": pc.round(b["cosine"], ndigits=5), "rank": b["rank"]}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+KNN_BRUTE_SQL = """
+SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       round(list_cosine_similarity(q.embedding, e.embedding), 5) AS cosine,
+       row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                   e.vec_id) AS rank
+FROM embeddings q, embeddings e
+WHERE q.vec_id < 5
+QUALIFY rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# pages / KG construction (flagship)
+# ---------------------------------------------------------------------------
+
+def _vocab_alias_tbl() -> pa.Table:
+    return pa.Table.from_pylist(
+        [{"alias": w, "entity_id": w, "prior": 1.0} for w in ENTITY_VOCAB_SORTED],
+        schema=pa.schema([("alias", pa.string()), ("entity_id", pa.string()),
+                          ("prior", pa.float64())]),
+    )
+
+
+def kg_doc_triples(sf_dir: str):
+    """Full KG pipeline (extract → link → pair → dedup) over pages derived
+    from documents; equivalent to the trigram rule, so SQL-checkable."""
+    from code_graph_rag_ray.pipelines.kg import build_kg
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(sf_dir)
+    relations = {w: w for w in RELATION_VOCAB_SORTED}
+    kg = build_kg(pages, _vocab_alias_tbl(), relations=relations)
+    return kg["edges"].select_columns(["subj", "pred", "obj", "provenance_url"])
+
+
+KG_DOC_TRIPLES_SQL = f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+     idx AS (SELECT doc_id, source, toks, unnest(range(1, len(toks) - 1)) AS i FROM t)
+SELECT DISTINCT toks[i] AS subj, toks[i+1] AS pred, toks[i+2] AS obj,
+       'https://' || source || '.example.org/doc/' || doc_id AS provenance_url
+FROM idx
+WHERE toks[i] IN {_ENT_SQL} AND toks[i+1] IN {_REL_SQL} AND toks[i+2] IN {_ENT_SQL}
+"""
+
+
+def kg_doc_nodes(sf_dir: str):
+    """KG node table over documents-derived pages (mention-count per entity,
+    including zero-mention dictionary entries — cgr registry semantics)."""
+    from code_graph_rag_ray.pipelines.kg import build_kg
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(sf_dir)
+    relations = {w: w for w in RELATION_VOCAB_SORTED}
+    kg = build_kg(pages, _vocab_alias_tbl(), relations=relations)
+    nodes = kg["nodes"]
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["label"], "Entity")
+        f = b.filter(m)
+        return pa.table({"entity_id": f["entity_id"],
+                         "n_mentions": pc.cast(f["n_mentions"], pa.int64())})
+
+    return nodes.map_batches(keep, batch_format="pyarrow")
+
+
+_ENT_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in ENTITY_VOCAB_SORTED) + "]"
+
+KG_DOC_NODES_SQL = f"""
+WITH c AS (
+  SELECT w, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w IN {_ENT_SQL}
+  GROUP BY w
+)
+SELECT v.entity_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_mentions
+FROM (SELECT unnest({_ENT_SQL_LIST}) AS entity_id) v
+LEFT JOIN c ON v.entity_id = c.w
+"""
+
+
+def page_hosts(sf_dir: str):
+    """Structure pass analog (M4): host hierarchy counts from page urls."""
+    from ray.data.aggregate import Count
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(sf_dir)
+
+    def host_of(b: pa.Table) -> pa.Table:
+        hosts = pc.extract_regex(b["url"], pattern=r"^https://(?P<host>[^/]+)/")
+        return pa.table({"host": pc.struct_field(hosts, "host")})
+
+    return pages.map_batches(host_of, batch_format="pyarrow").groupby("host").aggregate(
+        Count(alias_name="n_pages")
+    )
+
+
+PAGE_HOSTS_SQL = """
+SELECT source || '.example.org' AS host, count(*) AS n_pages
+FROM documents GROUP BY 1
+"""
+
+
+def page_extract_text(sf_dir: str):
+    """Deterministic HTML→text over documents-derived pages (per-row
+    invariant surfaced to the oracle via the closed-form wrap)."""
+    from code_graph_rag_ray.stages.extract import extract_text_batch
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(sf_dir)
+    out = pages.map_batches(extract_text_batch, batch_format="pyarrow")
+    return out.select_columns(["url", "text"])
+
+
+PAGE_EXTRACT_TEXT_SQL = """
+SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+       'doc ' || doc_id || chr(10) || text AS text
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "orders_by_priority": orders_by_priority,
+    "top10_customers": top10_customers,
+    "distinct_mktsegments": distinct_mktsegments,
+    "events_hourly": events_hourly,
+    "events_sessions": events_sessions,
+    "doc_mentions": doc_mentions,
+    "doc_triples": doc_triples,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_exact_dup_clusters": doc_exact_dup_clusters,
+    "doc_lang_counts": doc_lang_counts,
+    "knn_brute": knn_brute,
+    "kg_doc_triples": kg_doc_triples,
+    "kg_doc_nodes": kg_doc_nodes,
+    "page_hosts": page_hosts,
+    "page_extract_text": page_extract_text,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_revenue_orders": Q3_SQL,
+    "q5_nation_revenue": Q5_SQL,
+    "orders_by_priority": ORDERS_PRIORITY_SQL,
+    "top10_customers": TOP10_CUSTOMERS_SQL,
+    "distinct_mktsegments": DISTINCT_MKTSEG_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "events_sessions": EVENTS_SESSIONS_SQL,
+    "doc_mentions": DOC_MENTIONS_SQL,
+    "doc_triples": DOC_TRIPLES_SQL,
+    "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_quality": DOC_QUALITY_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "doc_exact_dup_clusters": DOC_EXACT_DUP_SQL,
+    "doc_lang_counts": DOC_LANG_COUNTS_SQL,
+    "knn_brute": KNN_BRUTE_SQL,
+    "kg_doc_triples": KG_DOC_TRIPLES_SQL,
+    "kg_doc_nodes": KG_DOC_NODES_SQL,
+    "page_hosts": PAGE_HOSTS_SQL,
+    "page_extract_text": PAGE_EXTRACT_TEXT_SQL,
+}

@@ -1,0 +1,139 @@
+"""The flagship pipeline: pages → knowledge graph (nodes + edge triples).
+
+End-to-end Ray Data composition of the stage modules — the analog of the
+reference's ``GraphUpdater.run()`` three-pass lifecycle
+(``graph_updater.py:604-796``), re-expressed as one streaming dataset
+pipeline with explicit shuffles:
+
+    read pages ──map_batches──▶ extract_text (drop html early)
+        └─▶ actor-pool MentionLinker (broadcast alias dict)   [Pass 2+3]
+              ├─▶ triples: filter+project → exact_dedup (groupby shuffle)
+              └─▶ nodes: canonicalize_entities (groupby + CC)  [A1/A3]
+    materialize: hash(subj)-partitioned, sorted parquet + manifests
+
+With ``checkpoint_dir`` set, the mentions stage persists through
+:class:`~code_graph_rag_ray.state.lineage.Checkpointer` — both downstream
+branches then read one immutable parquet copy (no recompute of the pages
+scan per consumer) and a rerun resumes from it.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from code_graph_rag_ray.stages.canonicalize import canonicalize_entities
+from code_graph_rag_ray.stages.extract import extract_text_batch
+from code_graph_rag_ray.stages.linking import link_mentions
+from code_graph_rag_ray.stages.materialize import exact_dedup, materialize_graph
+from code_graph_rag_ray.state.lineage import Checkpointer, partition_manifest
+
+
+def triples_from_mentions(mentions: Dataset) -> Dataset:
+    """Mention rows → raw (subj, pred, obj, provenance_url) triple rows."""
+
+    def project(b: pa.Table) -> pa.Table:
+        m = pc.is_valid(b["rel"])
+        f = b.filter(m)
+        return pa.table(
+            {
+                "subj": f["entity_id"],
+                "pred": f["rel"],
+                "obj": f["obj_entity_id"],
+                "provenance_url": f["url"],
+                "pos": f["start"],
+            }
+        )
+
+    return mentions.map_batches(project, batch_format="pyarrow")
+
+
+def build_kg(
+    pages: Dataset,
+    alias_tbl: pa.Table,
+    *,
+    relations: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
+    linker_concurrency: int | None = None,
+    num_partitions: int = 16,
+    fingerprint: str = "",
+) -> dict:
+    """Run the full KG construction over a pages Dataset.
+
+    Returns dict with lazy Datasets: ``mentions``, ``edges`` (internal,
+    exact-deduped on (subj, pred, obj, provenance_url)), ``external_edges``,
+    ``nodes``; plus the checkpointer (if any) under ``ckpt``.
+    """
+    import ray
+
+    alias_ref = ray.put(alias_tbl)
+
+    if linker_concurrency is None:
+        # leave headroom for the read/write stages — an actor pool that
+        # reserves every CPU starves the rest of the pipeline (can deadlock
+        # a small local cluster; observed at num_cpus=4 with concurrency=4)
+        total = int(ray.cluster_resources().get("CPU", 4))
+        linker_concurrency = max(2, total - 2)
+
+    def build_mentions() -> Dataset:
+        text = pages.map_batches(extract_text_batch, batch_format="pyarrow")
+        return link_mentions(
+            text, alias_ref, relations=relations, concurrency=linker_concurrency
+        )
+
+    ckpt = None
+    if checkpoint_dir:
+        ckpt = Checkpointer(checkpoint_dir, fingerprint=fingerprint)
+        mentions = ckpt.stage("mentions", build_mentions)
+    else:
+        mentions = build_mentions().materialize()
+
+    raw = triples_from_mentions(mentions)
+
+    def split_external(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "is_external",
+            pc.or_(
+                pc.starts_with(b["subj"], "ext::"), pc.starts_with(b["obj"], "ext::")
+            ),
+        )
+
+    tagged = raw.map_batches(split_external, batch_format="pyarrow")
+    internal = tagged.filter(expr="is_external == False").drop_columns(["is_external"])
+    external = tagged.filter(expr="is_external == True").drop_columns(["is_external"])
+
+    edges = exact_dedup(
+        internal,
+        keys=["subj", "pred", "obj", "provenance_url"],
+        sort_cols=["subj", "pred", "obj", "provenance_url", "pos"],
+    )
+    nodes = canonicalize_entities(mentions, alias_tbl, num_partitions=num_partitions)
+    return {
+        "mentions": mentions,
+        "edges": edges,
+        "external_edges": external,
+        "nodes": nodes,
+        "ckpt": ckpt,
+    }
+
+
+def materialize_kg(kg: dict, out_dir: str, *, num_partitions: int = 16) -> dict:
+    """Write edges + nodes hash-partitioned and sorted; return manifests."""
+    import os
+
+    edges_dir = os.path.join(out_dir, "edges")
+    nodes_dir = os.path.join(out_dir, "nodes")
+    materialize_graph(
+        kg["edges"], edges_dir, key="subj",
+        sort_by=["subj", "pred", "obj", "provenance_url"],
+        num_partitions=num_partitions,
+    )
+    materialize_graph(
+        kg["nodes"], nodes_dir, key="entity_id", sort_by=["entity_id"],
+        num_partitions=num_partitions,
+    )
+    return {
+        "edges": partition_manifest(edges_dir),
+        "nodes": partition_manifest(nodes_dir),
+    }

@@ -81,6 +81,12 @@ _FILLER = (
 
 _LANGS = ("en", "en", "en", "en", "en", "en", "en", "en", "fr", "de", "es", "zh")
 
+# Proper-noun names that exist in NO dictionary — planted so the pipeline
+# must mint External nodes instead of dropping or mislinking them (analog of
+# cgr's deferred-import verification: unknown target → ExternalModule node,
+# ``import_processor.py:861-983``).
+UNKNOWN_ENTITIES = ("Zorblat Inc", "Quuxify Ltd", "Blarg Group")
+
 
 @dataclass
 class PagesFixture:
@@ -94,10 +100,16 @@ class PagesFixture:
 def _build_entities(n_entities: int, rng: np.random.Generator):
     """Entity universe + alias dictionary with planted ambiguity/collisions."""
     entities: list[dict] = []
+    # unique names by construction (a shuffled walk over the adj×noun
+    # product, with a numeric middle token beyond 144 entities) — linking
+    # truth must be well-posed; ambiguity is planted deliberately below, not
+    # by accident
+    combos = rng.permutation(len(_ADJ) * len(_NOUN))
     for i in range(n_entities):
-        adj = _ADJ[int(rng.integers(len(_ADJ)))]
-        noun = _NOUN[int(rng.integers(len(_NOUN)))]
-        entities.append({"entity_id": f"E{i:05d}", "name": f"{adj} {noun}"})
+        c = int(combos[i % len(combos)])
+        adj, noun = _ADJ[c // len(_NOUN)], _NOUN[c % len(_NOUN)]
+        mid = f" {i // len(combos)} " if i >= len(combos) else " "
+        entities.append({"entity_id": f"E{i:05d}", "name": f"{adj}{mid}{noun}"})
     # Force one exact-name collision pair (distinct ids, same surface name):
     # exercises the deterministic variant-suffix rule in canonicalization.
     if n_entities >= 2:
@@ -112,7 +124,7 @@ def _build_entities(n_entities: int, rng: np.random.Generator):
     for ent in entities:
         eid, name = ent["entity_id"], ent["name"]
         add(name, eid, 0.9)
-        noun = name.split(" ")[1]
+        noun = name.rsplit(" ", 1)[1]
         add(noun, eid, 0.3)  # shared noun → ambiguous alias across entities
     # Normalize priors per alias, deterministic order by entity id.
     rows = []
@@ -134,11 +146,22 @@ def _build_entities(n_entities: int, rng: np.random.Generator):
     return entities, alias_map, alias_tbl
 
 
-def _pick_alias(ent: dict, rng: np.random.Generator) -> str:
-    """Mention surface for an entity: full name 70%, bare noun 30%."""
-    if rng.random() < 0.7:
-        return ent["name"]
-    return ent["name"].split(" ")[1]
+def _pick_alias(ent: dict, rng: np.random.Generator, recent_full: dict[str, str]) -> str:
+    """Mention surface for an entity, page-state aware.
+
+    A bare-noun alias ("Systems" for "Acme Systems") is only used when this
+    entity is the MOST RECENT entity fully named with that noun on the page —
+    the standard news-coreference shape, and exactly the rule the linker's
+    recency cascade resolves (the analog of cgr's trie suffix lookup,
+    ``function_registry.py`` ``find_ending_with``). Otherwise the full name
+    is used and recorded as the page-local antecedent.
+    """
+    name = ent["name"]
+    noun = name.rsplit(" ", 1)[1]
+    if rng.random() < 0.3 and recent_full.get(noun) == ent["entity_id"]:
+        return noun
+    recent_full[noun] = ent["entity_id"]
+    return name
 
 
 def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
@@ -188,6 +211,15 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
         cursor = len(title) + 1  # +1 for the newline after the title
 
         n_pars = 1 + int(rng.integers(3))
+        recent_full: dict[str, str] = {}  # noun -> entity_id of latest full mention
+
+        def sample_entity() -> dict:
+            # entities[1] is the forced name-collision twin of entities[0]: it
+            # lives in the dictionary/node universe (variant-suffix path) but
+            # is never planted in text, so linking truth stays well-defined.
+            j = int(rng.integers(n_entities - 1))
+            return entities[j + 1 if j >= 1 else j]
+
         for _p in range(n_pars):
             par_text_toks: list[str] = []
             par_html_toks: list[str] = []
@@ -208,11 +240,12 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
                     if rng.random() < 0.55:
                         subj = entities[0]  # head-entity skew
                     else:
-                        subj = entities[int(rng.integers(n_entities))]
-                    obj = entities[int(rng.integers(n_entities))]
+                        subj = sample_entity()
+                    obj_external = rng.random() < 0.05
+                    obj = None if obj_external else sample_entity()
                     rel_surface = _REL_SURFACES[int(rng.integers(len(_REL_SURFACES)))]
 
-                    s_alias = _pick_alias(subj, rng)
+                    s_alias = _pick_alias(subj, rng, recent_full)
                     if par_text_toks:
                         start = par_cursor + 1
                     else:
@@ -228,18 +261,23 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
                     )
                     for w in rel_surface.split(" "):
                         emit(w)
-                    o_alias = _pick_alias(obj, rng)
+                    if obj_external:
+                        o_alias = UNKNOWN_ENTITIES[int(rng.integers(len(UNKNOWN_ENTITIES)))]
+                    else:
+                        o_alias = _pick_alias(obj, rng, recent_full)
                     start = par_cursor + 1
                     emit(o_alias)
                     mention_rows.append(
                         {"url": url, "surface": o_alias, "start": start,
-                         "end": start + len(o_alias), "type": "ENTITY"}
+                         "end": start + len(o_alias),
+                         "type": "EXTERNAL" if obj_external else "ENTITY"}
                     )
                     emit(".")
-                    triple_rows.append(
-                        {"subj": subj["entity_id"], "pred": RELATIONS[rel_surface],
-                         "obj": obj["entity_id"], "url": url}
-                    )
+                    if not obj_external:
+                        triple_rows.append(
+                            {"subj": subj["entity_id"], "pred": RELATIONS[rel_surface],
+                             "obj": obj["entity_id"], "url": url}
+                        )
                 else:
                     # filler sentence, occasionally with an & entity
                     n_w = 3 + int(rng.integers(6))

@@ -1,0 +1,259 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference has only exact MERGE dedup (SURVEY.md §2.6: "no near-dup
+detection anywhere"); a 100 TB web corpus needs the near-dup family, so
+these are first-class operators here. All follow the same scale shape:
+
+    per-batch vectorized signature → explode to (bucket, id) rows →
+    groupby(bucket) candidate generation → pairwise verify inside the group
+    → connected components over verified pairs → keep min-id per component
+
+Signatures are computed with numpy over Arrow batches (stateless tasks);
+the only shuffles are the bucket groupby and the CC rounds. Buckets bound
+pairwise work: a group of k docs does k² verification only within one
+band/bucket, and the ``max_group`` guard caps degenerate buckets (the skew
+discipline of SURVEY.md §4 — a boilerplate shingle shared by every page
+must not become one giant task).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from code_graph_rag_ray.functions.hashing import md5_hex_array
+from code_graph_rag_ray.stages.components import connected_components
+
+_M61 = (1 << 61) - 1
+
+
+def _token_hashes(text: str, n: int = 3) -> np.ndarray:
+    """crc32 hashes of word n-gram shingles."""
+    import zlib
+
+    toks = text.split()
+    if len(toks) < n:
+        return np.asarray([zlib.crc32(text.encode())], dtype=np.uint64)
+    return np.asarray(
+        [zlib.crc32(" ".join(toks[i : i + n]).encode()) for i in range(len(toks) - n + 1)],
+        dtype=np.uint64,
+    )
+
+
+class MinHasher:
+    """num_perm universal-hash minhash signatures ((a*x+b) mod p)."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _M61, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _M61, size=num_perm, dtype=np.uint64)
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        # (num_perm, n_shingles) → min along shingles
+        x = shingles.astype(np.uint64)
+        vals = (np.outer(self.a, x) + self.b[:, None]) % _M61
+        return vals.min(axis=1)
+
+
+def minhash_bands_batch_factory(*, num_perm: int = 64, bands: int = 16, shingle: int = 3,
+                                id_col: str = "doc_id", text_col: str = "text"):
+    """Stateless batch fn: docs → (id, band, band_hash) rows (LSH explode)."""
+    hasher = MinHasher(num_perm)
+    rows_per_band = num_perm // bands
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        ids, bands_out, hashes = [], [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            sig = hasher.signature(_token_hashes(t or "", shingle))
+            for b in range(bands):
+                h = zlib.crc32(sig[b * rows_per_band : (b + 1) * rows_per_band].tobytes())
+                ids.append(i)
+                bands_out.append(b)
+                hashes.append(h)
+        return pa.table(
+            {id_col: pa.array(ids), "band": pa.array(bands_out, pa.int32()),
+             "band_hash": pa.array(hashes, pa.int64())}
+        )
+
+    return fn
+
+
+def simhash_batch_factory(*, bits: int = 64, shingle: int = 2,
+                          id_col: str = "doc_id", text_col: str = "text"):
+    """Stateless batch fn: docs → (id, simhash) 64-bit signatures."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch[text_col].to_pylist():
+            hs = _token_hashes(t or "", shingle)
+            # accumulate bit votes
+            bitmat = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(np.int64)
+            votes = bitmat.sum(axis=0) * 2 - len(hs)
+            sim = int(((votes > 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum())
+            out.append(sim & 0x7FFFFFFFFFFFFFFF)
+        return pa.table({id_col: batch[id_col], "simhash": pa.array(out, pa.int64())})
+
+    return fn
+
+
+def jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = set(_token_hashes(a, n).tolist()), set(_token_hashes(b, n).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+def exact_dup_clusters(ds: Dataset, *, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """Exact dedup: (md5, n_dups, keeper=min id) per content-hash cluster.
+
+    Hash-partition + per-group first — the A1 MERGE shuffle with a
+    content-derived key.
+    """
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(
+        lambda b: pa.table({id_col: b[id_col], "md5": md5_hex_array(b[text_col])}),
+        batch_format="pyarrow",
+    )
+    return hashed.groupby("md5").aggregate(
+        Count(alias_name="n_dups"), Min(id_col, alias_name="keeper")
+    )
+
+
+def _pairs_from_buckets(bucket_rows: Dataset, bucket_cols: list[str], id_col: str,
+                        *, max_group: int = 200) -> Dataset:
+    """groupby(bucket) → candidate pairs (a < b). Groups above ``max_group``
+    are truncated (deterministically, by sorted id) and the truncation is
+    recorded via the ``truncated`` column — no silent caps."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].unique().tolist())
+        trunc = len(ids) > max_group
+        ids = ids[:max_group]
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"a": out_a, "b": out_b, "truncated": [trunc] * len(out_a)})
+
+    return bucket_rows.groupby(bucket_cols).map_groups(pairs, batch_format="pandas")
+
+
+def minhash_near_dup_pairs(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    verify_threshold: float = 0.8,
+    max_group: int = 200,
+) -> Dataset:
+    """MinHash+LSH near-dup: candidate pairs verified by true Jaccard.
+
+    Returns (a, b, jaccard) with a < b and jaccard ≥ threshold. Verification
+    re-reads the two texts via a broadcast id→text lookup built from ``ds``
+    — valid while the dup-suspect universe fits the object store; for the
+    100 TB path, swap the verify stage for a bucket-cogroup carrying texts.
+    """
+    import ray
+
+    bucket_rows = ds.map_batches(
+        minhash_bands_batch_factory(
+            num_perm=num_perm, bands=bands, shingle=shingle,
+            id_col=id_col, text_col=text_col,
+        ),
+        batch_format="pyarrow",
+    )
+    cand = _pairs_from_buckets(bucket_rows, ["band", "band_hash"], id_col, max_group=max_group)
+    # dedup candidate pairs surfaced by multiple bands
+    from code_graph_rag_ray.stages.materialize import exact_dedup
+
+    cand = exact_dedup(cand, keys=["a", "b"], sort_cols=["a", "b"])
+
+    texts = {r[id_col]: r[text_col] for r in ds.select_columns([id_col, text_col]).take_all()}
+    text_ref = ray.put(texts)
+
+    class Verify:
+        def __init__(self, ref):
+            self.texts = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_pylist()
+            b = batch["b"].to_pylist()
+            js = [jaccard(self.texts.get(x, ""), self.texts.get(y, ""), shingle) for x, y in zip(a, b)]
+            t = batch.append_column("jaccard", pa.array(js, pa.float64()))
+            return t.filter(pa.compute.greater_equal(t["jaccard"], verify_threshold))
+
+    return cand.map_batches(
+        Verify, fn_constructor_args=(text_ref,), batch_format="pyarrow",
+        concurrency=2, num_cpus=1,
+    )
+
+
+def near_dup_clusters(pairs: Dataset, *, max_iter: int = 6) -> Dataset:
+    """Verified pairs → (node, component) clusters via connected components."""
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["a"].cast(pa.string()), "dst": b["b"].cast(pa.string())})
+
+    return connected_components(pairs.map_batches(to_edges, batch_format="pyarrow"), max_iter=max_iter)
+
+
+def embedding_near_dup_pairs(
+    ds: Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 11,
+    max_group: int = 500,
+) -> Dataset:
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets.
+
+    Sign pattern of ``n_planes`` random projections buckets vectors; exact
+    cosine verification runs per bucket (numpy matmul inside map_groups).
+    """
+    first = ds.take(1)
+    dim = len(first[0][vec_col]) if first else 0
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes)) if dim else None
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        vecs = np.stack([np.asarray(v, dtype=np.float32) for v in b[vec_col].to_pylist()])
+        signs = (vecs @ planes > 0).astype(np.uint32)
+        bucket = (signs << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
+        return pa.table(
+            {id_col: b[id_col], "bucket": pa.array(bucket, pa.int64()),
+             vec_col: b[vec_col]}
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").head(max_group)
+        ids = g[id_col].tolist()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        vecs = np.stack([np.asarray(v, dtype=np.float32) for v in g[vec_col]])
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (vecs / norms) @ (vecs / norms).T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= threshold
+        return pd.DataFrame(
+            {"a": [ids[i] for i in ii[keep]], "b": [ids[j] for j in jj[keep]],
+             "cosine": sims[ii, jj][keep].astype(float)}
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )

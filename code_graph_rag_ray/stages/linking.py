@@ -1,0 +1,179 @@
+"""Entity-mention detection + candidate-link scoring (Pass 3 analog).
+
+The reference resolves each call-site/mention against a process-global
+registry trie with a preference cascade (``parsers/call_resolver.py:297-318``
+exact qn → receiver-type chain → suffix fallback; registry
+``function_registry.py:18-283``). Here that becomes:
+
+- the **alias dictionary** is broadcast ONCE via ``ray.put`` and each
+  :class:`MentionLinker` actor rehydrates it in ``__init__`` — never
+  re-shipped per batch (SURVEY.md §2.3 T1 mapping),
+- mention **detection** is one compiled alternation regex (longest-alias
+  first, word-bounded) — compiled once per actor, the analog of cgr loading
+  tree-sitter parsers once per process (``parser_loader.py:482``),
+- the **cascade**: unique dictionary candidate → page-local recency
+  antecedent for suffix/bare aliases (the ``find_ending_with`` analog) →
+  highest-prior candidate with deterministic entity-id tie-break,
+- **unknown** proper-noun runs participating in a relation pattern mint
+  ``ext::<normalized>`` External entities (cgr's deferred-import rule:
+  unknown target ⇒ ExternalModule node, ``import_processor.py:861-983``),
+- **triple pairing** happens in the same pass: consecutive mentions whose
+  gap text strips to a known relation surface form a triple, attached to
+  the subject mention row (``rel``/``obj_*`` columns) so downstream stages
+  never need the page text again.
+
+Output schema (one row per detected mention):
+    url, start, end, surface, entity_id, method, rel, obj_entity_id, lang
+``method`` ∈ {exact, recency, prior, external}.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from code_graph_rag_ray.sources.pages import RELATIONS
+
+_CAP_RUN = re.compile(r"\b[A-Z][a-zA-Z0-9]*(?: [A-Z][a-zA-Z0-9]*)*\b")
+
+MENTION_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("start", pa.int64()),
+        ("end", pa.int64()),
+        ("surface", pa.string()),
+        ("entity_id", pa.string()),
+        ("method", pa.string()),
+        ("rel", pa.string()),
+        ("obj_entity_id", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def normalize_surface(s: str) -> str:
+    """Canonical surface form: casefold + whitespace collapse (A1 analog)."""
+    return " ".join(s.casefold().split())
+
+
+def build_alias_index(alias_tbl: pa.Table) -> dict[str, list[tuple[str, float]]]:
+    """alias_dict(alias, entity_id, prior) → alias → [(entity_id, prior)…]
+    sorted by (-prior, entity_id) so index 0 is the deterministic argmax."""
+    idx: dict[str, list[tuple[str, float]]] = {}
+    for row in alias_tbl.to_pylist():
+        idx.setdefault(row["alias"], []).append((row["entity_id"], row["prior"]))
+    for alias, cands in idx.items():
+        cands.sort(key=lambda c: (-c[1], c[0]))
+    return idx
+
+
+class MentionLinker:
+    """Actor-pool stage: pages(text) batches → linked-mention rows.
+
+    ``alias_ref`` is a ``ray.ObjectRef`` to the alias table (broadcast once)
+    or a plain ``pa.Table`` (tests). All setup — dictionary rehydration and
+    regex compilation — happens here in ``__init__``, once per actor.
+    """
+
+    def __init__(self, alias_ref, relations: dict[str, str] | None = None):
+        import ray
+
+        alias_tbl = ray.get(alias_ref) if isinstance(alias_ref, ray.ObjectRef) else alias_ref
+        self.index = build_alias_index(alias_tbl)
+        # longest alias first → leftmost-longest match in Python's re
+        alts = sorted(self.index, key=len, reverse=True)
+        self.alias_re = (
+            re.compile(r"\b(?:" + "|".join(re.escape(a) for a in alts) + r")\b")
+            if alts
+            else None
+        )
+        self.relations = dict(RELATIONS) if relations is None else dict(relations)
+
+    # -- per-page resolution ------------------------------------------------
+    def _link_page(self, url: str, text: str, lang: str, out: list[dict]) -> None:
+        if not text:
+            return
+        spans: list[tuple[int, int, str, bool]] = []  # start, end, surface, known
+        if self.alias_re is not None:
+            for m in self.alias_re.finditer(text):
+                spans.append((m.start(), m.end(), m.group(), True))
+        known_spans = spans[:]
+        for m in _CAP_RUN.finditer(text):
+            if any(s < m.end() and m.start() < e for s, e, _, _ in known_spans):
+                continue
+            spans.append((m.start(), m.end(), m.group(), False))
+        spans.sort()
+
+        # cascade link for dictionary mentions
+        recent_full: dict[str, str] = {}  # suffix token -> entity_id
+        linked: list[dict] = []
+        for start, end, surface, known in spans:
+            if not known:
+                linked.append(
+                    {"url": url, "start": start, "end": end, "surface": surface,
+                     "entity_id": "ext::" + normalize_surface(surface),
+                     "method": "external", "rel": None, "obj_entity_id": None,
+                     "lang": lang}
+                )
+                continue
+            cands = self.index[surface]
+            if len(cands) == 1:
+                eid, method = cands[0][0], "exact"
+            elif " " not in surface and surface in recent_full:
+                eid, method = recent_full[surface], "recency"
+            else:
+                eid, method = cands[0][0], "prior"
+            if " " in surface:
+                recent_full[surface.rsplit(" ", 1)[1]] = eid
+            linked.append(
+                {"url": url, "start": start, "end": end, "surface": surface,
+                 "entity_id": eid, "method": method, "rel": None,
+                 "obj_entity_id": None, "lang": lang}
+            )
+
+        # triple pairing: gap between consecutive mentions == relation surface
+        in_triple: set[int] = set()
+        for i in range(len(linked) - 1):
+            a, b = linked[i], linked[i + 1]
+            gap = text[a["end"] : b["start"]].strip()
+            pred = self.relations.get(gap)
+            if pred is not None:
+                a["rel"] = pred
+                a["obj_entity_id"] = b["entity_id"]
+                in_triple.add(i)
+                in_triple.add(i + 1)
+
+        # keep external mentions only when they participate in a triple
+        for i, row in enumerate(linked):
+            if row["method"] == "external" and i not in in_triple:
+                continue
+            out.append(row)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[dict] = []
+        urls = batch["url"].to_pylist()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * len(urls)
+        for url, text, lang in zip(urls, texts, langs):
+            self._link_page(url, text or "", lang, out)
+        return pa.Table.from_pylist(out, schema=MENTION_SCHEMA)
+
+
+def link_mentions(
+    pages_text_ds,
+    alias_ref,
+    *,
+    relations: dict[str, str] | None = None,
+    concurrency: int = 4,
+    batch_size: int = 256,
+):
+    """Wire the actor pool: pages-with-text Dataset → mentions Dataset."""
+    return pages_text_ds.map_batches(
+        MentionLinker,
+        fn_constructor_args=(alias_ref, relations),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

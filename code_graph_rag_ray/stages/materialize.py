@@ -1,0 +1,119 @@
+"""Exact dedup + partitioned, sorted graph materialization (A1/A2 analog).
+
+The reference's MERGE semantics (``services/graph_service.py:452-546``: node
+upsert by per-label unique key, edge dedup by endpoint pattern + merge-key
+signature) become explicit dataset operators here:
+
+- :func:`exact_dedup` — two-phase: a vectorized WITHIN-BATCH Arrow dedup
+  first (combiner; shrinks the exchange by the local duplication factor),
+  then one groupby shuffle on the key with a deterministic per-group pick
+  (sorted by the full key, first row wins — order-free determinism, the
+  SURVEY.md §7 "tie-breaks must not depend on arrival order" rule).
+- :func:`materialize_graph` — adds ``part = crc32(subj) % P``, sorts within
+  each hash partition, writes hive-partitioned parquet (one directory per
+  partition, resumable layout) — the north-star final stage.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from code_graph_rag_ray.functions.hashing import partition_ids
+
+
+def dedup_batch_local(batch: pa.Table, keys: list[str]) -> pa.Table:
+    """Drop exact-key duplicates inside one Arrow batch (vectorized)."""
+    if batch.num_rows == 0:
+        return batch
+    # stable: first occurrence per key wins within the batch
+    idx = pa.table(
+        {**{k: batch[k] for k in keys}, "__i": pa.array(range(batch.num_rows), pa.int64())}
+    )
+    first = idx.group_by(keys, use_threads=False).aggregate([("__i", "min")])
+    take = pc.sort_indices(first["__i_min"])
+    return batch.take(pc.take(first["__i_min"], take))
+
+
+def exact_dedup(ds: Dataset, keys: list[str], sort_cols: list[str] | None = None) -> Dataset:
+    """MERGE-equivalent exact dedup on ``keys``; deterministic winner.
+
+    Two-phase and fully vectorized: batch-local Arrow dedup (combiner), then
+    ONE groupby shuffle where every non-key column is reduced with Min —
+    content-determined, never arrival-order-determined. Column-independent
+    Min matches cgr's MERGE property semantics (props merged per key, not
+    row-atomic, ``graph_service.py:395-428``); use
+    :func:`exact_dedup_rows` when whole-row integrity matters.
+
+    ``sort_cols`` is accepted for API compatibility (the deterministic
+    winner is the per-column minimum regardless).
+    """
+    from ray.data.aggregate import Min
+
+    del sort_cols
+    local = ds.map_batches(
+        lambda b: dedup_batch_local(b, keys), batch_format="pyarrow"
+    )
+    schema = ds.schema()
+    other = [c for c in schema.names if c not in keys]
+    if not other:
+        # pure key rows: distinct via count + drop
+        from ray.data.aggregate import Count
+
+        return local.groupby(keys).aggregate(Count(alias_name="__n")).drop_columns(["__n"])
+    return local.groupby(keys).aggregate(*[Min(c, alias_name=c) for c in other])
+
+
+def exact_dedup_rows(ds: Dataset, keys: list[str], sort_cols: list[str] | None = None) -> Dataset:
+    """Row-atomic exact dedup: per-group sort + first (slower: Python per
+    group). Use only when the surviving row must be one original row."""
+    import pandas as pd
+
+    local = ds.map_batches(
+        lambda b: dedup_batch_local(b, keys), batch_format="pyarrow"
+    )
+    sc = sort_cols
+
+    def pick_first(g: pd.DataFrame) -> pd.DataFrame:
+        cols = sc or list(g.columns)
+        return g.sort_values(cols, kind="mergesort").head(1)
+
+    return local.groupby(keys).map_groups(pick_first, batch_format="pandas")
+
+
+def add_partition_column(ds: Dataset, key: str, num_partitions: int, col: str = "part") -> Dataset:
+    def add(b: pa.Table) -> pa.Table:
+        return b.append_column(col, pa.array(partition_ids(b[key], num_partitions), pa.int32()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def materialize_graph(
+    ds: Dataset,
+    out_dir: str,
+    *,
+    key: str,
+    sort_by: list[str],
+    num_partitions: int = 16,
+) -> None:
+    """Write ``ds`` hive-partitioned by ``crc32(key) % num_partitions``,
+    sorted by ``sort_by`` within each partition.
+
+    One directory per hash partition (``part=K/``) → a failed run skips
+    finished partitions on resume; never one giant file. Sorting happens
+    per-group (each group = one hash partition), so the only all-to-all is
+    the partition groupby itself.
+    """
+    import pandas as pd
+
+    parted = add_partition_column(ds, key, num_partitions)
+
+    def sort_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(sort_by, kind="mergesort")
+
+    (
+        parted.groupby("part")
+        .map_groups(sort_group, batch_format="pandas")
+        .write_parquet(out_dir, partition_cols=["part"])
+    )

@@ -1,0 +1,126 @@
+"""Reusable relational operators: broadcast joins, two-phase aggregates,
+semi/anti joins, top-k — the generic engine surface the DuckDB oracle
+exercises over the TPC-H-ish tables.
+
+Design rules (SURVEY.md §4 + ray_guide):
+- small side broadcast via ``ray.put`` + per-batch vectorized lookup
+  (pandas merge / numpy take) — no shuffle,
+- large-large joins go through ``Dataset.join`` (hash-partitioned) with
+  ``num_partitions`` sized to the cluster,
+- aggregates pre-reduce inside ``map_batches`` (one partial row per key per
+  batch) before the groupby, so hot keys exchange O(blocks) not O(rows).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def broadcast_join(
+    ds: Dataset,
+    small_df: pd.DataFrame,
+    *,
+    on: str,
+    how: str = "inner",
+    right_on: str | None = None,
+) -> Dataset:
+    """Map-side hash join: ``small_df`` shipped once via ``ray.put``,
+    looked up per batch with a pandas merge (vectorized)."""
+    import ray
+
+    ref = ray.put(small_df)
+    rkey = right_on or on
+
+    class Join:
+        def __init__(self, r):
+            self.small = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, how=how, left_on=on, right_on=rkey)
+
+    return ds.map_batches(Join, fn_constructor_args=(ref,), batch_format="pandas",
+                          concurrency=2, num_cpus=1)
+
+
+def broadcast_semi_join(ds: Dataset, keys: set, *, on: str, anti: bool = False) -> Dataset:
+    """Semi (or anti) join against a broadcast key set — filter, no shuffle."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    ref = ray.put(pa.array(sorted(keys)))
+
+    class Semi:
+        def __init__(self, r):
+            self.keys = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = pc.is_in(batch[on], value_set=self.keys)
+            if anti:
+                m = pc.invert(m)
+            return batch.filter(m)
+
+    return ds.map_batches(Semi, fn_constructor_args=(ref,), batch_format="pyarrow",
+                          concurrency=2, num_cpus=1)
+
+
+def partial_groupby_sum(
+    ds: Dataset,
+    keys: list[str],
+    sums: dict[str, str],
+    *,
+    count_alias: str | None = None,
+) -> Dataset:
+    """Two-phase grouped sum/count: Arrow group_by per batch (combiner),
+    then a global groupby over the much smaller partials.
+
+    ``sums`` maps input column → output alias. The partial stage emits one
+    row per key per batch; the final stage sums partials.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sums]
+        gb = pa.TableGroupBy(b, keys, use_threads=False)
+        if count_alias:
+            aggs.append(([], "count_all"))
+        t = gb.aggregate(aggs)
+        names = list(keys) + [f"{alias}__p" for alias in sums.values()]
+        if count_alias:
+            names.append(f"{count_alias}__p")
+        # pyarrow returns key cols last or first depending on version — map by name
+        colmap = {}
+        for c, alias in sums.items():
+            colmap[f"{c}_sum"] = f"{alias}__p"
+        if count_alias:
+            colmap["count_all"] = f"{count_alias}__p"
+        arrays, out_names = [], []
+        for name in t.column_names:
+            out = colmap.get(name, name)
+            arrays.append(t[name])
+            out_names.append(out)
+        return pa.Table.from_arrays([a.combine_chunks() for a in arrays], names=out_names)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum(f"{alias}__p", alias_name=alias) for alias in sums.values()]
+    if count_alias:
+        aggs.append(Sum(f"{count_alias}__p", alias_name=count_alias))
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def top_k(ds: Dataset, by: str, k: int, *, descending: bool = True) -> Dataset:
+    """Global top-k: per-batch local top-k (partial), then one small sort.
+
+    Avoids a full distributed sort of the input — only k rows per block
+    reach the final stage."""
+
+    def local(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = "descending" if descending else "ascending"
+        idx = pc.sort_indices(b, sort_keys=[(by, order)])[: k]
+        return b.take(idx)
+
+    return ds.map_batches(local, batch_format="pyarrow").sort(by, descending=descending).limit(k)

@@ -1,0 +1,177 @@
+"""Similarity search over an embedding column (list<float>).
+
+Two paths, per the scale guidance:
+
+- :func:`knn_brute_force` — baseline: the query matrix is broadcast via
+  ``ray.put`` once; each batch does one numpy matmul against it and emits
+  its LOCAL top-k per query (a partial aggregate), then one small
+  groupby-per-query merge picks the global top-k. No full shuffle of the
+  corpus — only (n_queries × k × n_blocks) candidate rows move.
+- :func:`knn_lsh` — scale path: random-hyperplane buckets (IVF-style
+  coarse quantization); each query probes only its bucket (and optional
+  neighboring buckets by Hamming distance ≤ 1), trading recall for a
+  bucket-local scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float32) for v in col.to_pylist()])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_brute_force(
+    ds: Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Exact cosine top-k: (query_id, vec_id, cosine, rank), rank 1-based.
+
+    Ties broken deterministically by (−cosine, vec_id).
+    """
+    import ray
+
+    qn = _normalize(queries.astype(np.float32))
+    q_ref = ray.put((qn, list(query_ids)))
+
+    class LocalTopK:
+        def __init__(self, ref, k):
+            self.qn, self.qids = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_to_matrix(batch[vec_col]))
+            ids = batch[id_col].to_pylist()
+            sims = self.qn @ vecs.T  # (nq, nb)
+            out_q, out_v, out_s = [], [], []
+            kk = min(self.k, sims.shape[1])
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                # deterministic partial top-k: sort by (-sim, vec_id)
+                order = np.lexsort((np.asarray(ids), -row))[:kk]
+                out_q.extend([self.qids[qi]] * len(order))
+                out_v.extend([ids[j] for j in order])
+                out_s.extend(row[order].astype(float).tolist())
+            return pa.table(
+                {"query_id": pa.array(out_q), id_col: pa.array(out_v),
+                 "cosine": pa.array(out_s, pa.float64())}
+            )
+
+    partials = ds.map_batches(
+        LocalTopK, fn_constructor_args=(q_ref, k), batch_format="pyarrow",
+        concurrency=2, num_cpus=1, batch_size=4096,
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def knn_lsh(
+    ds: Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    *,
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 13,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Approximate cosine top-k via random-hyperplane bucketing.
+
+    Corpus vectors land in sign-pattern buckets; each query scans only the
+    buckets within Hamming distance ``probe_hamming`` of its own pattern.
+    Recall < 1 by design; measured against :func:`knn_brute_force` in tests.
+    """
+    import ray
+
+    dim = queries.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+
+    def bucket_of(m: np.ndarray) -> np.ndarray:
+        signs = (m @ planes > 0).astype(np.uint32)
+        return (signs << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
+
+    qn = _normalize(queries.astype(np.float32))
+    q_buckets = bucket_of(qn)
+    # probe set per query: own bucket + Hamming-1 neighbors
+    probes: dict[int, list[int]] = {}
+    for qi, b in enumerate(q_buckets):
+        bs = [int(b)]
+        if probe_hamming >= 1:
+            bs += [int(b) ^ (1 << p) for p in range(n_planes)]
+        probes[qi] = bs
+    # invert: bucket -> query indexes that probe it
+    bucket_queries: dict[int, list[int]] = {}
+    for qi, bs in probes.items():
+        for b in bs:
+            bucket_queries.setdefault(b, []).append(qi)
+    ref = ray.put((qn, list(query_ids), bucket_queries))
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        vecs = _to_matrix(b[vec_col])
+        return b.append_column("bucket", pa.array(bucket_of(vecs).astype(np.int64), pa.int64()))
+
+    class BucketScan:
+        def __init__(self, r, k):
+            self.qn, self.qids, self.bq = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_q, out_v, out_s = [], [], []
+            df = batch.to_pandas()
+            for bucket, g in df.groupby("bucket"):
+                qis = self.bq.get(int(bucket))
+                if not qis:
+                    continue
+                vecs = _normalize(np.stack([np.asarray(v, np.float32) for v in g[vec_col]]))
+                ids = g[id_col].tolist()
+                sims = self.qn[qis] @ vecs.T
+                kk = min(self.k, sims.shape[1])
+                for row_i, qi in enumerate(qis):
+                    row = sims[row_i]
+                    order = np.lexsort((np.asarray(ids), -row))[:kk]
+                    out_q.extend([self.qids[qi]] * len(order))
+                    out_v.extend([ids[j] for j in order])
+                    out_s.extend(row[order].astype(float).tolist())
+            return pa.table(
+                {"query_id": pa.array(out_q), id_col: pa.array(out_v),
+                 "cosine": pa.array(out_s, pa.float64())}
+            )
+
+    partials = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .map_batches(BucketScan, fn_constructor_args=(ref, k), batch_format="pyarrow",
+                     concurrency=2, num_cpus=1, batch_size=4096)
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col])
+        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

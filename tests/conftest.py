@@ -17,9 +17,12 @@ def ray_session():
 
     from code_graph_rag_ray.context import configure_data_context
 
+    # 8 CPUs: enough headroom that a 2-actor pool plus read/write tasks never
+    # starve each other (at 4 CPUs two stacked actor stages can deadlock the
+    # streaming executor on a tiny cluster)
     ray.init(
         address="local",
-        num_cpus=4,
+        num_cpus=8,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",

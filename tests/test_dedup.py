@@ -1,0 +1,87 @@
+"""Dedup-family tests: exact, MinHash-LSH, SimHash, embedding near-dup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from code_graph_rag_ray.stages.dedup import (
+    embedding_near_dup_pairs,
+    exact_dup_clusters,
+    jaccard,
+    minhash_near_dup_pairs,
+    near_dup_clusters,
+    simhash_batch_factory,
+)
+
+
+def _docs(rows):
+    return rd.from_arrow(
+        pa.Table.from_pylist(
+            [{"doc_id": i, "text": t} for i, t in rows],
+            schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        )
+    )
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+def test_exact_dup_clusters():
+    ds = _docs([(1, "aaa bbb"), (2, "ccc ddd"), (3, "aaa bbb"), (4, "eee")])
+    out = {r["md5"]: (r["n_dups"], r["keeper"]) for r in exact_dup_clusters(ds).to_pandas().to_dict("records")}
+    assert len(out) == 3
+    assert (2, 1) in out.values()  # the duplicate pair keeps min doc_id
+
+
+def test_minhash_near_dup_finds_planted_pair():
+    near = BASE.replace("lazy", "sleepy")  # high-Jaccard near duplicate
+    far = "completely different text about ray data pipelines and arrow batches " * 2
+    ds = _docs([(1, BASE), (2, near), (3, far), (4, "tiny")])
+    pairs = minhash_near_dup_pairs(ds, verify_threshold=0.5).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
+    assert (1, 2) in got
+    assert all(p == (1, 2) for p in got)  # no false positives here
+    assert jaccard(BASE, near) >= 0.5
+
+
+def test_near_dup_clusters_from_pairs():
+    ds = _docs([(1, BASE), (2, BASE + " x"), (3, "other " * 30)])
+    pairs = minhash_near_dup_pairs(ds, verify_threshold=0.5)
+    labels = near_dup_clusters(pairs).to_pandas()
+    comp = dict(zip(labels.node, labels.component))
+    assert comp.get("1") == comp.get("2")
+
+
+def test_simhash_close_for_near_dups():
+    batch = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         "text": pa.array([BASE, BASE.replace("lazy", "sleepy"), "zz yy xx ww vv uu tt ss"])}
+    )
+    out = simhash_batch_factory()(batch).to_pylist()
+    h = {r["doc_id"]: r["simhash"] for r in out}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(h[1], h[2]) < ham(h[1], h[3])
+    # deterministic across calls
+    out2 = simhash_batch_factory()(batch).to_pylist()
+    assert out == out2
+
+
+def test_embedding_near_dup_pairs():
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16).astype(np.float32)
+    rows = [
+        {"vec_id": 1, "embedding": base.tolist()},
+        {"vec_id": 2, "embedding": (base + 0.01 * rng.standard_normal(16).astype(np.float32)).tolist()},
+        {"vec_id": 3, "embedding": rng.standard_normal(16).astype(np.float32).tolist()},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    pairs = embedding_near_dup_pairs(ds, threshold=0.95, n_planes=4).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)

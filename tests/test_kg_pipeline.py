@@ -1,0 +1,136 @@
+"""End-to-end KG pipeline tests: P/R gate, externals, variants, resume.
+
+Mirrors the reference's dominant test pattern (SURVEY.md §5): a small seeded
+corpus with planted ground truth, full pipeline run, exact node/edge
+assertions — plus the incremental-equivalence probe
+(``evals/README.md:133-175``: resumed run must equal a clean run).
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from code_graph_rag_ray.functions.scoring import score_sets
+from code_graph_rag_ray.pipelines.kg import build_kg, materialize_kg
+
+
+import pytest
+
+
+def _edge_set(edges_df):
+    return set(
+        map(tuple, edges_df[["subj", "pred", "obj", "provenance_url"]].itertuples(index=False))
+    )
+
+
+def _gold_set(fx):
+    return {
+        (r["subj"], r["pred"], r["obj"], r["url"]) for r in fx.expected_triples.to_pylist()
+    }
+
+
+@pytest.fixture(scope="module")
+def kg_run(pages_fixture):
+    """One shared pipeline run: edges/nodes/external materialized to pandas."""
+    fx, fx_dir = pages_fixture
+    pages = rd.read_parquet(f"{fx_dir}/pages.parquet")
+    kg = build_kg(pages, fx.alias_dict)
+    return {
+        "edges": kg["edges"].to_pandas(),
+        "nodes": kg["nodes"].to_pandas(),
+        "external_edges": kg["external_edges"].to_pandas(),
+        "kg": kg,
+    }
+
+
+def test_kg_triples_meet_pr_gate(pages_fixture, kg_run):
+    fx, _ = pages_fixture
+    s = score_sets(_edge_set(kg_run["edges"]), _gold_set(fx))
+    # north rule: P/R >= 0.95; the seeded corpus is fully resolvable → exact
+    assert s.precision >= 0.95 and s.recall >= 0.95, (s.precision, s.recall)
+    assert s.precision == 1.0 and s.recall == 1.0, (s.precision, s.recall)
+
+
+def test_kg_nodes_universe_and_variant_suffix(pages_fixture, kg_run):
+    fx, _ = pages_fixture
+    nodes = kg_run["nodes"]
+
+    dict_entities = {r["entity_id"] for r in fx.alias_dict.to_pylist()}
+    got_internal = set(nodes[nodes.label == "Entity"].entity_id)
+    assert got_internal == dict_entities  # every defined entity gets a node
+
+    # collision twin: E00001 shares E00000's name, never mentioned in text →
+    # zero mentions, deterministic @1 variant suffix (register_unique_qn rule)
+    twin = nodes[nodes.entity_id == "E00001"].iloc[0]
+    assert twin.n_mentions == 0
+    assert twin["name"].endswith("@1")
+    first = nodes[nodes.entity_id == "E00000"].iloc[0]
+    assert "@" not in first["name"]
+    # same name family (connected through the shared alias)
+    assert first["name_family"] == twin["name_family"]
+
+
+def test_kg_external_minting(pages_fixture, kg_run):
+    ext_edges = kg_run["external_edges"]
+    assert len(ext_edges) > 0
+    assert ext_edges.obj.str.startswith("ext::").all()
+    # no external endpoint leaks into the internal edge set
+    edges = kg_run["edges"]
+    assert not edges.subj.str.startswith("ext::").any()
+    assert not edges.obj.str.startswith("ext::").any()
+    # External nodes minted for unknown-but-linked names only
+    nodes = kg_run["nodes"]
+    ext_nodes = set(nodes[nodes.label == "ExternalEntity"].entity_id)
+    assert ext_nodes == set(ext_edges.obj.unique())
+
+
+def test_kg_resume_equals_clean(pages_fixture, tmp_path):
+    fx, fx_dir = pages_fixture
+    pages = rd.read_parquet(f"{fx_dir}/pages.parquet")
+    ck = str(tmp_path / "ck")
+
+    clean = build_kg(pages, fx.alias_dict, checkpoint_dir=ck)
+    assert clean["ckpt"].built == ["mentions"]
+    clean_edges = _edge_set(clean["edges"].to_pandas())
+
+    resumed = build_kg(pages, fx.alias_dict, checkpoint_dir=ck)
+    assert resumed["ckpt"].resumed == ["mentions"]
+    assert _edge_set(resumed["edges"].to_pandas()) == clean_edges
+
+    # fingerprint change invalidates the checkpoint (parser-fingerprint analog)
+    rebuilt = build_kg(pages, fx.alias_dict, checkpoint_dir=ck, fingerprint="v2")
+    assert rebuilt["ckpt"].built == ["mentions"]
+    assert _edge_set(rebuilt["edges"].to_pandas()) == clean_edges
+
+
+def test_kg_materialize_partitioned_sorted(pages_fixture, kg_run, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    kg = kg_run["kg"]
+    out = str(tmp_path / "graph")
+    mans = materialize_kg(kg, out, num_partitions=8)
+
+    assert mans["edges"]["rows"] == len(kg_run["edges"])
+    parts = [d for d in os.listdir(f"{out}/edges") if d.startswith("part=")]
+    assert 1 <= len(parts) <= 8
+    # sorted within partition by subj
+    for d in parts:
+        pdir = os.path.join(out, "edges", d)
+        for f in os.listdir(pdir):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(pdir, f))
+                subs = t["subj"].to_pylist()
+                assert subs == sorted(subs)
+    # manifest partition counts match data
+    assert sum(mans["edges"]["partitions"].values()) == mans["edges"]["rows"]
+
+
+def test_head_entity_skew_present(pages_fixture):
+    """The corpus stresses skew: head entity dominates mentions (salting path)."""
+    fx, _ = pages_fixture
+    import collections
+
+    gold = collections.Counter(r["subj"] for r in fx.expected_triples.to_pylist())
+    assert gold["E00000"] / sum(gold.values()) > 0.4
