@@ -147,36 +147,30 @@ def q5_nation_revenue(sf_dir: str):
 
     import ray
 
-    ref = ray.put((ord_nation, supp_nation, nation_name))
+    from code_graph_rag_ray.functions.broadcast import get_broadcast
 
-    class Resolve:
-        def __init__(self, r):
-            ord_nation, supp_nation, nation_name = (
-                ray.get(r) if isinstance(r, ray.ObjectRef) else r
-            )
-            # vectorized lookup tables built once per actor
-            self.ord_nation = pd.Series(ord_nation)
-            self.supp_nation = pd.Series(supp_nation)
-            self.nation_name = pd.Series(nation_name)
+    ref = ray.put(
+        (pd.Series(ord_nation), pd.Series(supp_nation), pd.Series(nation_name))
+    )
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ok = pd.Series(b["l_orderkey"].to_numpy(zero_copy_only=False))
-            sk = pd.Series(b["l_suppkey"].to_numpy(zero_copy_only=False))
-            cn = ok.map(self.ord_nation).to_numpy()
-            sn = sk.map(self.supp_nation).to_numpy()
-            keep = (cn == sn) & ~pd.isna(cn)
-            rev = pc.multiply(
-                b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
-            ).to_numpy(zero_copy_only=False)
-            names = pd.Series(cn[keep]).map(self.nation_name).to_numpy()
-            return pa.table(
-                {"n_name": pa.array(names, pa.string()),
-                 "rev": pa.array(rev[keep], pa.float64())}
-            )
+    def resolve(b: pa.Table) -> pa.Table:
+        ord_n, supp_n, nat_name = get_broadcast(ref)
+        ok = pd.Series(b["l_orderkey"].to_numpy(zero_copy_only=False))
+        sk = pd.Series(b["l_suppkey"].to_numpy(zero_copy_only=False))
+        cn = ok.map(ord_n).to_numpy()
+        sn = sk.map(supp_n).to_numpy()
+        keep = (cn == sn) & ~pd.isna(cn)
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        names = pd.Series(cn[keep]).map(nat_name).to_numpy()
+        return pa.table(
+            {"n_name": pa.array(names, pa.string()),
+             "rev": pa.array(rev[keep], pa.float64())}
+        )
 
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    resolved = li.map_batches(Resolve, fn_constructor_args=(ref,), batch_format="pyarrow",
-                              concurrency=2, num_cpus=1)
+    resolved = li.map_batches(resolve, batch_format="pyarrow")
     out = partial_groupby_sum(resolved, ["n_name"], {"rev": "revenue"})
     return _round_cols(out, ["revenue"], 2)
 
@@ -431,7 +425,10 @@ def kg_doc_triples(sf_dir: str):
 
     pages = pages_from_documents(sf_dir)
     relations = {w: w for w in RELATION_VOCAB_SORTED}
-    kg = build_kg(pages, _vocab_alias_tbl(), relations=relations)
+    kg = build_kg(
+        pages, _vocab_alias_tbl(), relations=relations,
+        materialize_mentions=False, build_nodes=False,  # edges-only consumer
+    )
     return kg["edges"].select_columns(["subj", "pred", "obj", "provenance_url"])
 
 

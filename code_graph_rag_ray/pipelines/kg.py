@@ -58,6 +58,9 @@ def build_kg(
     linker_concurrency: int | None = None,
     num_partitions: int = 16,
     fingerprint: str = "",
+    dedup_scope: str = "provenance-local",
+    materialize_mentions: bool = True,
+    build_nodes: bool = True,
 ) -> dict:
     """Run the full KG construction over a pages Dataset.
 
@@ -69,12 +72,13 @@ def build_kg(
 
     alias_ref = ray.put(alias_tbl)
 
-    if linker_concurrency is None:
-        # leave headroom for the read/write stages — an actor pool that
-        # reserves every CPU starves the rest of the pipeline (can deadlock
-        # a small local cluster; observed at num_cpus=4 with concurrency=4)
+    # linker_concurrency=None → stateless-task linking with a per-worker
+    # cached linker (no actor pool). When a pool IS requested, leave CPU
+    # headroom for the other stages — a pool that reserves every CPU starves
+    # the pipeline (observed deadlock at num_cpus=4 with concurrency=4).
+    if linker_concurrency is not None:
         total = int(ray.cluster_resources().get("CPU", 4))
-        linker_concurrency = max(2, total - 2)
+        linker_concurrency = min(linker_concurrency, max(2, total - 2))
 
     def build_mentions() -> Dataset:
         text = pages.map_batches(extract_text_batch, batch_format="pyarrow")
@@ -86,8 +90,15 @@ def build_kg(
     if checkpoint_dir:
         ckpt = Checkpointer(checkpoint_dir, fingerprint=fingerprint)
         mentions = ckpt.stage("mentions", build_mentions)
-    else:
+    elif materialize_mentions:
+        # pin once so the edges/nodes/external branches don't re-run the
+        # pages scan per consumer
         mentions = build_mentions().materialize()
+    else:
+        # fully streaming: right when exactly ONE branch will be consumed
+        # (e.g. edges-only) — no mid-pipeline barrier, blocks flow with
+        # backpressure end to end
+        mentions = build_mentions()
 
     raw = triples_from_mentions(mentions)
 
@@ -103,12 +114,39 @@ def build_kg(
     internal = tagged.filter(expr="is_external == False").drop_columns(["is_external"])
     external = tagged.filter(expr="is_external == True").drop_columns(["is_external"])
 
-    edges = exact_dedup(
-        internal,
-        keys=["subj", "pred", "obj", "provenance_url"],
-        sort_cols=["subj", "pred", "obj", "provenance_url", "pos"],
+    if dedup_scope == "provenance-local":
+        # The edge identity includes provenance_url, and one page's mentions
+        # are contiguous within a single linker-output block (one page is
+        # processed wholly inside one batch; checkpoint files are written
+        # one-per-block and read whole). Duplicates of (s,p,o,url) can
+        # therefore only co-occur inside one block → block-local dedup
+        # (batch_size=None = whole block) is EXACT with NO shuffle. This is
+        # the provenance-scoped analog of cgr's per-pattern buffer dedup
+        # (graph_service.py:126-128); measured: removes the single largest
+        # fixed cost from the pipeline (a ~12s groupby at bench scale).
+        from code_graph_rag_ray.stages.materialize import dedup_batch_local
+
+        keys = ["subj", "pred", "obj", "provenance_url"]
+        edges = internal.map_batches(
+            lambda b: dedup_batch_local(b, keys),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    else:  # "global": MERGE-equivalent shuffle dedup for arbitrary inputs
+        edges = exact_dedup(
+            internal,
+            keys=["subj", "pred", "obj", "provenance_url"],
+            sort_cols=["subj", "pred", "obj", "provenance_url", "pos"],
+        )
+    # The nodes branch runs the name-family CC loop, which executes eagerly
+    # (bounded iteration with convergence checks) — skip it entirely for
+    # edges-only consumers (build_nodes=False) instead of paying it as a
+    # fixed cost on every build.
+    nodes = (
+        canonicalize_entities(mentions, alias_tbl, num_partitions=num_partitions)
+        if build_nodes
+        else None
     )
-    nodes = canonicalize_entities(mentions, alias_tbl, num_partitions=num_partitions)
     return {
         "mentions": mentions,
         "edges": edges,

@@ -22,6 +22,7 @@ the exchange — the skew discipline from SURVEY.md §4.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
@@ -59,87 +60,71 @@ def canonicalize_entities(
     """
     import ray.data as rd
 
-    counts = mentions.groupby("entity_id").aggregate(Count(alias_name="n_mentions"))
-
-    # Node universe = every DICTIONARY entity (cgr: every registered
-    # definition gets a node whether or not it is referenced,
-    # function_registry.py:18-60) ∪ observed External entities.
-    names = canonical_name_map(alias_tbl)
-    base = rd.from_arrow(
-        pa.Table.from_pylist(
-            [{"entity_id": eid, "name": nm} for eid, nm in sorted(names.items())],
-            schema=pa.schema([("entity_id", pa.string()), ("name", pa.string())]),
-        )
+    # DISTRIBUTED part 1: mention counts per entity — the only input that
+    # scales with the corpus. Output is bounded by |dictionary ∪ observed
+    # externals| (dictionary-scale).
+    counts_df = (
+        mentions.groupby("entity_id")
+        .aggregate(Count(alias_name="n_mentions"))
+        .to_pandas()
     )
 
-    ext = counts.map_batches(
-        lambda b: (
-            lambda m: pa.table(
-                {"entity_id": b.filter(m)["entity_id"],
-                 "name": pa.array(
-                     [e[len("ext::"):] for e in b.filter(m)["entity_id"].to_pylist()],
-                     pa.string(),
-                 )}
-            )
-        )(pa.compute.starts_with(b["entity_id"], "ext::")),
-        batch_format="pyarrow",
-    )
-
-    universe = base.union(ext)
-    joined = universe.join(
-        counts,
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=("entity_id",),
-    )
-
-    def attach(batch: pa.Table) -> pa.Table:
-        eids = batch["entity_id"].to_pylist()
-        label_col = [
-            "ExternalEntity" if e.startswith("ext::") else "Entity" for e in eids
-        ]
-        norm_col = [normalize_surface(n) for n in batch["name"].to_pylist()]
-        n_m = pa.compute.fill_null(batch["n_mentions"], 0)
-        return pa.table(
-            {
-                "entity_id": batch["entity_id"],
-                "name": batch["name"],
-                "label": pa.array(label_col, pa.string()),
-                "norm_name": pa.array(norm_col, pa.string()),
-                "n_mentions": n_m,
-            }
-        )
-
-    nodes = joined.map_batches(attach, batch_format="pyarrow")
-
-    # duplicate-identity variant suffix: deterministic rank within norm_name
-    def suffix_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("entity_id", kind="mergesort").reset_index(drop=True)
-        if len(g) > 1:
-            for k in range(1, len(g)):
-                g.loc[k, "name"] = f"{g.loc[k, 'name']}@{k}"
-        return g
-
-    nodes = nodes.groupby("norm_name").map_groups(suffix_group, batch_format="pandas")
-
-    # name families: CC over alias↔entity bipartite graph (dictionary-driven)
+    # DISTRIBUTED part 2: name families — CC over the alias↔entity bipartite
+    # graph (A3 analog). NOTE: Dataset.join is deliberately NOT used
+    # anywhere here: in Ray 2.49 a join materializes empty hash partitions
+    # with NO schema, which breaks pyarrow's join for sparse keys
+    # (ArrowInvalid: No match for FieldRef) — observed deterministically.
+    # The assembly below is dictionary-scale, so vectorized pandas merges on
+    # the driver are the honest equivalent of cgr's in-memory registry
+    # (function_registry.py); at a scale where externals outgrow the driver,
+    # swap these merges for the cogroup pattern in stages/components.py.
+    fam_df = None
     alias_edges_rows = [
         {"src": "s::" + normalize_surface(r["alias"]), "dst": r["entity_id"]}
         for r in alias_tbl.to_pylist()
     ]
     if alias_edges_rows:
-        import ray.data as rd
-
         alias_edges = rd.from_arrow(pa.Table.from_pylist(alias_edges_rows))
         comp = connected_components(alias_edges, num_partitions=num_partitions)
-        comp = comp.map_batches(
-            lambda b: pa.table({"entity_id": b["node"], "name_family": b["component"]}),
-            batch_format="pyarrow",
+        fam_df = comp.to_pandas().rename(
+            columns={"node": "entity_id", "component": "name_family"}
         )
-        nodes = nodes.join(
-            comp,
-            join_type="left_outer",
-            num_partitions=num_partitions,
-            on=("entity_id",),
+
+    # node universe = every DICTIONARY entity (cgr: every registered
+    # definition gets a node whether or not it is referenced,
+    # function_registry.py:18-60) ∪ observed External entities
+    names = canonical_name_map(alias_tbl)
+    base = pd.DataFrame(
+        {"entity_id": sorted(names), "name": [names[k] for k in sorted(names)]}
+    )
+    ext_ids = counts_df[counts_df.entity_id.str.startswith("ext::")].entity_id
+    ext = pd.DataFrame(
+        {"entity_id": ext_ids, "name": ext_ids.str[len("ext::"):]}
+    )
+    nodes = pd.concat([base, ext], ignore_index=True)
+    nodes = nodes.merge(counts_df, how="left", on="entity_id")
+    nodes["n_mentions"] = nodes["n_mentions"].fillna(0).astype("int64")
+    nodes["label"] = np.where(
+        nodes.entity_id.str.startswith("ext::"), "ExternalEntity", "Entity"
+    )
+    nodes["norm_name"] = nodes["name"].map(normalize_surface)
+
+    # duplicate-identity variant suffix: deterministic rank within norm_name
+    # (sorted by entity id — content-determined, never arrival order)
+    nodes = nodes.sort_values(["norm_name", "entity_id"], kind="mergesort")
+    rank = nodes.groupby("norm_name").cumcount()
+    nodes["name"] = np.where(
+        rank > 0, nodes["name"] + "@" + rank.astype(str), nodes["name"]
+    )
+
+    if fam_df is not None:
+        nodes = nodes.merge(fam_df, how="left", on="entity_id")
+    else:
+        nodes["name_family"] = None
+    nodes = nodes.reset_index(drop=True)
+    return rd.from_arrow(
+        pa.Table.from_pandas(
+            nodes[["entity_id", "name", "label", "norm_name", "n_mentions", "name_family"]],
+            preserve_index=False,
         )
-    return nodes
+    )

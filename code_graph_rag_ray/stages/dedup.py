@@ -178,24 +178,20 @@ def minhash_near_dup_pairs(
 
     cand = exact_dedup(cand, keys=["a", "b"], sort_cols=["a", "b"])
 
+    from code_graph_rag_ray.functions.broadcast import get_broadcast
+
     texts = {r[id_col]: r[text_col] for r in ds.select_columns([id_col, text_col]).take_all()}
     text_ref = ray.put(texts)
 
-    class Verify:
-        def __init__(self, ref):
-            self.texts = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = get_broadcast(text_ref)
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        js = [jaccard(lookup.get(x, ""), lookup.get(y, ""), shingle) for x, y in zip(a, b)]
+        t = batch.append_column("jaccard", pa.array(js, pa.float64()))
+        return t.filter(pa.compute.greater_equal(t["jaccard"], verify_threshold))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["a"].to_pylist()
-            b = batch["b"].to_pylist()
-            js = [jaccard(self.texts.get(x, ""), self.texts.get(y, ""), shingle) for x, y in zip(a, b)]
-            t = batch.append_column("jaccard", pa.array(js, pa.float64()))
-            return t.filter(pa.compute.greater_equal(t["jaccard"], verify_threshold))
-
-    return cand.map_batches(
-        Verify, fn_constructor_args=(text_ref,), batch_format="pyarrow",
-        concurrency=2, num_cpus=1,
-    )
+    return cand.map_batches(verify, batch_format="pyarrow")
 
 
 def near_dup_clusters(pairs: Dataset, *, max_iter: int = 6) -> Dataset:

@@ -91,7 +91,7 @@ class MentionLinker:
         self.relations = dict(RELATIONS) if relations is None else dict(relations)
 
     # -- per-page resolution ------------------------------------------------
-    def _link_page(self, url: str, text: str, lang: str, out: list[dict]) -> None:
+    def _link_page(self, url: str, text: str, lang: str, out: "_Cols") -> None:
         if not text:
             return
         spans: list[tuple[int, int, str, bool]] = []  # start, end, surface, known
@@ -148,16 +148,66 @@ class MentionLinker:
         for i, row in enumerate(linked):
             if row["method"] == "external" and i not in in_triple:
                 continue
-            out.append(row)
+            out.add(row)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out: list[dict] = []
+        out = _Cols()
         urls = batch["url"].to_pylist()
         texts = batch["text"].to_pylist()
         langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * len(urls)
         for url, text, lang in zip(urls, texts, langs):
             self._link_page(url, text or "", lang, out)
-        return pa.Table.from_pylist(out, schema=MENTION_SCHEMA)
+        return out.to_table()
+
+
+class _Cols:
+    """Columnar mention accumulator — one Python list per output column
+    instead of a dict per row (row dicts + ``Table.from_pylist`` dominated
+    the linker's profile; columnar build is one ``pa.array`` per column)."""
+
+    __slots__ = ("url", "start", "end", "surface", "entity_id", "method", "rel",
+                 "obj_entity_id", "lang")
+
+    def __init__(self):
+        for f in self.__slots__:
+            setattr(self, f, [])
+
+    def add(self, row: dict) -> None:
+        self.url.append(row["url"])
+        self.start.append(row["start"])
+        self.end.append(row["end"])
+        self.surface.append(row["surface"])
+        self.entity_id.append(row["entity_id"])
+        self.method.append(row["method"])
+        self.rel.append(row["rel"])
+        self.obj_entity_id.append(row["obj_entity_id"])
+        self.lang.append(row["lang"])
+
+    def to_table(self) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array(getattr(self, f.name), f.type) for f in MENTION_SCHEMA],
+            schema=MENTION_SCHEMA,
+        )
+
+
+# per-worker-process linker cache: state (dictionary index + compiled
+# alternation regex) is built once per worker per alias table, exactly like
+# an actor's __init__ — but task pools reuse warm worker processes, so no
+# per-execution actor startup cost (measured: actor ramp was a fixed ~2-4s
+# per pipeline run)
+_LINKER_CACHE: dict[tuple, MentionLinker] = {}
+
+
+def _cached_linker(alias_ref, relations: dict[str, str] | None) -> MentionLinker:
+    import ray
+
+    key_ref = alias_ref.hex() if isinstance(alias_ref, ray.ObjectRef) else id(alias_ref)
+    key = (key_ref, None if relations is None else tuple(sorted(relations.items())))
+    linker = _LINKER_CACHE.get(key)
+    if linker is None:
+        linker = MentionLinker(alias_ref, relations)
+        _LINKER_CACHE[key] = linker
+    return linker
 
 
 def link_mentions(
@@ -165,15 +215,35 @@ def link_mentions(
     alias_ref,
     *,
     relations: dict[str, str] | None = None,
-    concurrency: int = 4,
-    batch_size: int = 256,
+    concurrency: int | None = None,
+    batch_size: int | None = None,
 ):
-    """Wire the actor pool: pages-with-text Dataset → mentions Dataset."""
-    return pages_text_ds.map_batches(
-        MentionLinker,
-        fn_constructor_args=(alias_ref, relations),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    """Wire the linking stage: pages-with-text Dataset → mentions Dataset.
+
+    Default = stateless tasks with a per-worker cached ``MentionLinker``
+    (broadcast dictionary fetched once per worker; regex compiled once per
+    worker). Pass ``concurrency`` to switch to a bounded actor pool — right
+    when the per-actor state is heavy (a model, a large index) and you must
+    cap how many copies exist.
+
+    ``batch_size=None`` (default) batches per upstream block: when this
+    stage fuses with upstream maps, Ray bundles *input* rows to reach a
+    numeric batch_size — with row-expanding upstream stages that coalesces
+    many blocks into one task and serializes the pool (observed: a 200-block
+    input collapsed to 1 task). Per-block batching keeps task granularity =
+    input block granularity.
+    """
+    if concurrency is not None:
+        return pages_text_ds.map_batches(
+            MentionLinker,
+            fn_constructor_args=(alias_ref, relations),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+
+    def link(batch: pa.Table) -> pa.Table:
+        return _cached_linker(alias_ref, relations)(batch)
+
+    return pages_text_ds.map_batches(link, batch_format="pyarrow", batch_size=batch_size)

@@ -52,11 +52,36 @@ def exact_dedup(ds: Dataset, keys: list[str], sort_cols: list[str] | None = None
     from ray.data.aggregate import Min
 
     del sort_cols
-    local = ds.map_batches(
-        lambda b: dedup_batch_local(b, keys), batch_format="pyarrow"
-    )
     schema = ds.schema()
     other = [c for c in schema.names if c not in keys]
+
+    def partial_min(b: pa.Table) -> pa.Table:
+        # batch-local combiner with the SAME per-column-min semantics as the
+        # global phase — never first-row-wins, which would reintroduce
+        # arrival-order dependence
+        if b.num_rows == 0:
+            return b
+        if not other:
+            return dedup_batch_local(b, keys)
+        t = pa.TableGroupBy(b, keys, use_threads=False).aggregate(
+            [(c, "min") for c in other]
+        )
+        rename = {f"{c}_min": c for c in other}
+        return t.rename_columns([rename.get(n, n) for n in t.column_names]).select(
+            keys + other
+        )
+
+    local = ds.map_batches(partial_min, batch_format="pyarrow")
+    # right-size blocks for the sort shuffle: too-few fat blocks serialize
+    # the sort, too-many slivers drown it in task overhead (measured on the
+    # 800k-triple bench: 18s unpartitioned → 12s at ncpus blocks)
+    try:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        local = local.repartition(max(8, ncpu))
+    except Exception:  # pragma: no cover - no cluster yet
+        pass
     if not other:
         # pure key rows: distinct via count + drop
         from ray.data.aggregate import Count
@@ -67,13 +92,21 @@ def exact_dedup(ds: Dataset, keys: list[str], sort_cols: list[str] | None = None
 
 def exact_dedup_rows(ds: Dataset, keys: list[str], sort_cols: list[str] | None = None) -> Dataset:
     """Row-atomic exact dedup: per-group sort + first (slower: Python per
-    group). Use only when the surviving row must be one original row."""
+    group). Use only when the surviving row must be one original row.
+    The batch-local combiner sorts by ``sort_cols`` before dropping local
+    duplicates, so the survivor is content-determined end to end."""
     import pandas as pd
 
-    local = ds.map_batches(
-        lambda b: dedup_batch_local(b, keys), batch_format="pyarrow"
-    )
     sc = sort_cols
+
+    def local_first(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        cols = sc or b.column_names
+        order = pc.sort_indices(b, sort_keys=[(c, "ascending") for c in cols])
+        return dedup_batch_local(b.take(order), keys)
+
+    local = ds.map_batches(local_first, batch_format="pyarrow")
 
     def pick_first(g: pd.DataFrame) -> pd.DataFrame:
         cols = sc or list(g.columns)

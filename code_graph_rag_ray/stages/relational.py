@@ -30,18 +30,16 @@ def broadcast_join(
     looked up per batch with a pandas merge (vectorized)."""
     import ray
 
+    from code_graph_rag_ray.functions.broadcast import get_broadcast
+
     ref = ray.put(small_df)
     rkey = right_on or on
 
-    class Join:
-        def __init__(self, r):
-            self.small = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(get_broadcast(ref), how=how, left_on=on, right_on=rkey)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, how=how, left_on=on, right_on=rkey)
-
-    return ds.map_batches(Join, fn_constructor_args=(ref,), batch_format="pandas",
-                          concurrency=2, num_cpus=1)
+    # plain task fn + worker-global cache: no per-stage actor startup
+    return ds.map_batches(join, batch_format="pandas")
 
 
 def broadcast_semi_join(ds: Dataset, keys: set, *, on: str, anti: bool = False) -> Dataset:
@@ -50,20 +48,17 @@ def broadcast_semi_join(ds: Dataset, keys: set, *, on: str, anti: bool = False) 
 
     import pyarrow.compute as pc
 
+    from code_graph_rag_ray.functions.broadcast import get_broadcast
+
     ref = ray.put(pa.array(sorted(keys)))
 
-    class Semi:
-        def __init__(self, r):
-            self.keys = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+    def semi(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch[on], value_set=get_broadcast(ref))
+        if anti:
+            m = pc.invert(m)
+        return batch.filter(m)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = pc.is_in(batch[on], value_set=self.keys)
-            if anti:
-                m = pc.invert(m)
-            return batch.filter(m)
-
-    return ds.map_batches(Semi, fn_constructor_args=(ref,), batch_format="pyarrow",
-                          concurrency=2, num_cpus=1)
+    return ds.map_batches(semi, batch_format="pyarrow")
 
 
 def partial_groupby_sum(

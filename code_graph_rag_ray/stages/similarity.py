@@ -46,36 +46,31 @@ def knn_brute_force(
     """
     import ray
 
-    qn = _normalize(queries.astype(np.float32))
+    from code_graph_rag_ray.functions.broadcast import get_broadcast
+
+    qn = _normalize(queries.astype(np.float64))
     q_ref = ray.put((qn, list(query_ids)))
 
-    class LocalTopK:
-        def __init__(self, ref, k):
-            self.qn, self.qids = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.k = k
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q, qids = get_broadcast(q_ref)
+        vecs = _normalize(_to_matrix(batch[vec_col]).astype(np.float64))
+        ids = batch[id_col].to_pylist()
+        sims = q @ vecs.T  # (nq, nb)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            # deterministic partial top-k: sort by (-sim, vec_id)
+            order = np.lexsort((np.asarray(ids), -row))[:kk]
+            out_q.extend([qids[qi]] * len(order))
+            out_v.extend([ids[j] for j in order])
+            out_s.extend(row[order].astype(float).tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q), id_col: pa.array(out_v),
+             "cosine": pa.array(out_s, pa.float64())}
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _normalize(_to_matrix(batch[vec_col]))
-            ids = batch[id_col].to_pylist()
-            sims = self.qn @ vecs.T  # (nq, nb)
-            out_q, out_v, out_s = [], [], []
-            kk = min(self.k, sims.shape[1])
-            for qi in range(sims.shape[0]):
-                row = sims[qi]
-                # deterministic partial top-k: sort by (-sim, vec_id)
-                order = np.lexsort((np.asarray(ids), -row))[:kk]
-                out_q.extend([self.qids[qi]] * len(order))
-                out_v.extend([ids[j] for j in order])
-                out_s.extend(row[order].astype(float).tolist())
-            return pa.table(
-                {"query_id": pa.array(out_q), id_col: pa.array(out_v),
-                 "cosine": pa.array(out_s, pa.float64())}
-            )
-
-    partials = ds.map_batches(
-        LocalTopK, fn_constructor_args=(q_ref, k), batch_format="pyarrow",
-        concurrency=2, num_cpus=1, batch_size=4096,
-    )
+    partials = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort").head(k)
@@ -128,43 +123,40 @@ def knn_lsh(
     for qi, bs in probes.items():
         for b in bs:
             bucket_queries.setdefault(b, []).append(qi)
+    from code_graph_rag_ray.functions.broadcast import get_broadcast
+
     ref = ray.put((qn, list(query_ids), bucket_queries))
 
     def bucketize(b: pa.Table) -> pa.Table:
         vecs = _to_matrix(b[vec_col])
         return b.append_column("bucket", pa.array(bucket_of(vecs).astype(np.int64), pa.int64()))
 
-    class BucketScan:
-        def __init__(self, r, k):
-            self.qn, self.qids, self.bq = ray.get(r) if isinstance(r, ray.ObjectRef) else r
-            self.k = k
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out_q, out_v, out_s = [], [], []
-            df = batch.to_pandas()
-            for bucket, g in df.groupby("bucket"):
-                qis = self.bq.get(int(bucket))
-                if not qis:
-                    continue
-                vecs = _normalize(np.stack([np.asarray(v, np.float32) for v in g[vec_col]]))
-                ids = g[id_col].tolist()
-                sims = self.qn[qis] @ vecs.T
-                kk = min(self.k, sims.shape[1])
-                for row_i, qi in enumerate(qis):
-                    row = sims[row_i]
-                    order = np.lexsort((np.asarray(ids), -row))[:kk]
-                    out_q.extend([self.qids[qi]] * len(order))
-                    out_v.extend([ids[j] for j in order])
-                    out_s.extend(row[order].astype(float).tolist())
-            return pa.table(
-                {"query_id": pa.array(out_q), id_col: pa.array(out_v),
-                 "cosine": pa.array(out_s, pa.float64())}
-            )
+    def bucket_scan(batch: pa.Table) -> pa.Table:
+        q, qids, bq = get_broadcast(ref)
+        out_q, out_v, out_s = [], [], []
+        df = batch.to_pandas()
+        for bucket, g in df.groupby("bucket"):
+            qis = bq.get(int(bucket))
+            if not qis:
+                continue
+            vecs = _normalize(np.stack([np.asarray(v, np.float32) for v in g[vec_col]]))
+            ids = g[id_col].tolist()
+            sims = q[qis] @ vecs.T
+            kk = min(k, sims.shape[1])
+            for row_i, qi in enumerate(qis):
+                row = sims[row_i]
+                order = np.lexsort((np.asarray(ids), -row))[:kk]
+                out_q.extend([qids[qi]] * len(order))
+                out_v.extend([ids[j] for j in order])
+                out_s.extend(row[order].astype(float).tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q), id_col: pa.array(out_v),
+             "cosine": pa.array(out_s, pa.float64())}
+        )
 
     partials = (
         ds.map_batches(bucketize, batch_format="pyarrow")
-        .map_batches(BucketScan, fn_constructor_args=(ref, k), batch_format="pyarrow",
-                     concurrency=2, num_cpus=1, batch_size=4096)
+        .map_batches(bucket_scan, batch_format="pyarrow", batch_size=4096)
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

@@ -1,0 +1,70 @@
+"""Relational-operator unit tests: broadcast joins, partial aggregates,
+top-k, exact dedup variants."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from code_graph_rag_ray.stages.materialize import exact_dedup, exact_dedup_rows
+from code_graph_rag_ray.stages.relational import (
+    broadcast_join,
+    broadcast_semi_join,
+    partial_groupby_sum,
+    top_k,
+)
+
+
+def _ds(rows):
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_broadcast_join_inner():
+    big = _ds([{"k": 1, "v": 10}, {"k": 2, "v": 20}, {"k": 3, "v": 30}])
+    small = pd.DataFrame({"k": [1, 3], "name": ["a", "c"]})
+    out = broadcast_join(big, small, on="k").to_pandas().sort_values("k")
+    assert out.v.tolist() == [10, 30]
+    assert out.name.tolist() == ["a", "c"]
+
+
+def test_broadcast_semi_and_anti_join():
+    ds = _ds([{"k": i} for i in range(6)])
+    semi = broadcast_semi_join(ds, {1, 4}, on="k").to_pandas()
+    assert sorted(semi.k) == [1, 4]
+    anti = broadcast_semi_join(ds, {1, 4}, on="k", anti=True).to_pandas()
+    assert sorted(anti.k) == [0, 2, 3, 5]
+
+
+def test_partial_groupby_sum_matches_pandas():
+    rows = [{"g": f"g{i % 3}", "x": float(i), "y": float(i * 2)} for i in range(100)]
+    ds = _ds(rows)
+    out = partial_groupby_sum(ds, ["g"], {"x": "sum_x", "y": "sum_y"}, count_alias="n")
+    got = out.to_pandas().set_index("g").sort_index()
+    want = pd.DataFrame(rows).groupby("g").agg(sum_x=("x", "sum"), sum_y=("y", "sum"), n=("x", "size"))
+    assert got.sum_x.tolist() == want.sum_x.tolist()
+    assert got.sum_y.tolist() == want.sum_y.tolist()
+    assert got.n.tolist() == want.n.tolist()
+
+
+def test_top_k():
+    ds = _ds([{"v": float(i % 17)} for i in range(100)])
+    out = top_k(ds, "v", 5).to_pandas()
+    assert out.v.tolist() == [16.0, 16.0, 16.0, 16.0, 16.0]
+
+
+def test_exact_dedup_column_min_semantics():
+    ds = _ds(
+        [{"k": "a", "p": 3}, {"k": "a", "p": 1}, {"k": "b", "p": 9}]
+    )
+    out = exact_dedup(ds, keys=["k"]).to_pandas().sort_values("k")
+    assert out.p.tolist() == [1, 9]  # per-column min per key
+
+
+def test_exact_dedup_rows_row_atomic():
+    ds = _ds(
+        [{"k": "a", "p": 3, "q": "z"}, {"k": "a", "p": 1, "q": "y"}]
+    )
+    out = exact_dedup_rows(ds, keys=["k"], sort_cols=["k", "p"]).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0].p == 1 and out.iloc[0].q == "y"  # whole winning row
