@@ -518,6 +518,128 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# training-data operators without a SQL-expressible oracle (driver records a
+# rows-only check; full semantics are pinned by the pytest suite instead)
+# ---------------------------------------------------------------------------
+
+def _ensure_cols(df: pd.DataFrame, cols: dict[str, str]) -> pd.DataFrame:
+    """Schema-stable empty results: an all-groups-empty groupby loses its
+    schema in Ray 2.49 (empty blocks carry no columns) — rebuild it."""
+    if df.empty and not list(df.columns):
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    return df[list(cols)]
+
+
+def doc_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-duplicate pairs over documents (Jaccard-verified).
+
+    The synthetic corpus plants no near-dups, so an empty result is correct;
+    the operator's semantics are proven on planted dups in tests/test_dedup.
+    """
+    from code_graph_rag_ray.stages.dedup import minhash_near_dup_pairs
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_near_dup_pairs(ds, verify_threshold=0.8).to_pandas()
+    out = _ensure_cols(out, {"a": "int64", "b": "int64", "jaccard": "float64"})
+    out["jaccard"] = out["jaccard"].round(4)
+    return out
+
+
+def doc_simhash(sf_dir: str):
+    """64-bit SimHash signature per document (rows-only check)."""
+    from code_graph_rag_ray.stages.dedup import simhash_batch_factory
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(simhash_batch_factory(), batch_format="pyarrow")
+
+
+def embedding_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets."""
+    from code_graph_rag_ray.stages.dedup import embedding_near_dup_pairs
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_near_dup_pairs(ds, threshold=0.95).to_pandas()
+    out = _ensure_cols(out, {"a": "int64", "b": "int64", "cosine": "float64"})
+    out["cosine"] = out["cosine"].round(4)
+    return out
+
+
+def knn_lsh_recall(sf_dir: str):
+    """Self-evaluating ANN quality probe: per-query recall of the
+    LSH-bucketed top-10 against the exact brute-force top-10."""
+    from code_graph_rag_ray.stages.similarity import knn_brute_force, knn_lsh
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(
+        (r for r in ds.take_all() if r["vec_id"] < 5), key=lambda r: r["vec_id"]
+    )
+    queries = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
+    qids = [r["vec_id"] for r in qrows]
+    brute = knn_brute_force(ds, queries, qids, k=10).to_pandas()
+    approx = knn_lsh(ds, queries, qids, k=10).to_pandas()
+    rows = []
+    for q in qids:
+        b = set(brute[brute.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        rows.append({"query_id": q, "recall": round(len(a & b) / len(b), 3)})
+    return pd.DataFrame(rows)
+
+
+def doc_lang_pred(sf_dir: str):
+    """Heuristic language-ID over documents (actor-pool stage)."""
+    from code_graph_rag_ray.stages.text_analysis import LangId
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2, num_cpus=1)
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def media_features(sf_dir: str):
+    """Multimodal plumbing: deterministic fake media corpus → actor-pool
+    decode → feature rows (decode kernels are stubbed; see
+    stages/multimodal.py)."""
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.multimodal import decode_media, make_fake_media_table
+
+    del sf_dir  # media corpus is generated deterministically (seeded)
+    ds = rd.from_arrow(make_fake_media_table(256))
+    out = decode_media(ds, decoder="fake").to_pandas()
+    out["feature_norm"] = out["feature"].map(
+        lambda f: round(float(np.linalg.norm(np.asarray(f))), 4)
+    )
+    return out[["media_id", "kind", "payload_bytes", "feature_norm"]]
+
+
+def kg_fixture_pr(sf_dir: str):
+    """North-rule gate as a query: run the FULL KG pipeline on the seeded
+    pages fixture (planted ground truth) and emit triple precision/recall.
+    The oracle asserts exact resolution (1.0/1.0) — any pipeline drift
+    hash-mismatches."""
+    import ray.data as rd
+
+    from code_graph_rag_ray.functions.scoring import score_sets
+    from code_graph_rag_ray.pipelines.kg import build_kg
+    from code_graph_rag_ray.sources.pages import generate_pages
+
+    del sf_dir  # fixture corpus is seeded, independent of sf
+    fx = generate_pages(300, 42)
+    kg = build_kg(rd.from_arrow(fx.pages), fx.alias_dict, build_nodes=False)
+    edges = kg["edges"].to_pandas()
+    pred = set(map(tuple, edges[["subj", "pred", "obj", "provenance_url"]].itertuples(index=False)))
+    gold = {(r["subj"], r["pred"], r["obj"], r["url"]) for r in fx.expected_triples.to_pylist()}
+    s = score_sets(pred, gold)
+    return pd.DataFrame(
+        [{"precision": round(s.precision, 4), "recall": round(s.recall, 4)}]
+    )
+
+
+KG_FIXTURE_PR_SQL = (
+    "SELECT CAST(1.0 AS DOUBLE) AS precision, CAST(1.0 AS DOUBLE) AS recall"
+)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -542,6 +664,14 @@ QUERIES = {
     "kg_doc_nodes": kg_doc_nodes,
     "page_hosts": page_hosts,
     "page_extract_text": page_extract_text,
+    "kg_fixture_pr": kg_fixture_pr,
+    # rows-only (no SQL-expressible oracle; semantics pinned in tests/)
+    "doc_minhash_pairs": doc_minhash_pairs,
+    "doc_simhash": doc_simhash,
+    "embedding_dup_pairs": embedding_dup_pairs,
+    "knn_lsh_recall": knn_lsh_recall,
+    "doc_lang_pred": doc_lang_pred,
+    "media_features": media_features,
 }
 
 ORACLES = {
@@ -565,4 +695,5 @@ ORACLES = {
     "kg_doc_nodes": KG_DOC_NODES_SQL,
     "page_hosts": PAGE_HOSTS_SQL,
     "page_extract_text": PAGE_EXTRACT_TEXT_SQL,
+    "kg_fixture_pr": KG_FIXTURE_PR_SQL,
 }

@@ -95,6 +95,66 @@ class Checkpointer:
         return rd.read_parquet(data_dir)
 
 
+def resume_materialize(
+    ds,
+    out_dir: str,
+    *,
+    key: str,
+    sort_by: list[str],
+    num_partitions: int = 16,
+) -> dict:
+    """Partition-level resumable materialize (north-star lineage semantics).
+
+    Layout: one hive directory per hash partition (``part=K/``) plus a
+    manifest of completed partitions. On rerun:
+
+    1. partitions listed complete in the manifest are SKIPPED — their rows
+       are filtered out before the shuffle, so finished work costs nothing,
+    2. partition dirs NOT in the manifest (a crash mid-write) are deleted
+       before rewriting — no double-counted partial files,
+    3. the manifest is rewritten only after the new partitions land
+       (re-derive, never mutate — cgr's incremental==clean invariant,
+       ``evals/README.md:133-175``).
+
+    Returns the final manifest dict.
+    """
+    import pyarrow as pa
+
+    from code_graph_rag_ray.stages.materialize import add_partition_column
+
+    os.makedirs(out_dir, exist_ok=True)
+    prior = read_manifest(out_dir) or {"partitions": {}}
+    done = {int(p.split("=")[1]) for p in prior.get("partitions", {})}
+
+    # clear partial (unmanifested) partition dirs
+    for name in list(os.listdir(out_dir)):
+        pdir = os.path.join(out_dir, name)
+        if os.path.isdir(pdir) and name.startswith("part="):
+            if int(name.split("=")[1]) not in done:
+                shutil.rmtree(pdir)
+
+    parted = add_partition_column(ds, key, num_partitions)
+    if done:
+        import pyarrow.compute as pc
+
+        done_arr = pa.array(sorted(done), pa.int32())
+
+        def skip_done(b: pa.Table) -> pa.Table:
+            return b.filter(pc.invert(pc.is_in(b["part"], value_set=done_arr)))
+
+        parted = parted.map_batches(skip_done, batch_format="pyarrow")
+
+    import pandas as pd
+
+    def sort_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(sort_by, kind="mergesort")
+
+    remaining = parted.groupby("part").map_groups(sort_group, batch_format="pandas")
+    if remaining.count() > 0:
+        remaining.write_parquet(out_dir, partition_cols=["part"])
+    return partition_manifest(out_dir)
+
+
 def partition_manifest(out_dir: str) -> dict:
     """Row counts per hive partition directory under a materialized output.
 

@@ -26,13 +26,25 @@ def duck(sf_dir):
     return con
 
 
-def test_every_query_has_an_oracle():
-    assert set(QUERIES) == set(ORACLES)
+def test_oracles_are_a_subset_of_queries():
+    assert set(ORACLES) <= set(QUERIES)
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, sf_dir, duck):
     ray_df = to_pandas(QUERIES[name](sf_dir))
     sql_df = duck.execute(ORACLES[name]).fetchdf()
     problems = compare(name, ray_df, sql_df)
     assert not problems, problems
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_query_runs(name, sf_dir):
+    """Oracle-less operators must still run end-to-end and return a frame
+    with stable, non-empty schema (the driver's weaker check)."""
+    df = to_pandas(QUERIES[name](sf_dir))
+    assert list(df.columns)  # stable schema
+    # near-dup searches may legitimately find nothing in the synthetic
+    # corpus; everything else must produce rows
+    if name not in ("doc_minhash_pairs", "embedding_dup_pairs"):
+        assert len(df) > 0
