@@ -100,6 +100,26 @@ def build_kg(
         # backpressure end to end
         mentions = build_mentions()
 
+    out = derive_graph_outputs(
+        mentions, alias_tbl,
+        dedup_scope=dedup_scope, build_nodes=build_nodes,
+        num_partitions=num_partitions,
+    )
+    out["ckpt"] = ckpt
+    return out
+
+
+def derive_graph_outputs(
+    mentions: Dataset,
+    alias_tbl: pa.Table,
+    *,
+    dedup_scope: str = "provenance-local",
+    build_nodes: bool = True,
+    num_partitions: int = 16,
+) -> dict:
+    """Mentions → {edges, external_edges, nodes}. Shared by the clean build
+    and the incremental path (both must derive the graph the same way —
+    that is what makes incremental == clean provable)."""
     raw = triples_from_mentions(mentions)
 
     def split_external(b: pa.Table) -> pa.Table:
@@ -152,8 +172,60 @@ def build_kg(
         "edges": edges,
         "external_edges": external,
         "nodes": nodes,
-        "ckpt": ckpt,
     }
+
+
+def incremental_update(
+    changed_pages: Dataset,
+    alias_tbl: pa.Table,
+    *,
+    prev_mentions: Dataset,
+    relations: dict[str, str] | None = None,
+    dedup_scope: str = "provenance-local",
+    build_nodes: bool = True,
+    num_partitions: int = 16,
+) -> dict:
+    """Watch-mode analog (``realtime_updater.py``): re-derive the graph
+    after a set of pages changed, WITHOUT reprocessing unchanged pages.
+
+    Semantics = cgr's delete-subtree → re-ingest → re-resolve
+    (``graph_updater.py:1227-1351``): the changed pages' old mentions are
+    dropped (anti-join on url against the broadcast changed-url set), the
+    changed pages are re-extracted and re-linked, and the union feeds the
+    SAME derivation as a clean build — so incremental == clean by
+    construction (the invariant cgr needed issue #532 to win back). A page
+    deleted from the corpus is expressed as a changed page with empty html.
+    """
+    import ray
+
+    import pyarrow.compute as pc2
+
+    alias_ref = ray.put(alias_tbl)
+
+    # changed-url set: small by definition of an incremental batch
+    changed_urls = set(
+        changed_pages.select_columns(["url"]).to_pandas()["url"]
+    )
+    url_arr_ref = ray.put(pa.array(sorted(changed_urls), pa.string()))
+
+    from code_graph_rag_ray.functions.broadcast import get_broadcast
+
+    def drop_changed(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc2.invert(pc2.is_in(b["url"], value_set=get_broadcast(url_arr_ref)))
+        )
+
+    surviving = prev_mentions.map_batches(drop_changed, batch_format="pyarrow")
+
+    text = changed_pages.map_batches(extract_text_batch, batch_format="pyarrow")
+    fresh = link_mentions(text, alias_ref, relations=relations)
+    mentions = surviving.union(fresh).materialize()
+
+    return derive_graph_outputs(
+        mentions, alias_tbl,
+        dedup_scope=dedup_scope, build_nodes=build_nodes,
+        num_partitions=num_partitions,
+    )
 
 
 def materialize_kg(kg: dict, out_dir: str, *, num_partitions: int = 16) -> dict:

@@ -45,31 +45,67 @@ def _symmetrize(edges: Dataset, src: str, dst: str) -> Dataset:
     return edges.map_batches(both, batch_format="pyarrow")
 
 
+_NUM_BUCKETS = 32
+
+
+def _with_bucket(ds: Dataset, col: str) -> Dataset:
+    """Add ``bucket = crc32(col) % B`` — co-locates equal keys so the
+    cogroup below is a bucketed hash join: one vectorized pandas merge per
+    bucket instead of one Python call per key (per-key map_groups does not
+    survive million-node graphs)."""
+    from code_graph_rag_ray.functions.hashing import partition_ids
+
+    def add(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pa.array(partition_ids(b[col], _NUM_BUCKETS), pa.int32())
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
 def _propagate_round(sym: Dataset, labels: Dataset) -> Dataset:
-    """One message round: every node sends its label to every neighbor."""
-    edge_rows = sym.map_batches(
-        lambda b: pa.table(
-            {"key": b["node"], "nbr": b["nbr"],
-             "label": pa.nulls(b.num_rows, pa.string())}
+    """One message round: every node sends its label to every neighbor.
+
+    Implemented as a bucketed cogroup join: edge rows and label rows are
+    tagged, bucketed by the join key's hash, and merged with ONE pandas
+    merge per bucket group — vectorized, skew-bounded (a head node's edges
+    hash to one bucket but the merge is columnar, and the follow-up
+    groupby-min pre-reduces per block)."""
+    edge_rows = _with_bucket(
+        sym.map_batches(
+            lambda b: pa.table(
+                {"key": b["node"], "nbr": b["nbr"],
+                 "label": pa.nulls(b.num_rows, pa.string())}
+            ),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
+        "key",
     )
-    label_rows = labels.map_batches(
-        lambda b: pa.table(
-            {"key": b["node"], "nbr": pa.nulls(b.num_rows, pa.string()),
-             "label": b["label"]}
+    label_rows = _with_bucket(
+        labels.map_batches(
+            lambda b: pa.table(
+                {"key": b["node"], "nbr": pa.nulls(b.num_rows, pa.string()),
+                 "label": b["label"]}
+            ),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
+        "key",
     )
 
     def send(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g["label"].dropna().min()  # the node's single current label
-        nbrs = g["nbr"].dropna().tolist()
-        targets = nbrs + [g["key"].iloc[0]]  # neighbors + self-message
-        return pd.DataFrame({"node": targets, "label": [lab] * len(targets)})
+        edges = g[g["label"].isna()][["key", "nbr"]]
+        labs = g[g["nbr"].isna()][["key", "label"]]
+        # neighbor messages: one vectorized merge on the key
+        msgs = edges.merge(labs, on="key")[["nbr", "label"]].rename(
+            columns={"nbr": "node"}
+        )
+        selfm = labs.rename(columns={"key": "node"})[["node", "label"]]
+        return pd.concat([msgs, selfm], ignore_index=True)
 
-    msgs = edge_rows.union(label_rows).groupby("key").map_groups(
-        send, batch_format="pandas"
+    msgs = (
+        edge_rows.union(label_rows)
+        .groupby("bucket")
+        .map_groups(send, batch_format="pandas")
     )
     return msgs.groupby("node").aggregate(Min("label", alias_name="label"))
 
@@ -82,32 +118,39 @@ def _compress(labels: Dataset) -> Dataset:
     Implemented as one cogroup on the label value: every node asks the
     "directory" row of its current label for THAT node's label.
     """
-    requests = labels.map_batches(
-        lambda b: pa.table(
-            {"key": b["label"], "asker": b["node"],
-             "label": pa.nulls(b.num_rows, pa.string())}
+    requests = _with_bucket(
+        labels.map_batches(
+            lambda b: pa.table(
+                {"key": b["label"], "asker": b["node"],
+                 "label": pa.nulls(b.num_rows, pa.string())}
+            ),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
+        "key",
     )
-    directory = labels.map_batches(
-        lambda b: pa.table(
-            {"key": b["node"], "asker": pa.nulls(b.num_rows, pa.string()),
-             "label": b["label"]}
+    directory = _with_bucket(
+        labels.map_batches(
+            lambda b: pa.table(
+                {"key": b["node"], "asker": pa.nulls(b.num_rows, pa.string()),
+                 "label": b["label"]}
+            ),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
+        "key",
     )
 
     def answer(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g["label"].dropna()
+        reqs = g[g["asker"].notna()][["key", "asker"]]
+        dirs = g[g["asker"].isna()][["key", "label"]].drop_duplicates("key")
+        out = reqs.merge(dirs, on="key", how="left")
         # every label value is itself a node id, so a directory row exists;
         # fall back to the key (self-rooted) defensively
-        final = lab.iloc[0] if len(lab) else g["key"].iloc[0]
-        askers = g["asker"].dropna().tolist()
-        return pd.DataFrame({"node": askers, "label": [final] * len(askers)})
+        out["label"] = out["label"].fillna(out["key"])
+        return out.rename(columns={"asker": "node"})[["node", "label"]]
 
     return (
         requests.union(directory)
-        .groupby("key")
+        .groupby("bucket")
         .map_groups(answer, batch_format="pandas")
         .groupby("node")
         .aggregate(Min("label", alias_name="label"))
@@ -115,24 +158,30 @@ def _compress(labels: Dataset) -> Dataset:
 
 
 def _count_changed(old: Dataset, new: Dataset) -> int:
-    a = old.map_batches(
-        lambda b: pa.table({"node": b["node"], "old": b["label"],
-                            "new": pa.nulls(b.num_rows, pa.string())}),
-        batch_format="pyarrow",
+    a = _with_bucket(
+        old.map_batches(
+            lambda b: pa.table({"node": b["node"], "old": b["label"],
+                                "new": pa.nulls(b.num_rows, pa.string())}),
+            batch_format="pyarrow",
+        ),
+        "node",
     )
-    b_ = new.map_batches(
-        lambda b: pa.table({"node": b["node"], "old": pa.nulls(b.num_rows, pa.string()),
-                            "new": b["label"]}),
-        batch_format="pyarrow",
+    b_ = _with_bucket(
+        new.map_batches(
+            lambda b: pa.table({"node": b["node"], "old": pa.nulls(b.num_rows, pa.string()),
+                                "new": b["label"]}),
+            batch_format="pyarrow",
+        ),
+        "node",
     )
 
     def diff(g: pd.DataFrame) -> pd.DataFrame:
-        o = g["old"].dropna()
-        n = g["new"].dropna()
-        ch = int(len(o) > 0 and len(n) > 0 and o.iloc[0] != n.iloc[0])
-        return pd.DataFrame({"c": [ch]})
+        o = g[g["old"].notna()][["node", "old"]]
+        n = g[g["new"].notna()][["node", "new"]]
+        m = o.merge(n, on="node")
+        return pd.DataFrame({"c": [int((m["old"] != m["new"]).sum())]})
 
-    out = a.union(b_).groupby("node").map_groups(diff, batch_format="pandas").sum("c")
+    out = a.union(b_).groupby("bucket").map_groups(diff, batch_format="pandas").sum("c")
     return int(out or 0)
 
 

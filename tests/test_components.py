@@ -29,6 +29,28 @@ def test_chain_beyond_one_round():
     assert set(got.values()) == {"n00"}
 
 
+def test_cc_scale_with_whale_hub():
+    """10k-node graph with one hub of degree 5000 (head-entity skew shape):
+    the bucketed-cogroup rounds must converge and stay vectorized."""
+    import time
+
+    pairs = [("hub", f"w{i:05d}") for i in range(5000)]  # whale star
+    pairs += [(f"c{i:05d}", f"c{i + 1:05d}") for i in range(0, 4000, 2)]  # 2-chains
+    t = pa.Table.from_pylist([{"src": a, "dst": b} for a, b in pairs])
+    t0 = time.perf_counter()
+    labels = connected_components(rd.from_arrow(t)).to_pandas()
+    dt = time.perf_counter() - t0
+    comp = dict(zip(labels.node, labels.component))
+    star = {comp[f"w{i:05d}"] for i in range(0, 5000, 500)} | {comp["hub"]}
+    assert len(star) == 1  # whole star is one component
+    assert comp["c00000"] == comp["c00001"]
+    assert comp["c00002"] != comp["c00000"]  # separate 2-chain
+    sizes = labels.groupby("component").size()
+    assert sizes.max() == 5001
+    assert (sizes == 2).sum() == 2000
+    assert dt < 120, f"CC too slow: {dt:.1f}s"
+
+
 def test_component_sizes():
     t = pa.Table.from_pylist([{"src": a, "dst": b} for a, b in [("a", "b"), ("x", "y"), ("y", "z")]])
     labels = connected_components(rd.from_arrow(t), num_partitions=2)
