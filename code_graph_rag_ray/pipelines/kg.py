@@ -228,6 +228,32 @@ def incremental_update(
     )
 
 
+def filter_capture(edges: Dataset, enabled_predicates: set[str]) -> Dataset:
+    """Capture-group analog (cgr ``capture.py:88-115`` + FilteringIngestor,
+    ``services/filtering.py:9-53``): one choke point that drops relation
+    families the user disabled — a vectorized predicate filter on ``pred``."""
+    import ray
+
+    from code_graph_rag_ray.functions.broadcast import get_broadcast
+
+    ref = ray.put(pa.array(sorted(enabled_predicates), pa.string()))
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["pred"], value_set=get_broadcast(ref)))
+
+    return edges.map_batches(keep, batch_format="pyarrow")
+
+
+def export_graph_json(kg: dict, out_dir: str) -> None:
+    """JSON graph export (cgr S6, ``graph_service.py:660-679``): nodes and
+    edges as JSON-lines directories."""
+    import os
+
+    kg["edges"].write_json(os.path.join(out_dir, "edges"))
+    if kg.get("nodes") is not None:
+        kg["nodes"].write_json(os.path.join(out_dir, "nodes"))
+
+
 def materialize_kg(kg: dict, out_dir: str, *, num_partitions: int = 16) -> dict:
     """Write edges + nodes hash-partitioned and sorted; return manifests."""
     import os

@@ -105,19 +105,21 @@ class MentionLinker:
             spans.append((m.start(), m.end(), m.group(), False))
         spans.sort()
 
-        # cascade link for dictionary mentions
+        # cascade link for dictionary mentions — parallel local arrays (a
+        # dict per mention dominated the profile)
         recent_full: dict[str, str] = {}  # suffix token -> entity_id
-        linked: list[dict] = []
-        for start, end, surface, known in spans:
+        n = len(spans)
+        eids: list[str] = [""] * n
+        methods: list[str] = [""] * n
+        rels: list[str | None] = [None] * n
+        objs: list[str | None] = [None] * n
+        index = self.index
+        for i, (start, end, surface, known) in enumerate(spans):
             if not known:
-                linked.append(
-                    {"url": url, "start": start, "end": end, "surface": surface,
-                     "entity_id": "ext::" + normalize_surface(surface),
-                     "method": "external", "rel": None, "obj_entity_id": None,
-                     "lang": lang}
-                )
+                eids[i] = "ext::" + normalize_surface(surface)
+                methods[i] = "external"
                 continue
-            cands = self.index[surface]
+            cands = index[surface]
             if len(cands) == 1:
                 eid, method = cands[0][0], "exact"
             elif " " not in surface and surface in recent_full:
@@ -126,29 +128,28 @@ class MentionLinker:
                 eid, method = cands[0][0], "prior"
             if " " in surface:
                 recent_full[surface.rsplit(" ", 1)[1]] = eid
-            linked.append(
-                {"url": url, "start": start, "end": end, "surface": surface,
-                 "entity_id": eid, "method": method, "rel": None,
-                 "obj_entity_id": None, "lang": lang}
-            )
+            eids[i] = eid
+            methods[i] = method
 
         # triple pairing: gap between consecutive mentions == relation surface
-        in_triple: set[int] = set()
-        for i in range(len(linked) - 1):
-            a, b = linked[i], linked[i + 1]
-            gap = text[a["end"] : b["start"]].strip()
-            pred = self.relations.get(gap)
+        in_triple = bytearray(n)
+        relations = self.relations
+        for i in range(n - 1):
+            gap = text[spans[i][1] : spans[i + 1][0]].strip()
+            pred = relations.get(gap)
             if pred is not None:
-                a["rel"] = pred
-                a["obj_entity_id"] = b["entity_id"]
-                in_triple.add(i)
-                in_triple.add(i + 1)
+                rels[i] = pred
+                objs[i] = eids[i + 1]
+                in_triple[i] = 1
+                in_triple[i + 1] = 1
 
         # keep external mentions only when they participate in a triple
-        for i, row in enumerate(linked):
-            if row["method"] == "external" and i not in in_triple:
+        for i in range(n):
+            if methods[i] == "external" and not in_triple[i]:
                 continue
-            out.add(row)
+            start, end, surface, _ = spans[i]
+            out.add(url, start, end, surface, eids[i], methods[i], rels[i],
+                    objs[i], lang)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = _Cols()
@@ -172,16 +173,17 @@ class _Cols:
         for f in self.__slots__:
             setattr(self, f, [])
 
-    def add(self, row: dict) -> None:
-        self.url.append(row["url"])
-        self.start.append(row["start"])
-        self.end.append(row["end"])
-        self.surface.append(row["surface"])
-        self.entity_id.append(row["entity_id"])
-        self.method.append(row["method"])
-        self.rel.append(row["rel"])
-        self.obj_entity_id.append(row["obj_entity_id"])
-        self.lang.append(row["lang"])
+    def add(self, url, start, end, surface, entity_id, method, rel,
+            obj_entity_id, lang) -> None:
+        self.url.append(url)
+        self.start.append(start)
+        self.end.append(end)
+        self.surface.append(surface)
+        self.entity_id.append(entity_id)
+        self.method.append(method)
+        self.rel.append(rel)
+        self.obj_entity_id.append(obj_entity_id)
+        self.lang.append(lang)
 
     def to_table(self) -> pa.Table:
         return pa.Table.from_arrays(

@@ -127,6 +127,26 @@ def test_kg_materialize_partitioned_sorted(pages_fixture, kg_run, tmp_path):
     assert sum(mans["edges"]["partitions"].values()) == mans["edges"]["rows"]
 
 
+def test_capture_filter_and_json_export(pages_fixture, kg_run, tmp_path):
+    import json
+    import os
+
+    from code_graph_rag_ray.pipelines.kg import export_graph_json, filter_capture
+
+    kg = kg_run["kg"]
+    only = filter_capture(kg["edges"], {"acquired", "founded"}).to_pandas()
+    assert set(only.pred.unique()) <= {"acquired", "founded"}
+    assert len(only) < len(kg_run["edges"])
+
+    out = str(tmp_path / "json")
+    export_graph_json(kg, out)
+    files = [f for f in os.listdir(os.path.join(out, "edges")) if f.endswith(".json")]
+    assert files
+    with open(os.path.join(out, "edges", files[0])) as f:
+        row = json.loads(f.readline())
+    assert {"subj", "pred", "obj", "provenance_url"} <= set(row)
+
+
 def test_head_entity_skew_present(pages_fixture):
     """The corpus stresses skew: head entity dominates mentions (salting path)."""
     fx, _ = pages_fixture
