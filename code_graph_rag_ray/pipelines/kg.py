@@ -90,6 +90,12 @@ def build_kg(
     if checkpoint_dir:
         ckpt = Checkpointer(checkpoint_dir, fingerprint=fingerprint)
         mentions = ckpt.stage("mentions", build_mentions)
+        if dedup_scope == "provenance-local":
+            # parquet re-read re-chunks rows, so one page's mentions CAN
+            # straddle two blocks — the block-local dedup argument no longer
+            # holds (observed: one duplicate edge surviving a checkpointed
+            # build). Fall back to the exact global shuffle.
+            dedup_scope = "global"
     elif materialize_mentions:
         # pin once so the edges/nodes/external branches don't re-run the
         # pages scan per consumer
@@ -181,11 +187,15 @@ def incremental_update(
     *,
     prev_mentions: Dataset,
     relations: dict[str, str] | None = None,
-    dedup_scope: str = "provenance-local",
+    dedup_scope: str = "global",
     build_nodes: bool = True,
     num_partitions: int = 16,
 ) -> dict:
     """Watch-mode analog (``realtime_updater.py``): re-derive the graph
+
+    ``dedup_scope`` defaults to "global" here: ``prev_mentions`` usually
+    comes from a parquet checkpoint whose block boundaries don't respect
+    page boundaries, so block-local dedup would not be exact.
     after a set of pages changed, WITHOUT reprocessing unchanged pages.
 
     Semantics = cgr's delete-subtree → re-ingest → re-resolve
