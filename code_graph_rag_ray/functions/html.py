@@ -63,7 +63,10 @@ _WS_STEPS: list[tuple[str | None, str, str]] = [
 
 
 def _present(arr, lit: str) -> bool:
-    return pc.any(pc.match_substring(arr, lit)).as_py() or False
+    # ignore_case so a guard can never be stricter than its (?i) regex —
+    # otherwise batch composition would change per-row results (caught by
+    # the Hypothesis fuzz: a lone '<sCrIpT>' batch skipped the script pass)
+    return pc.any(pc.match_substring(arr, lit, ignore_case=True)).as_py() or False
 
 
 def extract_text_array(html: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:

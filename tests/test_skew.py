@@ -1,0 +1,41 @@
+"""Salted aggregation: exactness under a whale key."""
+
+from __future__ import annotations
+
+import collections
+
+import pyarrow as pa
+import ray.data as rd
+
+from code_graph_rag_ray.stages.skew import salted_topk_per_key
+
+
+def test_salted_topk_exact_under_whale_key():
+    rows = []
+    # whale key: 5000 rows over 40 items with a known skewed distribution
+    for i in range(5000):
+        rows.append({"entity": "whale", "url": f"u{i % 40:03d}" if i % 7 else "u_hot"})
+    # tail keys
+    for i in range(50):
+        rows.append({"entity": f"t{i % 5}", "url": f"u{i:03d}"})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+
+    out = salted_topk_per_key(ds, key="entity", item="url", k=5, salt_factor=8).to_pandas()
+
+    # oracle: plain pandas top-5 per key with the same tie-break
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    for ent, g in df.groupby("entity"):
+        want = (
+            g.groupby("url").size().reset_index(name="n")
+            .sort_values(["n", "url"], ascending=[False, True], kind="mergesort")
+            .head(5)
+        )
+        got = out[out.entity == ent].sort_values("rank")
+        assert got.url.tolist() == want.url.tolist(), ent
+        assert got.n.tolist() == want.n.tolist(), ent
+
+    counts = collections.Counter(r["url"] for r in rows if r["entity"] == "whale")
+    assert out[(out.entity == "whale") & (out["rank"] == 1)].url.iloc[0] == "u_hot"
+    assert counts["u_hot"] == out[(out.entity == "whale") & (out["rank"] == 1)].n.iloc[0]
