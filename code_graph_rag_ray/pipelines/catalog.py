@@ -187,6 +187,34 @@ GROUP BY n_name
 """
 
 
+def q4_status_revenue(sf_dir: str):
+    """Large-large join exercised without broadcast: lineitem ⨝ orders via
+    the explicit bucketed cogroup hash join, then combiner aggregation."""
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = bucketed_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def add_rev(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("rev", rev)
+
+    out = partial_groupby_sum(
+        joined.map_batches(add_rev, batch_format="pyarrow"),
+        ["o_orderstatus"], {"rev": "revenue"}, count_alias="n_items",
+    )
+    return _round_cols(out, ["revenue"], 2)
+
+
+Q4_SQL = """
+SELECT o_orderstatus, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 def orders_by_priority(sf_dir: str):
     ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
     out = partial_groupby_sum(
@@ -646,6 +674,7 @@ KG_FIXTURE_PR_SQL = (
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q4_status_revenue": q4_status_revenue,
     "q5_nation_revenue": q5_nation_revenue,
     "orders_by_priority": orders_by_priority,
     "top10_customers": top10_customers,
@@ -677,6 +706,7 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_revenue_orders": Q3_SQL,
+    "q4_status_revenue": Q4_SQL,
     "q5_nation_revenue": Q5_SQL,
     "orders_by_priority": ORDERS_PRIORITY_SQL,
     "top10_customers": TOP10_CUSTOMERS_SQL,

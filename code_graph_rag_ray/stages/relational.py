@@ -61,6 +61,76 @@ def broadcast_semi_join(ds: Dataset, keys: set, *, on: str, anti: bool = False) 
     return ds.map_batches(semi, batch_format="pyarrow")
 
 
+def bucketed_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    num_buckets: int = 32,
+    how: str = "inner",
+) -> Dataset:
+    """Large-large equi-join as an explicit bucketed cogroup hash join.
+
+    Both sides get ``bucket = crc32(key) % B``; the union is grouped by
+    bucket and each group does ONE vectorized pandas merge. This is the
+    portable partitioned-hash-join pattern (ray_guide «Joins»): we use it
+    instead of ``Dataset.join`` because Ray 2.49's join emits schema-less
+    empty hash partitions that break on sparse keys (see
+    stages/components.py). Hot keys: all rows of one key share a bucket but
+    the merge is columnar; raise ``num_buckets`` or pre-salt a known whale
+    key if a single bucket outgrows a worker.
+
+    Column collision: right-side columns that clash with left names get a
+    ``_r`` suffix (except the join key, which is dropped from the right).
+    """
+    from code_graph_rag_ray.functions.hashing import partition_ids
+
+    rkey = right_on or on
+
+    lschema, rschema = left.schema(), right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    lcols = list(lschema.names)
+    rcols = [c for c in rschema.names if c != rkey]
+    rename_r = {c: (c + "_r" if c in lcols else c) for c in rcols}
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        key = b[on].cast(pa.string())
+        out = {"__bucket": pa.array(partition_ids(key, num_buckets), pa.int32()),
+               "__side": pa.array([0] * b.num_rows, pa.int8()), "__key": key}
+        for c in lcols:
+            out["l_" + c] = b[c]
+        for c in rcols:
+            out["r_" + rename_r[c]] = pa.nulls(b.num_rows, rtypes[c])
+        return pa.table(out)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        key = b[rkey].cast(pa.string())
+        out = {"__bucket": pa.array(partition_ids(key, num_buckets), pa.int32()),
+               "__side": pa.array([1] * b.num_rows, pa.int8()), "__key": key}
+        for c in lcols:
+            out["l_" + c] = pa.nulls(b.num_rows, ltypes[c])
+        for c in rcols:
+            out["r_" + rename_r[c]] = b[c]
+        return pa.table(out)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    out_l = {"l_" + c: c for c in lcols}
+    out_r = {"r_" + rename_r[c]: rename_r[c] for c in rcols}
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == 0][["__key", *out_l]].rename(columns=out_l)
+        rf = g[g["__side"] == 1][["__key", *out_r]].rename(columns=out_r)
+        m = lf.merge(rf, on="__key", how=how)
+        return m.drop(columns=["__key"])
+
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
 def partial_groupby_sum(
     ds: Dataset,
     keys: list[str],

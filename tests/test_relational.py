@@ -36,6 +36,30 @@ def test_broadcast_semi_and_anti_join():
     assert sorted(anti.k) == [0, 2, 3, 5]
 
 
+def test_bucketed_join_inner_and_left():
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    left = _ds([{"k": 1, "v": 10}, {"k": 2, "v": 20}, {"k": 2, "v": 21}, {"k": 9, "v": 90}])
+    right = _ds([{"kk": 1, "w": "a"}, {"kk": 2, "w": "b"}])
+    inner = bucketed_join(left, right, on="k", right_on="kk", num_buckets=4).to_pandas()
+    got = sorted(map(tuple, inner[["k", "v", "w"]].itertuples(index=False)))
+    assert got == [(1, 10, "a"), (2, 20, "b"), (2, 21, "b")]
+
+    lo = bucketed_join(left, right, on="k", right_on="kk", num_buckets=4, how="left").to_pandas()
+    assert len(lo) == 4
+    assert lo[lo.k == 9].w.isna().all()
+
+
+def test_bucketed_join_column_collision_suffix():
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    left = _ds([{"k": 1, "v": 10}])
+    right = _ds([{"k": 1, "v": 99}])
+    out = bucketed_join(left, right, on="k", num_buckets=2).to_pandas()
+    assert sorted(out.columns) == ["k", "v", "v_r"]
+    assert out.v.iloc[0] == 10 and out.v_r.iloc[0] == 99
+
+
 def test_partial_groupby_sum_matches_pandas():
     rows = [{"g": f"g{i % 3}", "x": float(i), "y": float(i * 2)} for i in range(100)]
     ds = _ds(rows)
