@@ -41,11 +41,29 @@ _REL_SQL = sql_in_list(RELATION_VOCAB_SORTED)
 _STOP_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_SORTED) + "]"
 
 
+def _pc_round(x, nd: int):
+    """Arrow round matching DuckDB's tie behavior (half away from zero);
+    Arrow's default half_to_even differs exactly on ties — observed as
+    last-digit mismatches under the driver's exact value-hash."""
+    return pc.round(x, ndigits=nd, round_mode="half_towards_infinity")
+
+
+def _cents(col) -> pa.Array:
+    """2-decimal money column → exact int64 cents.
+
+    The driver hash-compares values EXACTLY; float sums are
+    accumulation-order dependent, so a rounding boundary can flip between
+    the Ray plan and DuckDB. Summing integer cents is exact and
+    order-free; both the Ray pipelines and the oracle SQL use the same
+    integer formulation."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
 def _round_cols(ds, cols: list[str], ndigits: int):
     def f(b: pa.Table) -> pa.Table:
         for c in cols:
             b = b.set_column(
-                b.column_names.index(c), c, pc.round(b[c], ndigits=ndigits)
+                b.column_names.index(c), c, _pc_round(b[c], ndigits)
             )
         return b
 
@@ -65,26 +83,45 @@ def q1_pricing_summary(sf_dir: str):
     ds = _pq(sf_dir, "lineitem",
              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
 
-    def add_disc(b: pa.Table) -> pa.Table:
-        disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return b.append_column("disc_price", disc)
+    def add_exact(b: pa.Table) -> pa.Table:
+        price_c = _cents(b["l_extendedprice"])
+        disc_c = _cents(b["l_discount"])  # discount in hundredths
+        disc_price_cc = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.table(
+            {"l_returnflag": b["l_returnflag"], "l_linestatus": b["l_linestatus"],
+             "qty": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+             "price_c": price_c, "disc_price_cc": disc_price_cc}
+        )
 
-    ds = ds.map_batches(add_disc, batch_format="pyarrow")
+    ds = ds.map_batches(add_exact, batch_format="pyarrow")
     out = partial_groupby_sum(
         ds,
         ["l_returnflag", "l_linestatus"],
-        {"l_quantity": "sum_qty", "l_extendedprice": "sum_base_price",
-         "disc_price": "sum_disc_price"},
+        {"qty": "sum_qty_i", "price_c": "base_c", "disc_price_cc": "disc_cc"},
         count_alias="n_rows",
     )
-    return _round_cols(out, ["sum_qty", "sum_base_price", "sum_disc_price"], 2)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_returnflag": b["l_returnflag"], "l_linestatus": b["l_linestatus"],
+             "sum_qty": pc.cast(b["sum_qty_i"], pa.float64()),
+             "sum_base_price": pc.divide(pc.cast(b["base_c"], pa.float64()), 100.0),
+             "sum_disc_price": _pc_round(
+                 pc.divide(pc.cast(b["disc_cc"], pa.float64()), 10000.0), 2
+             ),
+             "n_rows": b["n_rows"]}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+           AS sum_disc_price,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -107,23 +144,29 @@ def q3_top_revenue_orders(sf_dir: str):
     joined = broadcast_join(li, odf, on="l_orderkey", right_on="o_orderkey")
 
     def add_rev(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return b.append_column("rev", rev)
+        rev_cc = pc.multiply(
+            _cents(b["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(b["l_discount"])),
+        )
+        return b.append_column("rev_cc", rev_cc)
 
     agg = partial_groupby_sum(
         joined.map_batches(add_rev, batch_format="pyarrow"),
         ["o_orderkey", "o_orderdate"],
-        {"rev": "revenue"},
+        {"rev_cc": "rev_cc"},
     )
-    top = top_k(agg, "revenue", 10).to_pandas()
-    top = top.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
-    top["revenue"] = top["revenue"].round(2)
+    top = top_k(agg, "rev_cc", 10).to_pandas()
+    top = top.sort_values(["rev_cc", "o_orderkey"], ascending=[False, True]).head(10)
+    # integer half-away rounding to cents — exact, tie-mode independent
+    top["revenue"] = ((top["rev_cc"] + 50) // 100) / 100.0
     return top[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
 
 
 Q3_SQL = """
 SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+           AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
@@ -160,23 +203,34 @@ def q5_nation_revenue(sf_dir: str):
         cn = ok.map(ord_n).to_numpy()
         sn = sk.map(supp_n).to_numpy()
         keep = (cn == sn) & ~pd.isna(cn)
-        rev = pc.multiply(
-            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        rev_cc = pc.multiply(
+            _cents(b["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(b["l_discount"])),
         ).to_numpy(zero_copy_only=False)
         names = pd.Series(cn[keep]).map(nat_name).to_numpy()
         return pa.table(
             {"n_name": pa.array(names, pa.string()),
-             "rev": pa.array(rev[keep], pa.float64())}
+             "rev_cc": pa.array(rev_cc[keep], pa.int64())}
         )
 
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
     resolved = li.map_batches(resolve, batch_format="pyarrow")
-    out = partial_groupby_sum(resolved, ["n_name"], {"rev": "revenue"})
-    return _round_cols(out, ["revenue"], 2)
+    out = partial_groupby_sum(resolved, ["n_name"], {"rev_cc": "rev_cc"})
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n_name": b["n_name"],
+             "revenue": _pc_round(pc.divide(pc.cast(b["rev_cc"], pa.float64()), 10000.0), 2)}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 Q5_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+           AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -197,18 +251,32 @@ def q4_status_revenue(sf_dir: str):
     joined = bucketed_join(li, orders, on="l_orderkey", right_on="o_orderkey")
 
     def add_rev(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return b.append_column("rev", rev)
+        rev_cc = pc.multiply(
+            _cents(b["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(b["l_discount"])),
+        )
+        return b.append_column("rev_cc", rev_cc)
 
     out = partial_groupby_sum(
         joined.map_batches(add_rev, batch_format="pyarrow"),
-        ["o_orderstatus"], {"rev": "revenue"}, count_alias="n_items",
+        ["o_orderstatus"], {"rev_cc": "rev_cc"}, count_alias="n_items",
     )
-    return _round_cols(out, ["revenue"], 2)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderstatus": b["o_orderstatus"],
+             "revenue": _pc_round(pc.divide(pc.cast(b["rev_cc"], pa.float64()), 10000.0), 2),
+             "n_items": b["n_items"]}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 Q4_SQL = """
-SELECT o_orderstatus, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT o_orderstatus,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+           AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
@@ -217,14 +285,31 @@ GROUP BY o_orderstatus
 
 def orders_by_priority(sf_dir: str):
     ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderpriority": b["o_orderpriority"], "tp_c": _cents(b["o_totalprice"])}
+        )
+
     out = partial_groupby_sum(
-        ds, ["o_orderpriority"], {"o_totalprice": "sum_totalprice"}, count_alias="n_orders"
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        ["o_orderpriority"], {"tp_c": "tp_c"}, count_alias="n_orders",
     )
-    return _round_cols(out, ["sum_totalprice"], 2)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderpriority": b["o_orderpriority"],
+             "sum_totalprice": pc.divide(pc.cast(b["tp_c"], pa.float64()), 100.0),
+             "n_orders": b["n_orders"]}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 ORDERS_PRIORITY_SQL = """
-SELECT o_orderpriority, round(sum(o_totalprice), 2) AS sum_totalprice, count(*) AS n_orders
+SELECT o_orderpriority,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_totalprice,
+       count(*) AS n_orders
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -256,14 +341,32 @@ DISTINCT_MKTSEG_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
 
 def events_hourly(sf_dir: str):
     ds = _pq(sf_dir, "events", ["ts", "event_type", "value"])
-    out = tumbling_window_agg(ds, window_s=3600)
-    return _round_cols(out, ["sum_value"], 2)
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"ts": b["ts"], "event_type": b["event_type"], "value_c": _cents(b["value"])}
+        )
+
+    out = tumbling_window_agg(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        window_s=3600, value_col="value_c",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": b["event_type"], "window_start": b["window_start"],
+             "sum_value": pc.divide(pc.cast(b["sum_value"], pa.float64()), 100.0),
+             "n_events": b["n_events"]}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 EVENTS_HOURLY_SQL = """
 SELECT event_type,
        CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
-       round(sum(value), 2) AS sum_value, count(*) AS n_events
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+       count(*) AS n_events
 FROM events GROUP BY 1, 2
 """
 
@@ -346,8 +449,12 @@ FROM documents
 
 def doc_quality(sf_dir: str):
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(quality_batch, batch_format="pyarrow")
-    return _round_cols(out, ["stop_ratio", "mean_token_len", "quality"], 6)
+    out = ds.map_batches(quality_batch, batch_format="pyarrow").to_pandas()
+    # Python round (correctly-rounded decimal) matches DuckDB's round;
+    # Arrow's scaled round can land 1 ulp off the same input double
+    for c in ("stop_ratio", "mean_token_len", "quality"):
+        out[c] = out[c].map(lambda v: round(v, 6))
+    return out
 
 
 DOC_QUALITY_SQL = f"""
@@ -415,17 +522,22 @@ def knn_brute(sf_dir: str):
     def finish(b: pa.Table) -> pa.Table:
         return pa.table(
             {"query_id": b["query_id"], "vec_id": b["vec_id"],
-             "cosine": pc.round(b["cosine"], ndigits=5), "rank": b["rank"]}
+             "cosine": _pc_round(b["cosine"], 5), "rank": b["rank"]}
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+# DOUBLE[] casts: duckdb's float32 cosine differs from the engine's float64
+# matmul at ~1e-7 — in float64 both agree to <1e-15 (verified bitwise after
+# round(5))
 KNN_BRUTE_SQL = """
 SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-       round(list_cosine_similarity(q.embedding, e.embedding), 5) AS cosine,
+       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])), 5) AS cosine,
        row_number() OVER (PARTITION BY q.vec_id
-                          ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                          ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                          CAST(e.embedding AS DOUBLE[])) DESC,
                                    e.vec_id) AS rank
 FROM embeddings q, embeddings e
 WHERE q.vec_id < 5
