@@ -314,6 +314,61 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def parts_by_brand(sf_dir: str):
+    """Per-brand part stats (size avg exact via integer sums)."""
+    ds = _pq(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"p_brand": b["p_brand"], "size_i": pc.cast(b["p_size"], pa.int64()),
+             "price_c": _cents(b["p_retailprice"])}
+        )
+
+    out = partial_groupby_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["p_brand"], {"size_i": "size_sum", "price_c": "price_c"},
+        count_alias="n_parts",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"p_brand": b["p_brand"], "n_parts": b["n_parts"],
+             "avg_size": _pc_round(
+                 pc.divide(pc.cast(b["size_sum"], pa.float64()),
+                           pc.cast(b["n_parts"], pa.float64())), 4),
+             "sum_retailprice": pc.divide(pc.cast(b["price_c"], pa.float64()), 100.0)}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+PARTS_BY_BRAND_SQL = """
+SELECT p_brand, count(*) AS n_parts,
+       round(CAST(sum(CAST(p_size AS BIGINT)) AS DOUBLE) / count(*), 4) AS avg_size,
+       sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 AS sum_retailprice
+FROM part GROUP BY p_brand
+"""
+
+
+def nations_per_region(sf_dir: str):
+    """Dimension-chain join (region ⋈ nation) via broadcast lookup."""
+    from ray.data.aggregate import Count
+
+    region = _pq(sf_dir, "region").to_pandas()
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    joined = broadcast_join(
+        nation, region[["r_regionkey", "r_name"]], on="n_regionkey", right_on="r_regionkey"
+    )
+    return joined.groupby("r_name").aggregate(Count(alias_name="n_nations"))
+
+
+NATIONS_PER_REGION_SQL = """
+SELECT r_name, count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def top10_customers(sf_dir: str):
     ds = _pq(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
     t = top_k(ds, "c_acctbal", 10).to_pandas()
@@ -789,6 +844,8 @@ QUERIES = {
     "q4_status_revenue": q4_status_revenue,
     "q5_nation_revenue": q5_nation_revenue,
     "orders_by_priority": orders_by_priority,
+    "parts_by_brand": parts_by_brand,
+    "nations_per_region": nations_per_region,
     "top10_customers": top10_customers,
     "distinct_mktsegments": distinct_mktsegments,
     "events_hourly": events_hourly,
@@ -821,6 +878,8 @@ ORACLES = {
     "q4_status_revenue": Q4_SQL,
     "q5_nation_revenue": Q5_SQL,
     "orders_by_priority": ORDERS_PRIORITY_SQL,
+    "parts_by_brand": PARTS_BY_BRAND_SQL,
+    "nations_per_region": NATIONS_PER_REGION_SQL,
     "top10_customers": TOP10_CUSTOMERS_SQL,
     "distinct_mktsegments": DISTINCT_MKTSEG_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
