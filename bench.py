@@ -123,8 +123,34 @@ def run_bench() -> dict:
         n_triples = counted.sum("n")
         headline = time.perf_counter() - t0
 
+        # ---- materialize stage (hash(subj)-partitioned, sorted write) ----
+        # timed on a smaller corpus (factor 40) so the full north-star
+        # terminal stage — partitioned sorted parquet + manifests — is
+        # exercised in every bench run
+        import shutil
+
+        from code_graph_rag_ray.state.lineage import resume_materialize
+
+        small_docs = rd.range(40, override_num_blocks=40).map_batches(
+            make_copy, batch_format="pyarrow", batch_size=1
+        )
+        small_pages = small_docs.map_batches(_docs_to_pages_batch, batch_format="pyarrow")
+        small_kg = build_kg(
+            small_pages, alias_tbl, relations=relations,
+            materialize_mentions=False, build_nodes=False,
+        )
+        mat_dir = "/tmp/bench_graph_edges"
+        shutil.rmtree(mat_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        man = resume_materialize(
+            small_kg["edges"], mat_dir, key="subj",
+            sort_by=["subj", "pred", "obj", "provenance_url"], num_partitions=16,
+        )
+        t_mat = round(time.perf_counter() - t0, 3)
+
         # ---- representative per-query timings ----
-        per_q: dict[str, float] = {}
+        per_q: dict[str, float] = {"kg_materialize_f40": t_mat}
+        del man
         for name in ("q1_pricing_summary", "q5_nation_revenue", "doc_triples",
                      "doc_quality", "events_hourly", "knn_brute"):
             t0 = time.perf_counter()
