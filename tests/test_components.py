@@ -48,7 +48,10 @@ def test_cc_scale_with_whale_hub():
     sizes = labels.groupby("component").size()
     assert sizes.max() == 5001
     assert (sizes == 2).sum() == 2000
-    assert dt < 120, f"CC too slow: {dt:.1f}s"
+    # generous bound: this is a smoke guard against accidental per-node
+    # Python fallback (that regime took >10 min), not a perf benchmark —
+    # wall time under a loaded CI box varies widely
+    assert dt < 400, f"CC too slow: {dt:.1f}s"
 
 
 def test_component_sizes():
