@@ -9,14 +9,19 @@ startup per stage.
 
 ``get_broadcast(ref)`` fetches the object once per worker process and
 memoizes it; ``ray.get`` on a shared-memory object is cheap but the
-deserialize (e.g. pandas) is not, hence the cache.
+deserialize (e.g. pandas) is not, hence the cache. The cache is a small
+LRU: long-lived workers serve many pipeline runs, and an unbounded cache
+would pin every broadcast object a worker ever saw (dictionaries, lookup
+maps) in the worker heap forever.
 """
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Any
 
-_CACHE: dict[str, Any] = {}
+_CACHE: OrderedDict[str, Any] = OrderedDict()
+_MAX_ENTRIES = 16
 
 
 def get_broadcast(ref: Any) -> Any:
@@ -25,6 +30,11 @@ def get_broadcast(ref: Any) -> Any:
     if not isinstance(ref, ray.ObjectRef):
         return ref
     key = ref.hex()
-    if key not in _CACHE:
-        _CACHE[key] = ray.get(ref)
-    return _CACHE[key]
+    if key in _CACHE:
+        _CACHE.move_to_end(key)
+        return _CACHE[key]
+    val = ray.get(ref)
+    _CACHE[key] = val
+    while len(_CACHE) > _MAX_ENTRIES:
+        _CACHE.popitem(last=False)
+    return val

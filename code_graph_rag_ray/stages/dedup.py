@@ -48,12 +48,16 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 64, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _M61, size=num_perm, dtype=np.uint64)
+        # a < 2^31 and x < 2^32 (crc32 shingles) keep a*x < 2^63, so the
+        # uint64 product is EXACT — a full-width a would wrap mod 2^64
+        # before the mod-M61, silently breaking the universal-hash property
+        # (biased signatures → reduced LSH recall).
+        self.a = rng.integers(1, 1 << 31, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _M61, size=num_perm, dtype=np.uint64)
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         # (num_perm, n_shingles) → min along shingles
-        x = shingles.astype(np.uint64)
+        x = shingles.astype(np.uint64) & np.uint64(0xFFFFFFFF)
         vals = (np.outer(self.a, x) + self.b[:, None]) % _M61
         return vals.min(axis=1)
 

@@ -200,10 +200,29 @@ class _Cols:
 _LINKER_CACHE: dict[tuple, MentionLinker] = {}
 
 
+def _table_content_key(tbl: pa.Table) -> tuple:
+    """Content digest of a (dictionary-scale) table — plain tables must NOT
+    be keyed by ``id()``: CPython reuses ids after GC, so a different alias
+    table could silently hit a stale cached linker."""
+    import hashlib
+
+    h = hashlib.md5()
+    for batch in tbl.to_batches():
+        for col in batch.columns:
+            for buf in col.buffers():
+                if buf is not None:
+                    h.update(buf)
+    return (tbl.num_rows, h.hexdigest())
+
+
 def _cached_linker(alias_ref, relations: dict[str, str] | None) -> MentionLinker:
     import ray
 
-    key_ref = alias_ref.hex() if isinstance(alias_ref, ray.ObjectRef) else id(alias_ref)
+    key_ref = (
+        alias_ref.hex()
+        if isinstance(alias_ref, ray.ObjectRef)
+        else _table_content_key(alias_ref)
+    )
     key = (key_ref, None if relations is None else tuple(sorted(relations.items())))
     linker = _LINKER_CACHE.get(key)
     if linker is None:

@@ -149,7 +149,13 @@ def resume_materialize(
     def sort_group(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(sort_by, kind="mergesort")
 
-    remaining = parted.groupby("part").map_groups(sort_group, batch_format="pandas")
+    # materialize ONCE: .count() on the lazy dataset would execute the full
+    # upstream pipeline, then write_parquet would execute it AGAIN — 2× the
+    # cost of the flagship terminal stage (observed). The materialized
+    # blocks serve both the emptiness check and the write.
+    remaining = (
+        parted.groupby("part").map_groups(sort_group, batch_format="pandas").materialize()
+    )
     if remaining.count() > 0:
         remaining.write_parquet(out_dir, partition_cols=["part"])
     return partition_manifest(out_dir)
