@@ -128,34 +128,53 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q3_top_revenue_orders(sf_dir: str):
-    """Broadcast semi-join (customer segment) + broadcast hash join (orders)
-    + combiner aggregation + top-k. No all-to-all on the fact table."""
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    building = set(cust[cust.c_mktsegment == "BUILDING"].c_custkey)
+    """Fully distributed plan: segment and date filters run as Arrow
+    predicates inside tasks; orders ⋈ customer and lineitem ⋈ orders go
+    through the bucketed cogroup join; only the 10-row top-k reaches the
+    driver. No ``to_pandas``/``take_all`` on any fact-scale table."""
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    cust = (
+        _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+    )
 
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    orders = broadcast_semi_join(orders, building, on="o_custkey")
-    odf = orders.to_pandas()
-    odf = odf[odf.o_orderdate < pd.Timestamp("1997-01-01")][["o_orderkey", "o_orderdate"]]
-    # date as string: timestamp columns change resolution through shuffles
-    odf["o_orderdate"] = odf["o_orderdate"].dt.strftime("%Y-%m-%d")
+
+    def date_filter(b: pa.Table) -> pa.Table:
+        lim = pa.scalar(pd.Timestamp("1997-01-01").to_pydatetime()).cast(
+            b["o_orderdate"].type
+        )
+        f = b.filter(pc.less(b["o_orderdate"], lim))
+        # date as string: timestamp columns change resolution through shuffles
+        return pa.table(
+            {"o_orderkey": f["o_orderkey"], "o_custkey": f["o_custkey"],
+             "o_orderdate": pc.strftime(f["o_orderdate"], format="%Y-%m-%d")}
+        )
+
+    orders = orders.map_batches(date_filter, batch_format="pyarrow")
+    oc = bucketed_join(
+        orders, cust, on="o_custkey", right_on="c_custkey"
+    ).select_columns(["o_orderkey", "o_orderdate"])
 
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    joined = broadcast_join(li, odf, on="l_orderkey", right_on="o_orderkey")
 
     def add_rev(b: pa.Table) -> pa.Table:
         rev_cc = pc.multiply(
             _cents(b["l_extendedprice"]),
             pc.subtract(pa.scalar(100, pa.int64()), _cents(b["l_discount"])),
         )
-        return b.append_column("rev_cc", rev_cc)
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev_cc": rev_cc})
 
-    agg = partial_groupby_sum(
-        joined.map_batches(add_rev, batch_format="pyarrow"),
-        ["o_orderkey", "o_orderdate"],
-        {"rev_cc": "rev_cc"},
+    joined = bucketed_join(
+        li.map_batches(add_rev, batch_format="pyarrow"),
+        oc, on="l_orderkey", right_on="o_orderkey",
     )
-    top = top_k(agg, "rev_cc", 10).to_pandas()
+    agg = partial_groupby_sum(
+        joined, ["l_orderkey", "o_orderdate"], {"rev_cc": "rev_cc"},
+    )
+    top = top_k(agg, "rev_cc", 10).to_pandas().rename(columns={"l_orderkey": "o_orderkey"})
     top = top.sort_values(["rev_cc", "o_orderkey"], ascending=[False, True]).head(10)
     # integer half-away rounding to cents — exact, tie-mode independent
     top["revenue"] = ((top["rev_cc"] + 50) // 100) / 100.0
@@ -176,45 +195,57 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 
 
 def q5_nation_revenue(sf_dir: str):
-    """Multi-way broadcast join over the dimension chain; one streaming pass
-    over lineitem (c_nationkey = s_nationkey, TPC-H q5 shape)."""
-    nation = _pq(sf_dir, "nation").to_pandas()
-    supplier = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    customer = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
-
-    ordc = orders.merge(customer, left_on="o_custkey", right_on="c_custkey")
-    ord_nation = dict(zip(ordc.o_orderkey, ordc.c_nationkey))
-    supp_nation = dict(zip(supplier.s_suppkey, supplier.s_nationkey))
-    nation_name = dict(zip(nation.n_nationkey, nation.n_name))
-
+    """TPC-H q5 shape (c_nationkey = s_nationkey), distributed: the
+    fact-scale orders ⋈ customer join is a bucketed cogroup join, lineitem
+    then joins its output on orderkey; only the GENUINELY small dimensions
+    (supplier→nation, nation→name) are broadcast lookups."""
     import ray
 
     from code_graph_rag_ray.functions.broadcast import get_broadcast
+    from code_graph_rag_ray.stages.relational import bucketed_join
 
+    nation = _pq(sf_dir, "nation").to_pandas()
+    supplier = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
     ref = ray.put(
-        (pd.Series(ord_nation), pd.Series(supp_nation), pd.Series(nation_name))
+        (pd.Series(dict(zip(supplier.s_suppkey, supplier.s_nationkey))),
+         pd.Series(dict(zip(nation.n_nationkey, nation.n_name))))
     )
 
-    def resolve(b: pa.Table) -> pa.Table:
-        ord_n, supp_n, nat_name = get_broadcast(ref)
-        ok = pd.Series(b["l_orderkey"].to_numpy(zero_copy_only=False))
-        sk = pd.Series(b["l_suppkey"].to_numpy(zero_copy_only=False))
-        cn = ok.map(ord_n).to_numpy()
-        sn = sk.map(supp_n).to_numpy()
-        keep = (cn == sn) & ~pd.isna(cn)
+    customer = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    oc = bucketed_join(
+        orders, customer, on="o_custkey", right_on="c_custkey"
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
         rev_cc = pc.multiply(
             _cents(b["l_extendedprice"]),
             pc.subtract(pa.scalar(100, pa.int64()), _cents(b["l_discount"])),
-        ).to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"], "l_suppkey": b["l_suppkey"],
+             "rev_cc": rev_cc}
+        )
+
+    joined = bucketed_join(
+        li.map_batches(prep, batch_format="pyarrow"),
+        oc, on="l_orderkey", right_on="o_orderkey",
+    )
+
+    def resolve(b: pa.Table) -> pa.Table:
+        supp_n, nat_name = get_broadcast(ref)
+        sn = pd.Series(b["l_suppkey"].to_numpy(zero_copy_only=False)).map(supp_n).to_numpy()
+        cn = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = (cn == sn) & ~pd.isna(cn)
         names = pd.Series(cn[keep]).map(nat_name).to_numpy()
         return pa.table(
             {"n_name": pa.array(names, pa.string()),
-             "rev_cc": pa.array(rev_cc[keep], pa.int64())}
+             "rev_cc": pa.array(b["rev_cc"].to_numpy(zero_copy_only=False)[keep], pa.int64())}
         )
 
-    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    resolved = li.map_batches(resolve, batch_format="pyarrow")
+    resolved = joined.map_batches(resolve, batch_format="pyarrow")
     out = partial_groupby_sum(resolved, ["n_name"], {"rev_cc": "rev_cc"})
 
     def finish(b: pa.Table) -> pa.Table:
@@ -504,12 +535,18 @@ FROM documents
 
 def doc_quality(sf_dir: str):
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(quality_batch, batch_format="pyarrow").to_pandas()
-    # Python round (correctly-rounded decimal) matches DuckDB's round;
-    # Arrow's scaled round can land 1 ulp off the same input double
-    for c in ("stop_ratio", "mean_token_len", "quality"):
-        out[c] = out[c].map(lambda v: round(v, 6))
-    return out
+    out = ds.map_batches(quality_batch, batch_format="pyarrow")
+
+    def round6(df: pd.DataFrame) -> pd.DataFrame:
+        # Python round (correctly-rounded decimal) matches DuckDB's round;
+        # Arrow/numpy scaled rounds can land 1 ulp off the same double.
+        # Runs distributed inside tasks (3 cheap scalar cols), NOT on the
+        # driver — the result stays a streaming Dataset.
+        for c in ("stop_ratio", "mean_token_len", "quality"):
+            df[c] = df[c].map(lambda v: round(v, 6))
+        return df
+
+    return out.map_batches(round6, batch_format="pandas")
 
 
 DOC_QUALITY_SQL = f"""
@@ -568,9 +605,8 @@ def knn_brute(sf_dir: str):
     from code_graph_rag_ray.stages.similarity import knn_brute_force
 
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qdf = pd.DataFrame(
-        [r for r in ds.take_all() if r["vec_id"] < 5]
-    ).sort_values("vec_id")
+    # predicate runs in tasks; only the 5 query rows reach the driver
+    qdf = pd.DataFrame(ds.filter(expr="vec_id < 5").take_all()).sort_values("vec_id")
     queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf.embedding])
     out = knn_brute_force(ds, queries, qdf.vec_id.tolist(), k=10)
 
@@ -765,9 +801,7 @@ def knn_lsh_recall(sf_dir: str):
     from code_graph_rag_ray.stages.similarity import knn_brute_force, knn_lsh
 
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = sorted(
-        (r for r in ds.take_all() if r["vec_id"] < 5), key=lambda r: r["vec_id"]
-    )
+    qrows = sorted(ds.filter(expr="vec_id < 5").take_all(), key=lambda r: r["vec_id"])
     queries = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
     qids = [r["vec_id"] for r in qrows]
     brute = knn_brute_force(ds, queries, qids, k=10).to_pandas()

@@ -61,72 +61,160 @@ def broadcast_semi_join(ds: Dataset, keys: set, *, on: str, anti: bool = False) 
     return ds.map_batches(semi, batch_format="pyarrow")
 
 
+def _pack_side(
+    key_col: str, keep_cols: list[str], side: int, num_buckets: int,
+    drop_null_keys: bool,
+):
+    """Batch fn: rows → one (bucket, side, ipc-blob) row per bucket present
+    in the batch. The blob is the Arrow-IPC serialization of that bucket's
+    sub-table (``__key`` + this side's payload columns only) — the shuffle
+    ships exactly the real data, never a null-padded superset of both
+    schemas, and the exchanged ROW count is O(batches × buckets), not
+    O(input rows)."""
+    import numpy as np
+
+    import pyarrow.compute as pc
+
+    from code_graph_rag_ray.functions.hashing import partition_ids
+
+    def pack(b: pa.Table) -> pa.Table:
+        key = pc.cast(b[key_col], pa.string())
+        if drop_null_keys and b.num_rows:
+            valid = pc.is_valid(key)
+            if not (pc.all(valid).as_py() or False):
+                b = b.filter(valid)
+                key = pc.cast(b[key_col], pa.string())
+        empty = pa.table(
+            {"__bucket": pa.array([], pa.int32()),
+             "__side": pa.array([], pa.int8()),
+             "__blob": pa.array([], pa.binary())}
+        )
+        if b.num_rows == 0:
+            return empty
+        sub = pa.table({"__key": key, **{c: b[c] for c in keep_cols}})
+        buckets = partition_ids(key, num_buckets)
+        order = np.argsort(buckets, kind="stable")
+        sorted_tbl = sub.take(pa.array(order, pa.int64()))
+        sb = buckets[order]
+        uniq, starts = np.unique(sb, return_index=True)
+        ends = np.append(starts[1:], len(sb))
+        blobs = []
+        for s, e in zip(starts, ends):
+            t = sorted_tbl.slice(int(s), int(e - s))
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, t.schema) as w:
+                w.write_table(t)
+            blobs.append(sink.getvalue().to_pybytes())
+        return pa.table(
+            {"__bucket": pa.array(uniq.astype("int32")),
+             "__side": pa.array([side] * len(uniq), pa.int8()),
+             "__blob": pa.array(blobs, pa.binary())}
+        )
+
+    return pack
+
+
+def _arrow_schema(ds: Dataset) -> pa.Schema:
+    """Dataset schema as a ``pa.Schema`` — a dataset whose last stage ran in
+    pandas format reports a PandasBlockSchema (numpy dtypes), which cannot
+    parameterize Arrow empty tables. Object dtype maps to string (join keys
+    and payloads here are scalars)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, t in zip(s.names, s.types):
+        if isinstance(t, pa.DataType):
+            fields.append((name, t))
+        else:
+            try:
+                fields.append((name, pa.from_numpy_dtype(t)))
+            except (pa.ArrowNotImplementedError, TypeError):
+                fields.append((name, pa.string()))
+    return pa.schema(fields)
+
+
 def bucketed_join(
     left: Dataset,
     right: Dataset,
     *,
     on: str,
     right_on: str | None = None,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     how: str = "inner",
 ) -> Dataset:
     """Large-large equi-join as an explicit bucketed cogroup hash join.
 
-    Both sides get ``bucket = crc32(key) % B``; the union is grouped by
-    bucket and each group does ONE vectorized pandas merge. This is the
-    portable partitioned-hash-join pattern (ray_guide «Joins»): we use it
-    instead of ``Dataset.join`` because Ray 2.49's join emits schema-less
-    empty hash partitions that break on sparse keys (see
-    stages/components.py). Hot keys: all rows of one key share a bucket but
-    the merge is columnar; raise ``num_buckets`` or pre-salt a known whale
-    key if a single bucket outgrows a worker.
+    Each side's batches are packed into per-bucket Arrow-IPC blobs
+    (:func:`_pack_side`); the union is grouped by bucket and each group
+    deserializes its blobs and does ONE vectorized pandas merge. This is the
+    portable partitioned-hash-join pattern (ray_guide «Joins») used instead
+    of ``Dataset.join`` because Ray 2.49's join emits schema-less empty hash
+    partitions that break on sparse keys (see stages/components.py).
+
+    Scale properties: the shuffle payload is exactly each side's own
+    columns (no null-padding to the union schema — the round-1 version
+    shipped ~2× width), and ``num_buckets`` defaults to 2×cluster-CPUs
+    (min 32) instead of a fixed constant; size it as input_bytes/256 MB on
+    a real cluster so one bucket's merge fits a worker. Hot keys: all rows
+    of one key share a bucket but the merge is columnar; raise
+    ``num_buckets`` or pre-salt a known whale key if a bucket outgrows a
+    worker.
+
+    Null keys follow SQL semantics: null never equals null, so null-key
+    rows are dropped on both sides for inner joins (and on the right for
+    left joins) BEFORE the shuffle — a pandas merge would otherwise match
+    NaN keys to each other.
 
     Column collision: right-side columns that clash with left names get a
     ``_r`` suffix (except the join key, which is dropped from the right).
     """
-    from code_graph_rag_ray.functions.hashing import partition_ids
+    if num_buckets is None:
+        try:
+            import ray
+
+            ncpu = int(ray.cluster_resources().get("CPU", 16))
+        except Exception:  # pragma: no cover - no cluster yet
+            ncpu = 16
+        num_buckets = max(32, 2 * ncpu)
 
     rkey = right_on or on
-
-    lschema, rschema = left.schema(), right.schema()
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
+    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
     lcols = list(lschema.names)
     rcols = [c for c in rschema.names if c != rkey]
     rename_r = {c: (c + "_r" if c in lcols else c) for c in rcols}
+    lblob_schema = pa.schema(
+        [("__key", pa.string())] + [(c, lschema.field(c).type) for c in lcols]
+    )
+    rblob_schema = pa.schema(
+        [("__key", pa.string())] + [(c, rschema.field(c).type) for c in rcols]
+    )
+    out_cols = lcols + [rename_r[c] for c in rcols]
 
-    def tag_left(b: pa.Table) -> pa.Table:
-        key = b[on].cast(pa.string())
-        out = {"__bucket": pa.array(partition_ids(key, num_buckets), pa.int32()),
-               "__side": pa.array([0] * b.num_rows, pa.int8()), "__key": key}
-        for c in lcols:
-            out["l_" + c] = b[c]
-        for c in rcols:
-            out["r_" + rename_r[c]] = pa.nulls(b.num_rows, rtypes[c])
-        return pa.table(out)
-
-    def tag_right(b: pa.Table) -> pa.Table:
-        key = b[rkey].cast(pa.string())
-        out = {"__bucket": pa.array(partition_ids(key, num_buckets), pa.int32()),
-               "__side": pa.array([1] * b.num_rows, pa.int8()), "__key": key}
-        for c in lcols:
-            out["l_" + c] = pa.nulls(b.num_rows, ltypes[c])
-        for c in rcols:
-            out["r_" + rename_r[c]] = b[c]
-        return pa.table(out)
-
-    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
-        right.map_batches(tag_right, batch_format="pyarrow")
+    tagged = left.map_batches(
+        _pack_side(on, lcols, 0, num_buckets, drop_null_keys=(how == "inner")),
+        batch_format="pyarrow",
+    ).union(
+        right.map_batches(
+            _pack_side(rkey, rcols, 1, num_buckets, drop_null_keys=True),
+            batch_format="pyarrow",
+        )
     )
 
-    out_l = {"l_" + c: c for c in lcols}
-    out_r = {"r_" + rename_r[c]: rename_r[c] for c in rcols}
+    def _read_side(blobs, schema: pa.Schema) -> pd.DataFrame:
+        tabs = [pa.ipc.open_stream(pa.py_buffer(x)).read_all() for x in blobs]
+        if not tabs:
+            tabs = [schema.empty_table()]
+        return pa.concat_tables(tabs).to_pandas()
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g["__side"] == 0][["__key", *out_l]].rename(columns=out_l)
-        rf = g[g["__side"] == 1][["__key", *out_r]].rename(columns=out_r)
+        lf = _read_side(g.loc[g["__side"] == 0, "__blob"], lblob_schema)
+        rf = _read_side(g.loc[g["__side"] == 1, "__blob"], rblob_schema).rename(
+            columns=rename_r
+        )
         m = lf.merge(rf, on="__key", how=how)
-        return m.drop(columns=["__key"])
+        return m[out_cols]
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
 

@@ -92,3 +92,31 @@ def test_exact_dedup_rows_row_atomic():
     out = exact_dedup_rows(ds, keys=["k"], sort_cols=["k", "p"]).to_pandas()
     assert len(out) == 1
     assert out.iloc[0].p == 1 and out.iloc[0].q == "y"  # whole winning row
+
+
+def test_bucketed_join_null_keys_sql_semantics():
+    """SQL semantics: null join keys never match (pandas merge would)."""
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    left = _ds([{"k": "a", "v": 1}, {"k": None, "v": 2}])
+    right = _ds([{"k": "a", "w": 10}, {"k": None, "w": 20}])
+    inner = bucketed_join(left, right, on="k", num_buckets=4).to_pandas()
+    assert len(inner) == 1 and inner.iloc[0].v == 1 and inner.iloc[0].w == 10
+
+    lo = bucketed_join(left, right, on="k", num_buckets=4, how="left").to_pandas()
+    assert len(lo) == 2
+    assert lo[lo.v == 2].w.isna().all()  # null-key left row kept, unmatched
+
+
+def test_bucketed_join_skewed_whale_key():
+    """One whale key (80% of rows on both sides) must join exactly."""
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    left = _ds(
+        [{"k": "whale" if i % 5 else f"t{i}", "v": i} for i in range(200)]
+    )
+    right = _ds([{"k": "whale", "w": 1}, {"k": "t5", "w": 2}, {"k": "zzz", "w": 3}])
+    out = bucketed_join(left, right, on="k", num_buckets=8).to_pandas()
+    n_whale_left = sum(1 for i in range(200) if i % 5)
+    assert len(out) == n_whale_left + 1  # every whale row + the t5 row
+    assert (out[out.k == "whale"].w == 1).all()
