@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count
 
@@ -52,33 +53,94 @@ def canonicalize_entities(
     *,
     num_partitions: int = 16,
 ) -> Dataset:
-    """Linked mentions → node table.
+    """Linked mentions → node table — DISTRIBUTED end to end.
 
-    Output: (entity_id, label, name, norm_name, n_mentions, name_family).
+    Output: (entity_id, name, label, norm_name, n_mentions, name_family).
     ``label`` ∈ {Entity, ExternalEntity} (cgr node-label analog: internal
     definitions vs ExternalModule, ``constants/graph.py:87-109``).
+
+    Externals are minted from arbitrary proper-noun runs in page text, so
+    at web scale the node universe is CORPUS-sized, not dictionary-sized —
+    every assembly step therefore stays a dataset op: mention counts via
+    groupby, the dictionary↔counts left join and the family join via the
+    bucketed cogroup join, and the variant-suffix rank via a per-norm_name
+    ``map_groups``. Only the alias dictionary itself (the broadcast side)
+    is driver-resident. ``Dataset.join`` is deliberately NOT used: Ray 2.49
+    materializes empty hash partitions with no schema, which breaks
+    pyarrow's join on sparse keys (see stages/components.py).
     """
     import ray.data as rd
 
-    # DISTRIBUTED part 1: mention counts per entity — the only input that
-    # scales with the corpus. Output is bounded by |dictionary ∪ observed
-    # externals| (dictionary-scale).
-    counts_df = (
-        mentions.groupby("entity_id")
-        .aggregate(Count(alias_name="n_mentions"))
-        .to_pandas()
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    # DISTRIBUTED 1: mention counts per entity (groupby pre-reduces per
+    # block, so head entities shrink before the exchange).
+    counts = mentions.groupby("entity_id").aggregate(Count(alias_name="n_mentions"))
+
+    def only_ext(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.starts_with(b["entity_id"], "ext::"))
+        # ext:: ids were minted via normalize_surface, so the stripped name
+        # is already canonical
+        return pa.table(
+            {"entity_id": f["entity_id"],
+             "name": pc.utf8_slice_codeunits(f["entity_id"], start=len("ext::"), stop=2**30),
+             "n_mentions": pc.cast(f["n_mentions"], pa.int64()),
+             "label": pa.array(["ExternalEntity"] * f.num_rows, pa.string())}
+        )
+
+    def only_internal(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.starts_with(b["entity_id"], "ext::")))
+
+    ext_nodes = counts.map_batches(only_ext, batch_format="pyarrow")
+    internal_counts = counts.map_batches(only_internal, batch_format="pyarrow")
+
+    # node universe base = every DICTIONARY entity (cgr: every registered
+    # definition gets a node whether or not it is referenced,
+    # function_registry.py:18-60) — dictionary-scale, ships as a dataset
+    names = canonical_name_map(alias_tbl)
+    base = rd.from_arrow(
+        pa.table(
+            {"entity_id": pa.array(sorted(names), pa.string()),
+             "name": pa.array([names[k] for k in sorted(names)], pa.string())}
+        )
+    )
+    base_counts = bucketed_join(
+        base, internal_counts, on="entity_id", how="left"
     )
 
-    # DISTRIBUTED part 2: name families — CC over the alias↔entity bipartite
-    # graph (A3 analog). NOTE: Dataset.join is deliberately NOT used
-    # anywhere here: in Ray 2.49 a join materializes empty hash partitions
-    # with NO schema, which breaks pyarrow's join for sparse keys
-    # (ArrowInvalid: No match for FieldRef) — observed deterministically.
-    # The assembly below is dictionary-scale, so vectorized pandas merges on
-    # the driver are the honest equivalent of cgr's in-memory registry
-    # (function_registry.py); at a scale where externals outgrow the driver,
-    # swap these merges for the cogroup pattern in stages/components.py.
-    fam_df = None
+    def finish_internal(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_mentions"] = df["n_mentions"].fillna(0).astype("int64")
+        df["label"] = "Entity"
+        return df[["entity_id", "name", "n_mentions", "label"]]
+
+    internal_nodes = base_counts.map_batches(finish_internal, batch_format="pandas")
+    nodes = internal_nodes.union(ext_nodes)
+
+    def add_norm(b: pa.Table) -> pa.Table:
+        # vectorized normalize_surface (lower == casefold for this ASCII
+        # name space; whitespace collapse + trim matches str.split/join)
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(b["name"]), pattern=r"\s+", replacement=" "
+            )
+        )
+        return b.append_column("norm_name", norm)
+
+    nodes = nodes.map_batches(add_norm, batch_format="pyarrow")
+
+    # duplicate-identity variant suffix: deterministic rank within
+    # norm_name (sorted by entity id — content-determined, never arrival
+    # order); one cheap per-group pass, group cardinality = name collisions
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("entity_id", kind="mergesort").reset_index(drop=True)
+        k = np.arange(len(g))
+        g["name"] = np.where(k > 0, g["name"] + "@" + k.astype(str), g["name"])
+        return g
+
+    nodes = nodes.groupby("norm_name").map_groups(rank_group, batch_format="pandas")
+
+    # DISTRIBUTED 2: name families — CC over the alias↔entity bipartite
+    # graph (A3 analog), joined back per entity.
     alias_edges_rows = [
         {"src": "s::" + normalize_surface(r["alias"]), "dst": r["entity_id"]}
         for r in alias_tbl.to_pylist()
@@ -86,45 +148,20 @@ def canonicalize_entities(
     if alias_edges_rows:
         alias_edges = rd.from_arrow(pa.Table.from_pylist(alias_edges_rows))
         comp = connected_components(alias_edges, num_partitions=num_partitions)
-        fam_df = comp.to_pandas().rename(
-            columns={"node": "entity_id", "component": "name_family"}
+        fam = comp.map_batches(
+            lambda b: pa.table(
+                {"entity_id": b["node"], "name_family": b["component"]}
+            ),
+            batch_format="pyarrow",
         )
-
-    # node universe = every DICTIONARY entity (cgr: every registered
-    # definition gets a node whether or not it is referenced,
-    # function_registry.py:18-60) ∪ observed External entities
-    names = canonical_name_map(alias_tbl)
-    base = pd.DataFrame(
-        {"entity_id": sorted(names), "name": [names[k] for k in sorted(names)]}
-    )
-    ext_ids = counts_df[counts_df.entity_id.str.startswith("ext::")].entity_id
-    ext = pd.DataFrame(
-        {"entity_id": ext_ids, "name": ext_ids.str[len("ext::"):]}
-    )
-    nodes = pd.concat([base, ext], ignore_index=True)
-    nodes = nodes.merge(counts_df, how="left", on="entity_id")
-    nodes["n_mentions"] = nodes["n_mentions"].fillna(0).astype("int64")
-    nodes["label"] = np.where(
-        nodes.entity_id.str.startswith("ext::"), "ExternalEntity", "Entity"
-    )
-    nodes["norm_name"] = nodes["name"].map(normalize_surface)
-
-    # duplicate-identity variant suffix: deterministic rank within norm_name
-    # (sorted by entity id — content-determined, never arrival order)
-    nodes = nodes.sort_values(["norm_name", "entity_id"], kind="mergesort")
-    rank = nodes.groupby("norm_name").cumcount()
-    nodes["name"] = np.where(
-        rank > 0, nodes["name"] + "@" + rank.astype(str), nodes["name"]
-    )
-
-    if fam_df is not None:
-        nodes = nodes.merge(fam_df, how="left", on="entity_id")
+        nodes = bucketed_join(nodes, fam, on="entity_id", how="left")
     else:
-        nodes["name_family"] = None
-    nodes = nodes.reset_index(drop=True)
-    return rd.from_arrow(
-        pa.Table.from_pandas(
-            nodes[["entity_id", "name", "label", "norm_name", "n_mentions", "name_family"]],
-            preserve_index=False,
+        nodes = nodes.map_batches(
+            lambda b: b.append_column("name_family", pa.nulls(b.num_rows, pa.string())),
+            batch_format="pyarrow",
         )
-    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["entity_id", "name", "label", "norm_name", "n_mentions", "name_family"]]
+
+    return nodes.map_batches(project, batch_format="pandas")

@@ -162,12 +162,17 @@ def minhash_near_dup_pairs(
 ) -> Dataset:
     """MinHash+LSH near-dup: candidate pairs verified by true Jaccard.
 
-    Returns (a, b, jaccard) with a < b and jaccard ≥ threshold. Verification
-    re-reads the two texts via a broadcast id→text lookup built from ``ds``
-    — valid while the dup-suspect universe fits the object store; for the
-    100 TB path, swap the verify stage for a bucket-cogroup carrying texts.
+    Returns (a, b, truncated, jaccard) with a < b and jaccard ≥ threshold.
+
+    Scale shape: signatures/bands are stateless batch work; candidate
+    generation is the band-bucket groupby (``max_group``-capped, truncation
+    recorded); verification texts reach the pairs through two DISTRIBUTED
+    bucketed joins (pairs ⋈ texts on ``a``, then on ``b``) — never a
+    driver-side whole-corpus broadcast, so the dup-suspect universe can
+    exceed any single machine.
     """
-    import ray
+    from code_graph_rag_ray.stages.materialize import exact_dedup
+    from code_graph_rag_ray.stages.relational import bucketed_join
 
     bucket_rows = ds.map_batches(
         minhash_bands_batch_factory(
@@ -177,25 +182,35 @@ def minhash_near_dup_pairs(
         batch_format="pyarrow",
     )
     cand = _pairs_from_buckets(bucket_rows, ["band", "band_hash"], id_col, max_group=max_group)
-    # dedup candidate pairs surfaced by multiple bands
-    from code_graph_rag_ray.stages.materialize import exact_dedup
+    # dedup candidate pairs surfaced by multiple bands; pin the (small)
+    # pair set so the emptiness probe below doesn't re-run the LSH pipeline
+    cand = exact_dedup(cand, keys=["a", "b"], sort_cols=["a", "b"]).materialize()
+    if cand.count() == 0:
+        import ray.data as rd
 
-    cand = exact_dedup(cand, keys=["a", "b"], sort_cols=["a", "b"])
+        return rd.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "truncated": pa.array([], pa.bool_()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
 
-    from code_graph_rag_ray.functions.broadcast import get_broadcast
-
-    texts = {r[id_col]: r[text_col] for r in ds.select_columns([id_col, text_col]).take_all()}
-    text_ref = ray.put(texts)
+    texts = ds.select_columns([id_col, text_col])
+    with_a = bucketed_join(cand, texts, on="a", right_on=id_col)
+    # second join brings the b-side text; the collision rename yields
+    # ``<text_col>_r``
+    with_b = bucketed_join(with_a, texts, on="b", right_on=id_col)
 
     def verify(batch: pa.Table) -> pa.Table:
-        lookup = get_broadcast(text_ref)
-        a = batch["a"].to_pylist()
-        b = batch["b"].to_pylist()
-        js = [jaccard(lookup.get(x, ""), lookup.get(y, ""), shingle) for x, y in zip(a, b)]
-        t = batch.append_column("jaccard", pa.array(js, pa.float64()))
+        ta = batch[text_col].to_pylist()
+        tb = batch[text_col + "_r"].to_pylist()
+        js = [jaccard(x or "", y or "", shingle) for x, y in zip(ta, tb)]
+        t = pa.table(
+            {"a": batch["a"], "b": batch["b"], "truncated": batch["truncated"],
+             "jaccard": pa.array(js, pa.float64())}
+        )
         return t.filter(pa.compute.greater_equal(t["jaccard"], verify_threshold))
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return with_b.map_batches(verify, batch_format="pyarrow")
 
 
 def near_dup_clusters(pairs: Dataset, *, max_iter: int = 6) -> Dataset:

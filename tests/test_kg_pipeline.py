@@ -154,3 +154,50 @@ def test_head_entity_skew_present(pages_fixture):
 
     gold = collections.Counter(r["subj"] for r in fx.expected_triples.to_pylist())
     assert gold["E00000"] / sum(gold.values()) > 0.4
+
+
+def test_canonicalize_externals_exceed_dictionary():
+    """Node assembly must be distributed: a corpus whose EXTERNAL entity
+    universe dwarfs the dictionary (the web-scale shape — externals are
+    minted from arbitrary proper-noun runs) still builds a correct node
+    table, with counts, labels and variant suffixes intact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.canonicalize import canonicalize_entities
+    from code_graph_rag_ray.stages.linking import MENTION_SCHEMA
+
+    alias_tbl = pa.Table.from_pylist(
+        [{"alias": "Acme Corp", "entity_id": "E0", "prior": 1.0},
+         {"alias": "Acme corp", "entity_id": "E1", "prior": 1.0}],  # norm collision
+        schema=pa.schema([("alias", pa.string()), ("entity_id", pa.string()),
+                          ("prior", pa.float64())]),
+    )
+    n_ext = 500  # >> 2 dictionary entries
+    rows = []
+    for i in range(n_ext):
+        eid = f"ext::unknown co {i}"
+        reps = 1 + (i % 3)
+        for r in range(reps):
+            rows.append(
+                {"url": f"https://x/{i}/{r}", "start": 0, "end": 5,
+                 "surface": f"Unknown Co {i}", "entity_id": eid,
+                 "method": "external", "rel": "acquired",
+                 "obj_entity_id": "E0", "lang": "en"}
+            )
+    rows.append({"url": "https://x/e0", "start": 0, "end": 9,
+                 "surface": "Acme Corp", "entity_id": "E0", "method": "exact",
+                 "rel": None, "obj_entity_id": None, "lang": "en"})
+    mentions = rd.from_arrow(pa.Table.from_pylist(rows, schema=MENTION_SCHEMA))
+
+    nodes = canonicalize_entities(mentions, alias_tbl).to_pandas()
+    assert len(nodes) == n_ext + 2
+    ext = nodes[nodes.label == "ExternalEntity"]
+    assert len(ext) == n_ext
+    by_id = nodes.set_index("entity_id")
+    assert by_id.loc["ext::unknown co 7", "n_mentions"] == 1 + (7 % 3)
+    assert by_id.loc["E0", "n_mentions"] == 1
+    assert by_id.loc["E1", "n_mentions"] == 0  # dictionary node, unreferenced
+    # variant suffix: E0/E1 share a norm_name; rank by sorted entity id
+    assert by_id.loc["E0", "name"] == "Acme Corp"
+    assert by_id.loc["E1", "name"] == "Acme corp@1"
