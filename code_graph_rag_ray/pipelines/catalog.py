@@ -743,8 +743,84 @@ def page_extract_text(sf_dir: str):
 
 PAGE_EXTRACT_TEXT_SQL = """
 SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
-       'doc ' || doc_id || chr(10) || text AS text
+       'doc ' || doc_id || chr(10) || text || chr(10) || 'ref ref' AS text
 FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# hyperlink graph (M8-href / J4 / J8 analogs)
+# ---------------------------------------------------------------------------
+
+def page_links(sf_dir: str):
+    """Raw hyperlink extraction (M8 href analog): every <a href> target per
+    page, vectorized from the raw html BEFORE tag-stripping."""
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+    from code_graph_rag_ray.stages.links import extract_links
+
+    return extract_links(pages_from_documents(sf_dir))
+
+
+PAGE_LINKS_SQL = """
+WITH p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1,
+         'https://ext-' || (doc_id % 7) || '.example.net/' AS t2
+  FROM documents)
+SELECT url, t1 AS target FROM p
+UNION ALL
+SELECT url, t2 AS target FROM p
+"""
+
+
+def page_links_internal(sf_dir: str):
+    """J4/J8 analog: link targets semi-joined against the corpus url set
+    (bucketed cogroup, both sides corpus-scale) → links_to edges. Dangling
+    targets emit NO edge (cgr's deferred-import verification rule)."""
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+    from code_graph_rag_ray.stages.links import extract_links, resolve_links
+
+    pages = pages_from_documents(sf_dir)
+    links = extract_links(pages)
+    return resolve_links(links, pages.select_columns(["url"]))["internal"]
+
+
+PAGE_LINKS_INTERNAL_SQL = """
+WITH p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1
+  FROM documents)
+SELECT a.url AS src_url, a.t1 AS dst_url
+FROM p a JOIN (SELECT url FROM p) b ON a.t1 = b.url
+"""
+
+
+def page_ext_sites(sf_dir: str):
+    """Anti-join side of link resolution: targets with no corpus page
+    aggregate into ext_site nodes (site host, inbound-link count) — the
+    ExternalModule-minting rule of import_processor.py:861-983."""
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+    from code_graph_rag_ray.stages.links import extract_links, resolve_links
+
+    pages = pages_from_documents(sf_dir)
+    links = extract_links(pages)
+    return resolve_links(links, pages.select_columns(["url"]))["external"]
+
+
+PAGE_EXT_SITES_SQL = """
+WITH p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1,
+         'ext-' || (doc_id % 7) || '.example.net' AS t2_site,
+         source || '.example.org' AS t1_site
+  FROM documents),
+u AS (
+  SELECT a.t1_site AS site
+  FROM p a LEFT JOIN (SELECT url FROM p) b ON a.t1 = b.url
+  WHERE b.url IS NULL
+  UNION ALL
+  SELECT t2_site AS site FROM p)
+SELECT site, count(*) AS n_links FROM u GROUP BY site
 """
 
 
@@ -896,6 +972,9 @@ QUERIES = {
     "kg_doc_nodes": kg_doc_nodes,
     "page_hosts": page_hosts,
     "page_extract_text": page_extract_text,
+    "page_links": page_links,
+    "page_links_internal": page_links_internal,
+    "page_ext_sites": page_ext_sites,
     "kg_fixture_pr": kg_fixture_pr,
     # rows-only (no SQL-expressible oracle; semantics pinned in tests/)
     "doc_minhash_pairs": doc_minhash_pairs,
@@ -930,5 +1009,8 @@ ORACLES = {
     "kg_doc_nodes": KG_DOC_NODES_SQL,
     "page_hosts": PAGE_HOSTS_SQL,
     "page_extract_text": PAGE_EXTRACT_TEXT_SQL,
+    "page_links": PAGE_LINKS_SQL,
+    "page_links_internal": PAGE_LINKS_INTERNAL_SQL,
+    "page_ext_sites": PAGE_EXT_SITES_SQL,
     "kg_fixture_pr": KG_FIXTURE_PR_SQL,
 }

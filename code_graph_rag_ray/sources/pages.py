@@ -95,6 +95,7 @@ class PagesFixture:
     expected_mentions: pa.Table
     expected_triples: pa.Table
     alias_dict: pa.Table
+    expected_links: pa.Table
 
 
 def _build_entities(n_entities: int, rng: np.random.Generator):
@@ -176,6 +177,7 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
     exp_text_rows: list[dict] = []
     mention_rows: list[dict] = []
     triple_rows: list[dict] = []
+    link_rows: list[dict] = []  # planted <a href> targets (M8-href ground truth)
 
     base_ts = 1_700_000_000_000_000  # fixed epoch micros (2023-11-14)
 
@@ -253,6 +255,7 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
                     if rng.random() < 0.25:
                         href = f"https://{HEAD_HOST}/page/{int(rng.integers(n_pages)):06d}"
                         emit(s_alias, f'<a href="{href}">{s_alias}</a>')
+                        link_rows.append({"url": url, "target": href})
                     else:
                         emit(s_alias)
                     mention_rows.append(
@@ -343,7 +346,14 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
              ("url", pa.string())]
         ),
     )
-    return PagesFixture(pages, expected_text, expected_mentions, expected_triples, alias_tbl)
+    expected_links = pa.Table.from_pylist(
+        link_rows,
+        schema=pa.schema([("url", pa.string()), ("target", pa.string())]),
+    )
+    return PagesFixture(
+        pages, expected_text, expected_mentions, expected_triples, alias_tbl,
+        expected_links,
+    )
 
 
 def write_fixture(out_dir: str, n_pages: int = 200, seed: int = 42) -> PagesFixture:
@@ -354,7 +364,8 @@ def write_fixture(out_dir: str, n_pages: int = 200, seed: int = 42) -> PagesFixt
 
     fx = generate_pages(n_pages, seed)
     os.makedirs(out_dir, exist_ok=True)
-    for name in ("pages", "expected_text", "expected_mentions", "expected_triples", "alias_dict"):
+    for name in ("pages", "expected_text", "expected_mentions", "expected_triples",
+                 "alias_dict", "expected_links"):
         pq.write_table(getattr(fx, name), os.path.join(out_dir, f"{name}.parquet"))
     return fx
 
@@ -366,21 +377,36 @@ def write_fixture(out_dir: str, n_pages: int = 200, seed: int = 42) -> PagesFixt
 def _docs_to_pages_batch(batch: pa.Table) -> pa.Table:
     """documents(doc_id, text, lang, source, …) → pages schema, one row each.
 
-    Deterministic wrap: the html body embeds the document text verbatim, so
-    ``extract_text(html) == 'doc <id>\\n' + text`` — which gives the DuckDB
-    oracle a closed form (``'doc ' || doc_id || chr(10) || text``).
+    Deterministic wrap with closed-form oracles:
+
+    - ``extract_text(html) == 'doc <id>\\n' + text + '\\nref ref'`` (DuckDB:
+      ``'doc ' || doc_id || chr(10) || text || chr(10) || 'ref ref'``),
+    - two planted ``<a href>`` targets per page (M8-href/J8 exercise):
+      an INTERNAL candidate ``https://<source>.example.org/doc/<doc_id//2>``
+      — a real page url iff document ``doc_id//2`` shares this document's
+      source (data-dependent, so the semi-join is non-trivial and
+      SQL-checkable) — and an always-EXTERNAL site link
+      ``https://ext-<doc_id%7>.example.net/``.
     """
+    import numpy as np
     import pyarrow.compute as pc
 
+    n = len(batch)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     doc_id = pc.cast(batch["doc_id"], pa.string())
+    half_id = pa.array((ids // 2).astype(str), pa.string())
+    ext_n = pa.array((ids % 7).astype(str), pa.string())
     url = pc.binary_join_element_wise(
-        pa.array(["https://"] * len(batch)), batch["source"],
-        pa.array([".example.org/doc/"] * len(batch)), doc_id, "",
+        pa.array(["https://"] * n), batch["source"],
+        pa.array([".example.org/doc/"] * n), doc_id, "",
     )
     html = pc.binary_join_element_wise(
-        pa.array(["<html><head><title>doc "] * len(batch)), doc_id,
-        pa.array(["</title></head><body><p>"] * len(batch)), batch["text"],
-        pa.array(["</p></body></html>"] * len(batch)), "",
+        pa.array(["<html><head><title>doc "] * n), doc_id,
+        pa.array(["</title></head><body><p>"] * n), batch["text"],
+        pa.array(['</p><p><a href="https://'] * n), batch["source"],
+        pa.array([".example.org/doc/"] * n), half_id,
+        pa.array(['">ref</a> <a href="https://ext-'] * n), ext_n,
+        pa.array(['.example.net/">ref</a></p></body></html>'] * n), "",
     )
     base = 1_700_000_000_000_000
     ts = pa.array(
