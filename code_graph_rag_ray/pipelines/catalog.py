@@ -565,6 +565,31 @@ FROM t
 """
 
 
+def doc_findings(sf_dir: str):
+    """Rule-based findings tier (M12 analog): pluggable RE2 rule registry
+    scanned vectorized per batch → typed finding rows."""
+    from code_graph_rag_ray.stages.findings import scan_findings
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return scan_findings(ds)
+
+
+_FINDING_RULES_SQL = (
+    ("long_token", "[a-z]{7,}", "info"),
+    ("s_word", r"\bs[a-z]+\b", "info"),
+    ("vowel_pair", "[aeiou]{2}", "info"),
+    ("number_run", "[0-9]+", "warn"),
+)
+
+DOC_FINDINGS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT doc_id, '{rid}' AS rule_id, '{sev}' AS severity,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_matches
+FROM documents
+WHERE len(regexp_extract_all(text, '{pat}')) > 0"""
+    for rid, pat, sev in _FINDING_RULES_SQL
+)
+
+
 def doc_fingerprint(sf_dir: str):
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
@@ -890,6 +915,23 @@ def knn_lsh_recall(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def doc_embeddings(sf_dir: str):
+    """Text-embedding stage (S8/T5 analog): documents → (doc_id, embedding)
+    via the deterministic feature-hashing embedder actor pool. Rows-only
+    (feature hashing has no SQL closed form); semantics pinned in
+    tests/test_embedding.py including the embed→near-dup chain."""
+    from code_graph_rag_ray.stages.embedding import embed_documents
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = embed_documents(ds, dim=64, concurrency=2, batch_size=256).to_pandas()
+    # stable scalar projection for the driver's value recorder
+    out["emb_norm"] = out["embedding"].map(
+        lambda v: round(float(np.linalg.norm(np.asarray(v, np.float64))), 4)
+    )
+    out["emb_head"] = out["embedding"].map(lambda v: round(float(v[0]), 6))
+    return out[["doc_id", "emb_norm", "emb_head"]]
+
+
 def doc_lang_pred(sf_dir: str):
     """Heuristic language-ID over documents (actor-pool stage)."""
     from code_graph_rag_ray.stages.text_analysis import LangId
@@ -965,6 +1007,7 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_fingerprint": doc_fingerprint,
+    "doc_findings": doc_findings,
     "doc_exact_dup_clusters": doc_exact_dup_clusters,
     "doc_lang_counts": doc_lang_counts,
     "knn_brute": knn_brute,
@@ -979,6 +1022,7 @@ QUERIES = {
     # rows-only (no SQL-expressible oracle; semantics pinned in tests/)
     "doc_minhash_pairs": doc_minhash_pairs,
     "doc_simhash": doc_simhash,
+    "doc_embeddings": doc_embeddings,
     "embedding_dup_pairs": embedding_dup_pairs,
     "knn_lsh_recall": knn_lsh_recall,
     "doc_lang_pred": doc_lang_pred,
@@ -1002,6 +1046,7 @@ ORACLES = {
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "doc_findings": DOC_FINDINGS_SQL,
     "doc_exact_dup_clusters": DOC_EXACT_DUP_SQL,
     "doc_lang_counts": DOC_LANG_COUNTS_SQL,
     "knn_brute": KNN_BRUTE_SQL,

@@ -54,6 +54,7 @@ def build_kg(
     alias_tbl: pa.Table,
     *,
     relations: dict[str, str] | None = None,
+    registry: dict | None = None,
     checkpoint_dir: str | None = None,
     linker_concurrency: int | None = None,
     num_partitions: int = 16,
@@ -83,7 +84,8 @@ def build_kg(
     def build_mentions() -> Dataset:
         text = pages.map_batches(extract_text_batch, batch_format="pyarrow")
         return link_mentions(
-            text, alias_ref, relations=relations, concurrency=linker_concurrency
+            text, alias_ref, relations=relations, registry=registry,
+            concurrency=linker_concurrency,
         )
 
     ckpt = None
@@ -187,6 +189,7 @@ def incremental_update(
     *,
     prev_mentions: Dataset,
     relations: dict[str, str] | None = None,
+    registry: dict | None = None,
     dedup_scope: str = "global",
     build_nodes: bool = True,
     num_partitions: int = 16,
@@ -228,7 +231,7 @@ def incremental_update(
     surviving = prev_mentions.map_batches(drop_changed, batch_format="pyarrow")
 
     text = changed_pages.map_batches(extract_text_batch, batch_format="pyarrow")
-    fresh = link_mentions(text, alias_ref, relations=relations)
+    fresh = link_mentions(text, alias_ref, relations=relations, registry=registry)
     mentions = surviving.union(fresh).materialize()
 
     return derive_graph_outputs(

@@ -229,27 +229,45 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 4,
     seed: int = 11,
     max_group: int = 500,
 ) -> Dataset:
-    """Embedding-cosine near-dup via random-hyperplane LSH buckets.
+    """Embedding-cosine near-dup via MULTI-TABLE random-hyperplane LSH.
 
-    Sign pattern of ``n_planes`` random projections buckets vectors; exact
-    cosine verification runs per bucket (numpy matmul inside map_groups).
+    One sign-bucket table misses any near-pair split by a single
+    hyperplane (at cosine 0.97 a pair lands in the same 8-plane bucket only
+    ~60% of the time — observed deterministically in tests). The standard
+    fix is banding: ``n_tables`` independent plane sets, a pair is a
+    candidate if it collides in ANY table (miss rate ≈ (1-p)^L). Vectors
+    ship through the bucket shuffle once per table (×L payload — the usual
+    LSH space/recall trade); exact cosine verification runs per
+    (table, bucket) group and duplicate pair hits across tables are removed
+    by the exact-dedup shuffle.
     """
+    from code_graph_rag_ray.stages.materialize import exact_dedup
+
     first = ds.take(1)
     dim = len(first[0][vec_col]) if first else 0
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes)) if dim else None
+    planes = rng.standard_normal((n_tables, dim, n_planes)) if dim else None
+    powers = (np.uint32(1) << np.arange(n_planes, dtype=np.uint32))
 
     def bucketize(b: pa.Table) -> pa.Table:
         vecs = np.stack([np.asarray(v, dtype=np.float32) for v in b[vec_col].to_pylist()])
-        signs = (vecs @ planes > 0).astype(np.uint32)
-        bucket = (signs << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
-        return pa.table(
-            {id_col: b[id_col], "bucket": pa.array(bucket, pa.int64()),
-             vec_col: b[vec_col]}
-        )
+        out = []
+        for t in range(n_tables):
+            signs = (vecs @ planes[t] > 0).astype(np.uint32)
+            bucket = (signs * powers).sum(axis=1)
+            out.append(
+                pa.table(
+                    {id_col: b[id_col],
+                     "table": pa.array(np.full(len(vecs), t, np.int32)),
+                     "bucket": pa.array(bucket.astype(np.int64)),
+                     vec_col: b[vec_col]}
+                )
+            )
+        return pa.concat_tables(out)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort").head(max_group)
@@ -267,8 +285,10 @@ def embedding_near_dup_pairs(
              "cosine": sims[ii, jj][keep].astype(float)}
         )
 
-    return (
+    pairs = (
         ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
+        .groupby(["table", "bucket"])
         .map_groups(verify, batch_format="pandas")
     )
+    # same pair can collide in several tables; cosine is identical per pair
+    return exact_dedup(pairs, keys=["a", "b"])

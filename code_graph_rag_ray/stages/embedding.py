@@ -1,0 +1,108 @@
+"""Text-embedding stage: deterministic feature-hashing embedder actor pool.
+
+The reference's embedding pass (S8/T5) fetches Function/Method rows,
+batch-embeds snippets with a loaded model and writes a vector store in
+fixed-size batches (``graph_updater.py:2051-2181``, batch size
+``config.py:278``). The Ray-native shape is a stateful actor-pool
+``map_batches`` stage: model/projection state built ONCE per actor in
+``__init__``, vectorized batch inference in ``__call__``, output written as
+a partitioned embeddings table consumed by the kNN / near-dup operators.
+
+No model weights exist in this environment, so the embedder is a
+deterministic feature-hashing vectorizer (word uni+bigram hashing with the
+sign trick, L2-normalized) — a real, pinnable embedding function whose Ray
+plumbing (actor signature, batch size, schema, downstream ANN compat) is
+exactly what a learned model stage needs; swap ``__init__`` for a model
+load to productionize.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from code_graph_rag_ray.functions.hashing import stable_hash_array
+from code_graph_rag_ray.stages.extract import _tokenize
+
+
+class FeatureHashEmbedder:
+    """Actor-pool stage: (id, text) batches → (id, embedding) rows.
+
+    Vectorized per batch: one flat tokenization (Arrow split + offsets),
+    one stable-hash pass over all tokens, bigram hashes by combining
+    adjacent token hashes, then a single ``np.add.at`` scatter into the
+    (docs × dim) matrix with the hashing-trick sign bit.
+    """
+
+    def __init__(self, dim: int = 64, id_col: str = "doc_id", text_col: str = "text"):
+        self.dim = dim
+        self.id_col = id_col
+        self.text_col = text_col
+        self._mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def _accumulate(self, mat: np.ndarray, h: np.ndarray, rows: np.ndarray) -> None:
+        idx = (h % np.uint64(self.dim)).astype(np.int64)
+        sign = np.where((h >> np.uint64(63)) & np.uint64(1), -1.0, 1.0)
+        np.add.at(mat, (rows, idx), sign)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        mat = np.zeros((n, self.dim), dtype=np.float64)
+        flat, row_idx, _offsets = _tokenize(batch[self.text_col])
+        if len(flat):
+            # drop empty tokens (split of "" yields one empty string —
+            # an empty document must embed to the zero vector)
+            import pyarrow.compute as pc
+
+            lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+            keep = np.flatnonzero(lens > 0)
+            flat = pc.take(flat, pa.array(keep, pa.int64()))
+            row_idx = row_idx[keep]
+        if len(flat):
+            h = stable_hash_array(flat)
+            self._accumulate(mat, h, row_idx)
+            # word bigrams: combine adjacent token hashes within a row
+            same = row_idx[:-1] == row_idx[1:]
+            h2 = (h[:-1] * self._mult + h[1:])[same]
+            self._accumulate(mat, h2, row_idx[:-1][same])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat /= norms
+        return pa.table(
+            {self.id_col: batch[self.id_col],
+             "embedding": pa.array(list(mat.astype(np.float32)),
+                                   pa.list_(pa.float32()))}
+        )
+
+
+def embed_documents(
+    ds: Dataset,
+    *,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int | None = 2,
+    batch_size: int | None = 256,
+    num_cpus: float = 1,
+) -> Dataset:
+    """Wire the embedding stage as a bounded actor pool.
+
+    ``concurrency=None`` degrades to stateless tasks (fine for the hashing
+    embedder; keep the pool when the per-actor state is a real model).
+    ``batch_size`` bounds per-inference memory — the analog of the
+    reference's batches-of-50 store writes.
+    """
+    if concurrency is None:
+        fn = FeatureHashEmbedder(dim, id_col, text_col)
+        return ds.map_batches(
+            lambda b: fn(b), batch_format="pyarrow", batch_size=batch_size
+        )
+    return ds.map_batches(
+        FeatureHashEmbedder,
+        fn_constructor_args=(dim, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )

@@ -30,12 +30,54 @@ Output schema (one row per detected mention):
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 
 import pyarrow as pa
 
 from code_graph_rag_ray.sources.pages import RELATIONS
 
 _CAP_RUN = re.compile(r"\b[A-Z][a-zA-Z0-9]*(?: [A-Z][a-zA-Z0-9]*)*\b")
+
+
+@dataclass(frozen=True)
+class ExtractorSpec:
+    """Per-content-type extraction spec — the analog of cgr's pluggable
+    ``LanguageSpec`` registry (``models.py:80-95``, ``language_spec.py``)
+    and its YAML ast-grep tier dispatched per language
+    (``ast_grep_tier.py:38-62``): drop a spec into the registry and pages
+    carrying that ``lang`` get their own relation-surface table.
+
+    ``relations`` maps in-text relation surfaces to predicate ids. At link
+    time a page's effective table is ``default ∪ lang_spec`` (lang-specific
+    surfaces EXTEND the default tier — unknown langs fall back to the
+    default alone, mirroring cgr's fallback tier for spec-less languages).
+    """
+
+    relations: tuple[tuple[str, str], ...]
+
+
+# Built-in registry: the default (en-shaped) tier plus two non-English
+# specs proving the plug point.
+DEFAULT_REGISTRY: dict[str, ExtractorSpec] = {
+    "fr": ExtractorSpec(
+        (("a acquis", "acquired"), ("a fondé", "founded"),
+         ("s'est associé à", "partnered_with"),
+         ("a investi dans", "invested_in"), ("a poursuivi", "sued"))
+    ),
+    "de": ExtractorSpec(
+        (("übernahm", "acquired"), ("gründete", "founded"),
+         ("kooperierte mit", "partnered_with"),
+         ("investierte in", "invested_in"), ("verklagte", "sued"))
+    ),
+}
+
+
+def _registry_key(registry: dict[str, ExtractorSpec] | None) -> tuple | None:
+    if registry is None:
+        return None
+    return tuple(
+        (lang, registry[lang].relations) for lang in sorted(registry)
+    )
 
 MENTION_SCHEMA = pa.schema(
     [
@@ -76,7 +118,12 @@ class MentionLinker:
     regex compilation — happens here in ``__init__``, once per actor.
     """
 
-    def __init__(self, alias_ref, relations: dict[str, str] | None = None):
+    def __init__(
+        self,
+        alias_ref,
+        relations: dict[str, str] | None = None,
+        registry: dict[str, ExtractorSpec] | None = None,
+    ):
         import ray
 
         alias_tbl = ray.get(alias_ref) if isinstance(alias_ref, ray.ObjectRef) else alias_ref
@@ -89,6 +136,13 @@ class MentionLinker:
             else None
         )
         self.relations = dict(RELATIONS) if relations is None else dict(relations)
+        # per-lang effective tables precomputed once per actor/worker
+        # (default ∪ lang spec; unknown langs use the default alone)
+        self.registry = DEFAULT_REGISTRY if registry is None else registry
+        self._rel_by_lang = {
+            lang: {**self.relations, **dict(spec.relations)}
+            for lang, spec in self.registry.items()
+        }
 
     # -- per-page resolution ------------------------------------------------
     def _link_page(self, url: str, text: str, lang: str, out: "_Cols") -> None:
@@ -131,9 +185,10 @@ class MentionLinker:
             eids[i] = eid
             methods[i] = method
 
-        # triple pairing: gap between consecutive mentions == relation surface
+        # triple pairing: gap between consecutive mentions == relation
+        # surface — dispatched per content type (lang) through the registry
         in_triple = bytearray(n)
-        relations = self.relations
+        relations = self._rel_by_lang.get(lang, self.relations)
         for i in range(n - 1):
             gap = text[spans[i][1] : spans[i + 1][0]].strip()
             pred = relations.get(gap)
@@ -215,7 +270,11 @@ def _table_content_key(tbl: pa.Table) -> tuple:
     return (tbl.num_rows, h.hexdigest())
 
 
-def _cached_linker(alias_ref, relations: dict[str, str] | None) -> MentionLinker:
+def _cached_linker(
+    alias_ref,
+    relations: dict[str, str] | None,
+    registry: dict[str, ExtractorSpec] | None = None,
+) -> MentionLinker:
     import ray
 
     key_ref = (
@@ -223,10 +282,14 @@ def _cached_linker(alias_ref, relations: dict[str, str] | None) -> MentionLinker
         if isinstance(alias_ref, ray.ObjectRef)
         else _table_content_key(alias_ref)
     )
-    key = (key_ref, None if relations is None else tuple(sorted(relations.items())))
+    key = (
+        key_ref,
+        None if relations is None else tuple(sorted(relations.items())),
+        _registry_key(registry),
+    )
     linker = _LINKER_CACHE.get(key)
     if linker is None:
-        linker = MentionLinker(alias_ref, relations)
+        linker = MentionLinker(alias_ref, relations, registry)
         _LINKER_CACHE[key] = linker
     return linker
 
@@ -236,6 +299,7 @@ def link_mentions(
     alias_ref,
     *,
     relations: dict[str, str] | None = None,
+    registry: dict[str, ExtractorSpec] | None = None,
     concurrency: int | None = None,
     batch_size: int | None = None,
 ):
@@ -257,7 +321,7 @@ def link_mentions(
     if concurrency is not None:
         return pages_text_ds.map_batches(
             MentionLinker,
-            fn_constructor_args=(alias_ref, relations),
+            fn_constructor_args=(alias_ref, relations, registry),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
@@ -265,6 +329,6 @@ def link_mentions(
         )
 
     def link(batch: pa.Table) -> pa.Table:
-        return _cached_linker(alias_ref, relations)(batch)
+        return _cached_linker(alias_ref, relations, registry)(batch)
 
     return pages_text_ds.map_batches(link, batch_format="pyarrow", batch_size=batch_size)

@@ -1,0 +1,81 @@
+"""Per-content-type extractor registry tests (M11 / §2.9 analog).
+
+The reference dispatches a pluggable per-language spec registry
+(``language_spec.py``, ``models.py:80-95``) with a YAML fallback tier for
+spec-less languages (``ast_grep_tier.py:38-62``). Here: pages carrying a
+``lang`` route through that lang's :class:`ExtractorSpec` relation table
+(default ∪ lang spec), unknown langs fall back to the default tier.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+from code_graph_rag_ray.stages.linking import (
+    DEFAULT_REGISTRY,
+    ExtractorSpec,
+    MentionLinker,
+    link_mentions,
+)
+
+_ALIAS = pa.Table.from_pylist(
+    [
+        {"alias": "Acme Systems", "entity_id": "E0", "prior": 1.0},
+        {"alias": "Orbit Labs", "entity_id": "E1", "prior": 1.0},
+    ],
+    schema=pa.schema(
+        [("alias", pa.string()), ("entity_id", pa.string()), ("prior", pa.float64())]
+    ),
+)
+
+
+def _pages(text: str, lang: str) -> pa.Table:
+    return pa.table(
+        {"url": pa.array(["https://x/1"]), "text": pa.array([text]),
+         "lang": pa.array([lang])}
+    )
+
+
+def _triples(linker: MentionLinker, text: str, lang: str):
+    out = linker(_pages(text, lang)).to_pandas()
+    return set(
+        map(tuple, out[out.rel.notna()][["entity_id", "rel", "obj_entity_id"]]
+            .itertuples(index=False))
+    )
+
+
+def test_fr_pages_link_through_fr_extractor():
+    linker = MentionLinker(_ALIAS)
+    text = "Acme Systems a acquis Orbit Labs ."
+    assert _triples(linker, text, "fr") == {("E0", "acquired", "E1")}
+    # the default (en) extractor alone does NOT pair the French surface —
+    # the registry dispatch is what makes it link
+    assert _triples(linker, text, "en") == set()
+
+
+def test_de_spec_and_default_fallback_tier():
+    linker = MentionLinker(_ALIAS)
+    de = "Acme Systems übernahm Orbit Labs ."
+    assert _triples(linker, de, "de") == {("E0", "acquired", "E1")}
+    # lang spec EXTENDS the default: English surfaces still pair on fr pages
+    en_shaped = "Acme Systems acquired Orbit Labs ."
+    assert _triples(linker, en_shaped, "fr") == {("E0", "acquired", "E1")}
+    # unknown lang falls back to the default tier
+    assert _triples(linker, en_shaped, "zz") == {("E0", "acquired", "E1")}
+
+
+def test_user_registry_plug_point():
+    reg = {"xx": ExtractorSpec((("zorbed", "acquired"),))}
+    linker = MentionLinker(_ALIAS, registry=reg)
+    text = "Acme Systems zorbed Orbit Labs ."
+    assert _triples(linker, text, "xx") == {("E0", "acquired", "E1")}
+    assert _triples(linker, text, "en") == set()
+    assert "fr" not in linker._rel_by_lang  # user registry replaces built-in
+
+
+def test_registry_through_dataset_stage():
+    ds = rd.from_arrow(_pages("Acme Systems a fondé Orbit Labs .", "fr"))
+    out = link_mentions(ds, _ALIAS, registry=DEFAULT_REGISTRY).to_pandas()
+    got = out[out.rel.notna()]
+    assert len(got) == 1 and got.iloc[0].rel == "founded"
