@@ -38,3 +38,22 @@ def get_broadcast(ref: Any) -> Any:
     while len(_CACHE) > _MAX_ENTRIES:
         _CACHE.popitem(last=False)
     return val
+
+
+def get_broadcast_transformed(ref: Any, key_suffix: str, transform) -> Any:
+    """Broadcast fetch + worker-cached derived view (e.g. the pandas frame
+    or a hash index built from a broadcast Arrow table) — the transform runs
+    once per worker, not once per batch."""
+    import ray
+
+    if not isinstance(ref, ray.ObjectRef):
+        return transform(ref)
+    key = ref.hex() + ":" + key_suffix
+    if key in _CACHE:
+        _CACHE.move_to_end(key)
+        return _CACHE[key]
+    val = transform(get_broadcast(ref))
+    _CACHE[key] = val
+    while len(_CACHE) > _MAX_ENTRIES:
+        _CACHE.popitem(last=False)
+    return val

@@ -167,14 +167,18 @@ def q3_top_revenue_orders(sf_dir: str):
         )
         return pa.table({"l_orderkey": b["l_orderkey"], "rev_cc": rev_cc})
 
-    joined = bucketed_join(
+    # lineitem streams against the (filtered) join OUTPUT held in the
+    # object store — worker-side broadcast, never on the driver. The
+    # broadcast side is the date+segment-filtered orders projection; if
+    # that outgrows a worker heap, switch to bucketed_join.
+    joined = broadcast_join(
         li.map_batches(add_rev, batch_format="pyarrow"),
         oc, on="l_orderkey", right_on="o_orderkey",
     )
     agg = partial_groupby_sum(
-        joined, ["l_orderkey", "o_orderdate"], {"rev_cc": "rev_cc"},
+        joined, ["o_orderkey", "o_orderdate"], {"rev_cc": "rev_cc"},
     )
-    top = top_k(agg, "rev_cc", 10).to_pandas().rename(columns={"l_orderkey": "o_orderkey"})
+    top = top_k(agg, "rev_cc", 10).to_pandas()
     top = top.sort_values(["rev_cc", "o_orderkey"], ascending=[False, True]).head(10)
     # integer half-away rounding to cents — exact, tie-mode independent
     top["revenue"] = ((top["rev_cc"] + 50) // 100) / 100.0
@@ -229,7 +233,11 @@ def q5_nation_revenue(sf_dir: str):
              "rev_cc": rev_cc}
         )
 
-    joined = bucketed_join(
+    # lineitem streams against the orders⋈customer OUTPUT via worker-side
+    # broadcast (object-store blocks, never the driver); at a scale where
+    # the orderkey→nationkey projection outgrows a worker heap, switch to
+    # bucketed_join.
+    joined = broadcast_join(
         li.map_batches(prep, batch_format="pyarrow"),
         oc, on="l_orderkey", right_on="o_orderkey",
     )

@@ -120,3 +120,14 @@ def test_bucketed_join_skewed_whale_key():
     n_whale_left = sum(1 for i in range(200) if i % 5)
     assert len(out) == n_whale_left + 1  # every whale row + the t5 row
     assert (out[out.k == "whale"].w == 1).all()
+
+
+def test_broadcast_join_dataset_small_side():
+    """Dataset small side: blocks broadcast via the object store (never the
+    driver), concat in a Ray task, worker-cached pandas index."""
+    big = _ds([{"k": i, "v": i * 10} for i in range(50)])
+    small = _ds([{"k": 7, "tag": "seven"}, {"k": 11, "tag": "eleven"}])
+    out = broadcast_join(big, small, on="k").to_pandas().sort_values("k")
+    assert list(out.k) == [7, 11]
+    assert list(out.tag) == ["seven", "eleven"]
+    assert list(out.v) == [70, 110]
