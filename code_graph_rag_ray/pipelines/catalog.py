@@ -893,6 +893,16 @@ def doc_simhash(sf_dir: str):
     return ds.map_batches(simhash_batch_factory(), batch_format="pyarrow")
 
 
+def doc_simhash_pairs(sf_dir: str):
+    """SimHash Hamming-banded near-dup pairs (rows-only; pigeonhole
+    banding semantics pinned in tests/test_dedup.py)."""
+    from code_graph_rag_ray.stages.dedup import simhash_near_dup_pairs
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = simhash_near_dup_pairs(ds, max_hamming=3).to_pandas()
+    return _ensure_cols(out, {"a": "int64", "b": "int64", "hamming": "int64"})
+
+
 def embedding_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup pairs via hyperplane-LSH buckets."""
     from code_graph_rag_ray.stages.dedup import embedding_near_dup_pairs
@@ -966,6 +976,17 @@ def media_features(sf_dir: str):
     return out[["media_id", "kind", "payload_bytes", "feature_norm"]]
 
 
+def events_debounce(sf_dir: str):
+    """Watch-mode debounce policy over the events table (§2.8 analog,
+    realtime_updater.py:88-163): per-user quiet-period + max-wait
+    coalescing. Rows-only (iterative semantics; pinned by unit tests with
+    hand-computed firings)."""
+    from code_graph_rag_ray.state.watch import debounce_events
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    return debounce_events(ds, quiet_s=600, max_wait_s=3600, path_col="user_id")
+
+
 def kg_fixture_pr(sf_dir: str):
     """North-rule gate as a query: run the FULL KG pipeline on the seeded
     pages fixture (planted ground truth) and emit triple precision/recall.
@@ -1030,11 +1051,13 @@ QUERIES = {
     # rows-only (no SQL-expressible oracle; semantics pinned in tests/)
     "doc_minhash_pairs": doc_minhash_pairs,
     "doc_simhash": doc_simhash,
+    "doc_simhash_pairs": doc_simhash_pairs,
     "doc_embeddings": doc_embeddings,
     "embedding_dup_pairs": embedding_dup_pairs,
     "knn_lsh_recall": knn_lsh_recall,
     "doc_lang_pred": doc_lang_pred,
     "media_features": media_features,
+    "events_debounce": events_debounce,
 }
 
 ORACLES = {

@@ -105,6 +105,75 @@ def simhash_batch_factory(*, bits: int = 64, shingle: int = 2,
     return fn
 
 
+def simhash_near_dup_pairs(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle: int = 2,
+    max_group: int = 500,
+) -> Dataset:
+    """SimHash near-dup pairs: (a, b, hamming) with hamming ≤ ``max_hamming``.
+
+    Completes the SimHash pipeline (round 1 stopped at the signature
+    column). Banded by the pigeonhole principle: the 64-bit signature is
+    split into ``max_hamming + 1`` equal bands — two signatures within
+    Hamming distance k must agree EXACTLY on at least one band, so
+    per-(band, band_value) buckets surface every qualifying pair. Exact
+    popcount verification runs on the candidate pairs; cross-band
+    duplicates are removed by the exact-dedup shuffle. Same scale shape as
+    the MinHash path: stateless signatures → bucket groupby → bounded
+    per-group pairing → verify.
+    """
+    from code_graph_rag_ray.stages.materialize import exact_dedup
+
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+    sig_fn = simhash_batch_factory(shingle=shingle, id_col=id_col, text_col=text_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sigs = sig_fn(batch)
+        sim = sigs["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        outs = []
+        for band in range(n_bands):
+            lo = np.uint64(band * band_bits)
+            mask = np.uint64((1 << band_bits) - 1)
+            val = ((sim >> lo) & mask).astype(np.int64)
+            outs.append(
+                pa.table(
+                    {id_col: sigs[id_col],
+                     "band": pa.array(np.full(len(sim), band, np.int32)),
+                     "band_val": pa.array(val),
+                     "simhash": sigs["simhash"]}
+                )
+            )
+        return pa.concat_tables(outs)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col, kind="mergesort").head(max_group)
+        ids = g[id_col].tolist()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        sims = g["simhash"].to_numpy().astype(np.uint64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        x = sims[ii] ^ sims[jj]
+        # vectorized popcount via the 8-bit lookup over the raw bytes
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"a": [ids[i] for i in ii[keep]], "b": [ids[j] for j in jj[keep]],
+             "hamming": ham[keep].astype("int64")}
+        )
+
+    cand = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "band_val"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return exact_dedup(cand, keys=["a", "b"])
+
+
 def jaccard(a: str, b: str, n: int = 3) -> float:
     sa, sb = set(_token_hashes(a, n).tolist()), set(_token_hashes(b, n).tolist())
     if not sa and not sb:

@@ -332,3 +332,48 @@ def link_mentions(
         return _cached_linker(alias_ref, relations, registry)(batch)
 
     return pages_text_ds.map_batches(link, batch_format="pyarrow", batch_size=batch_size)
+
+
+def link_mentions_two_tier(
+    pages_text_ds,
+    alias_ref,
+    *,
+    precise_langs: set[str],
+    registry: dict[str, ExtractorSpec] | None = None,
+    relations: dict[str, str] | None = None,
+    precise_concurrency: int = 2,
+):
+    """Two-tier extraction routing (M13/M14 analog).
+
+    cgr layers optional heavyweight frontends (libclang C++,
+    ``graph_updater.py:320-383``; Roslyn C#, ``:384-497``) over the cheap
+    tree-sitter default, routing inputs by predicate and merging results.
+    Here: pages whose ``lang`` is in ``precise_langs`` route to a bounded
+    ACTOR-POOL linker carrying the full per-lang registry (the expensive
+    precise tier — the place a loaded model or heavy parser would live);
+    everything else takes the cheap stateless-task tier with the default
+    relations only. The union feeds the same downstream derivation.
+
+    Both tiers filter the same upstream; materialize the input first if
+    the upstream scan is expensive enough that two passes matter.
+    """
+    import pyarrow.compute as pc
+
+    langs_arr = pa.array(sorted(precise_langs), pa.string())
+
+    def precise_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["lang"], value_set=langs_arr))
+
+    def cheap_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.is_in(b["lang"], value_set=langs_arr)))
+
+    cheap = link_mentions(
+        pages_text_ds.map_batches(cheap_rows, batch_format="pyarrow"),
+        alias_ref, relations=relations, registry={},
+    )
+    precise = link_mentions(
+        pages_text_ds.map_batches(precise_rows, batch_format="pyarrow"),
+        alias_ref, relations=relations, registry=registry,
+        concurrency=precise_concurrency,
+    )
+    return cheap.union(precise)

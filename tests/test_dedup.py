@@ -85,3 +85,32 @@ def test_embedding_near_dup_pairs():
     got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
     assert (1, 2) in got
     assert not any(3 in p for p in got)
+
+
+def test_simhash_near_dup_pairs_planted():
+    """Planted near-identical texts must pair within the Hamming budget;
+    unrelated docs must not."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.dedup import simhash_near_dup_pairs
+
+    base = ("the quarterly report shows steady growth across all regions "
+            "with analysts observing improved margins and new announcements")
+    texts = [f"document {i} about topic {i*3} with unrelated content {i*i}"
+             for i in range(30)]
+    texts[4] = base
+    texts[19] = base.replace("steady", "stable")  # tiny perturbation
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    out = simhash_near_dup_pairs(ds, max_hamming=4).to_pandas()
+    got = set(map(tuple, out[["a", "b"]].itertuples(index=False)))
+    assert (4, 19) in got
+    row = out[(out.a == 4) & (out.b == 19)].iloc[0]
+    assert 0 <= row.hamming <= 4
+    # no unrelated pair sneaks in below the budget (nearest filler pair
+    # sits at hamming 6 — template fillers share tokens by construction)
+    for a, b in got:
+        assert (a, b) == (4, 19)

@@ -79,3 +79,37 @@ def test_registry_through_dataset_stage():
     out = link_mentions(ds, _ALIAS, registry=DEFAULT_REGISTRY).to_pandas()
     got = out[out.rel.notna()]
     assert len(got) == 1 and got.iloc[0].rel == "founded"
+
+
+def test_two_tier_routing_matches_single_tier():
+    """M13/M14 routing analog: precise-tier (actor pool, full registry)
+    union cheap-tier (tasks, default relations) must equal one full-registry
+    pass over everything — routing changes execution, not semantics."""
+    texts = [
+        ("Acme Systems acquired Orbit Labs .", "en"),
+        ("Acme Systems a acquis Orbit Labs .", "fr"),
+        ("Acme Systems übernahm Orbit Labs .", "de"),
+        ("Acme Systems founded Orbit Labs .", "zz"),
+    ]
+    tbl = pa.table(
+        {"url": pa.array([f"https://x/{i}" for i in range(len(texts))]),
+         "text": pa.array([t for t, _ in texts]),
+         "lang": pa.array([l for _, l in texts])}
+    )
+    ds = rd.from_arrow(tbl).materialize()
+
+    from code_graph_rag_ray.stages.linking import link_mentions_two_tier
+
+    two = link_mentions_two_tier(
+        ds, _ALIAS, precise_langs={"fr", "de"}, registry=DEFAULT_REGISTRY,
+        precise_concurrency=2,
+    ).to_pandas()
+    one = link_mentions(ds, _ALIAS, registry=DEFAULT_REGISTRY).to_pandas()
+
+    key = ["url", "start", "end", "entity_id", "rel", "obj_entity_id"]
+    assert (
+        set(map(tuple, two[key].itertuples(index=False)))
+        == set(map(tuple, one[key].itertuples(index=False)))
+    )
+    # all four pages produced a triple (fr/de via the precise tier)
+    assert set(two[two.rel.notna()].url) == {f"https://x/{i}" for i in range(4)}
