@@ -72,6 +72,21 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--out", required=True)
     e.add_argument("--relations-json")
 
+    xb = sub.add_parser(
+        "export-binary",
+        help="build + length-prefixed binary record sink (cgr index offline analog)",
+    )
+    xb.add_argument("--pages", required=True)
+    xb.add_argument("--alias", required=True)
+    xb.add_argument("--out", required=True)
+    xb.add_argument("--relations-json")
+
+    ln = sub.add_parser(
+        "links", help="hyperlink graph: extract hrefs + resolve against corpus urls"
+    )
+    ln.add_argument("--pages", required=True)
+    ln.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
     _init_ray()
 
@@ -87,6 +102,18 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         pages = rd.read_parquet(args.pages)
+        if args.cmd == "links":
+            import os
+
+            from code_graph_rag_ray.stages.links import extract_links, resolve_links
+
+            out = resolve_links(
+                extract_links(pages), pages.select_columns(["url"])
+            )
+            out["internal"].write_parquet(os.path.join(args.out, "links_to"))
+            out["external"].write_parquet(os.path.join(args.out, "ext_sites"))
+            print(json.dumps({"out": args.out}))
+            return 0
         alias = _load_alias(args.alias)
         relations = _load_relations(args.relations_json)
 
@@ -103,6 +130,17 @@ def main(argv: list[str] | None = None) -> int:
             )
             man = materialize_kg(kg, args.out, num_partitions=args.num_partitions)
             print(json.dumps({"edges": man["edges"]["rows"], "nodes": man["nodes"]["rows"]}))
+        elif args.cmd == "export-binary":
+            import os
+
+            from code_graph_rag_ray.sinks.binary import write_binary_graph
+
+            kg = build_kg(pages, alias, relations=relations)
+            ei = write_binary_graph(kg["edges"], os.path.join(args.out, "edges"))
+            ni = write_binary_graph(
+                kg["nodes"], os.path.join(args.out, "nodes"), label_col="label"
+            )
+            print(json.dumps({"edges": ei["rows"], "nodes": ni["rows"]}))
         else:  # export-json
             kg = build_kg(pages, alias, relations=relations)
             export_graph_json(kg, args.out)
