@@ -152,7 +152,9 @@ def run_bench() -> dict:
         per_q: dict[str, float] = {"kg_materialize_f40": t_mat}
         del man
         for name in ("q1_pricing_summary", "q5_nation_revenue", "doc_triples",
-                     "doc_quality", "events_hourly", "knn_brute"):
+                     "doc_quality", "events_hourly", "knn_brute",
+                     "page_links", "page_links_internal", "doc_findings",
+                     "doc_embeddings"):
             t0 = time.perf_counter()
             res = catalog.QUERIES[name](sf_dir)
             if hasattr(res, "count"):

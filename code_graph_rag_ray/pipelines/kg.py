@@ -62,12 +62,17 @@ def build_kg(
     dedup_scope: str = "provenance-local",
     materialize_mentions: bool = True,
     build_nodes: bool = True,
+    build_links: bool = False,
 ) -> dict:
     """Run the full KG construction over a pages Dataset.
 
     Returns dict with lazy Datasets: ``mentions``, ``edges`` (internal,
     exact-deduped on (subj, pred, obj, provenance_url)), ``external_edges``,
-    ``nodes``; plus the checkpointer (if any) under ``ckpt``.
+    ``nodes``; plus the checkpointer (if any) under ``ckpt``. With
+    ``build_links=True``, also ``link_edges`` (links_to from resolved
+    hrefs) and ``ext_sites`` — the web-native IMPORTS family emitted in
+    the same run, mirroring cgr's verified-IMPORTS flush inside
+    ``GraphUpdater.run()`` (``graph_updater.py:752-756``).
     """
     import ray
 
@@ -113,6 +118,14 @@ def build_kg(
         dedup_scope=dedup_scope, build_nodes=build_nodes,
         num_partitions=num_partitions,
     )
+    if build_links:
+        from code_graph_rag_ray.stages.links import extract_links, resolve_links
+
+        links = resolve_links(
+            extract_links(pages), pages.select_columns(["url"])
+        )
+        out["link_edges"] = links["internal"]
+        out["ext_sites"] = links["external"]
     out["ckpt"] = ckpt
     return out
 

@@ -303,6 +303,17 @@ def partial_groupby_sum(
         return pa.Table.from_arrays([a.combine_chunks() for a in arrays], names=out_names)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
+    # partials are one row per key per input block — hundreds of TINY
+    # blocks. The groupby's sort stage pays a fixed cost per input block
+    # (NOTES.md fact 6), so coalesce the partial rows first; the extra
+    # pass moves only the partial aggregate rows, never the input.
+    try:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:  # pragma: no cover
+        ncpu = 16
+    partials = partials.repartition(max(8, ncpu // 2))
     aggs = [Sum(f"{alias}__p", alias_name=alias) for alias in sums.values()]
     if count_alias:
         aggs.append(Sum(f"{count_alias}__p", alias_name=count_alias))

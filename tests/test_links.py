@@ -68,3 +68,22 @@ def test_resolve_links_semi_anti_split(pages_fixture):
     got_ext = dict(zip(external.site, external.n_links))
     assert got_ext == exp_ext_sites
     assert sum(exp_ext_sites.values()) > 0  # …and some dangle (anti side)
+
+
+def test_build_kg_emits_link_graph(pages_fixture):
+    """build_links=True: the flagship run also emits the verified link
+    graph (cgr's verified-IMPORTS flush inside the same lifecycle)."""
+    from code_graph_rag_ray.pipelines.kg import build_kg
+
+    fx, fx_dir = pages_fixture
+    pages = rd.read_parquet(f"{fx_dir}/pages.parquet")
+    kg = build_kg(pages, fx.alias_dict, build_nodes=False, build_links=True)
+
+    corpus = {r["url"] for r in fx.pages.select(["url"]).to_pylist()}
+    planted = [(r["url"], r["target"]) for r in fx.expected_links.to_pylist()]
+    exp_internal = {(u, t) for u, t in planted if t in corpus}
+
+    got = set(map(tuple, kg["link_edges"].to_pandas().itertuples(index=False)))
+    assert got == exp_internal
+    ext = kg["ext_sites"].to_pandas()
+    assert int(ext.n_links.sum()) == sum(1 for _u, t in planted if t not in corpus)
