@@ -47,6 +47,46 @@ def canonical_name_map(alias_tbl: pa.Table) -> dict[str, str]:
     return {eid: k[2] for eid, k in best.items()}
 
 
+def prune_orphans(nodes: Dataset, edges: Dataset) -> Dataset:
+    """General orphan pruning (A6 analog, ``graph_updater.py:1961-2049``,
+    ``constants/graph.py:371-373``): ExternalEntity nodes survive only when
+    some edge references them; internal (dictionary) nodes are always kept
+    — cgr keeps every registered definition but prunes ExternalModules with
+    no inbound edge.
+
+    Node-vs-edge-endpoint anti-join as a bucketed cogroup (both sides are
+    corpus-scale — no broadcast). Endpoints pre-dedup inside each batch so
+    the join right side is bounded by distinct entities per block.
+    """
+    from code_graph_rag_ray.stages.materialize import dedup_batch_local
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        both = pa.table(
+            {"entity_id": pa.concat_arrays(
+                [b["subj"].combine_chunks(), b["obj"].combine_chunks()]
+            )}
+        )
+        out = dedup_batch_local(both, ["entity_id"])
+        return out.append_column(
+            "__ref", pa.array(np.ones(out.num_rows, np.int8))
+        )
+
+    refs = edges.map_batches(endpoints, batch_format="pyarrow")
+    joined = bucketed_join(nodes, refs, on="entity_id", how="left")
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        mask = (df["label"] != "ExternalEntity") | df["__ref"].notna()
+        out = df[mask].drop(columns=["__ref"])
+        # a node may match many edge-endpoint rows (one per edge block);
+        # all copies share the node's bucket, so they sit in ONE cogroup
+        # output block — batch_size=None keeps block granularity and makes
+        # this per-batch dedup exact
+        return out.drop_duplicates("entity_id")
+
+    return joined.map_batches(keep, batch_format="pandas", batch_size=None)
+
+
 def canonicalize_entities(
     mentions: Dataset,
     alias_tbl: pa.Table,

@@ -68,11 +68,15 @@ class Checkpointer:
             return rd.read_parquet(data_dir)
 
         # (re)build: clear any partial output, write atomically
+        import time
+
         shutil.rmtree(sdir, ignore_errors=True)
         os.makedirs(sdir, exist_ok=True)
         tmp = os.path.join(sdir, ".tmp")
+        t0 = time.perf_counter()
         ds = build()
         ds.write_parquet(tmp)
+        wall_s = round(time.perf_counter() - t0, 3)
         os.rename(tmp, data_dir)
 
         files = sorted(
@@ -87,6 +91,9 @@ class Checkpointer:
             "fingerprint": self.fingerprint,
             "rows": int(sum(per_file.values())),
             "files": per_file,
+            # per-stage metrics (north-rule "lineage records AND metrics"):
+            # build+write wall time; rows above give the throughput
+            "wall_s": wall_s,
         }
         with open(_manifest_path(sdir) + ".tmp", "w") as f:
             json.dump(manifest, f, indent=1)

@@ -201,3 +201,27 @@ def test_canonicalize_externals_exceed_dictionary():
     # variant suffix: E0/E1 share a norm_name; rank by sorted entity id
     assert by_id.loc["E0", "name"] == "Acme Corp"
     assert by_id.loc["E1", "name"] == "Acme corp@1"
+
+
+def test_prune_orphans_drops_unreferenced_externals():
+    """A6 analog: ExternalEntity nodes survive only when an edge references
+    them; dictionary nodes always survive (cgr keeps every registered
+    definition, prunes orphan ExternalModules)."""
+    import pyarrow as pa
+
+    from code_graph_rag_ray.stages.canonicalize import prune_orphans
+
+    nodes = rd.from_arrow(pa.Table.from_pylist(
+        [{"entity_id": "E0", "label": "Entity"},
+         {"entity_id": "E1", "label": "Entity"},          # unreferenced, kept
+         {"entity_id": "ext::a", "label": "ExternalEntity"},   # referenced
+         {"entity_id": "ext::b", "label": "ExternalEntity"}]   # orphan, pruned
+    ))
+    edges = rd.from_arrow(pa.Table.from_pylist(
+        [{"subj": "E0", "pred": "acquired", "obj": "ext::a"},
+         {"subj": "E0", "pred": "founded", "obj": "E0"},
+         {"subj": "E0", "pred": "sued", "obj": "ext::a"}]  # dup endpoint
+    ))
+    out = prune_orphans(nodes, edges).to_pandas()
+    assert sorted(out.entity_id) == ["E0", "E1", "ext::a"]
+    assert len(out) == len(set(out.entity_id))  # no duplicated survivors
