@@ -781,6 +781,28 @@ FROM documents
 """
 
 
+def page_structure(sf_dir: str):
+    """Structure pass (M4 analog): url → host/folder/page containment
+    edges, exact-deduped (Pass-1 Package/Folder/CONTAINS_* translation)."""
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+    from code_graph_rag_ray.stages.structure import structure_edges
+
+    return structure_edges(pages_from_documents(sf_dir))
+
+
+PAGE_STRUCTURE_SQL = """
+SELECT DISTINCT source || '.example.org' AS parent,
+       source || '.example.org/doc' AS child,
+       'CONTAINS_FOLDER' AS rel
+FROM documents
+UNION ALL
+SELECT source || '.example.org/doc' AS parent,
+       'https://' || source || '.example.org/doc/' || doc_id AS child,
+       'CONTAINS_PAGE' AS rel
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # hyperlink graph (M8-href / J4 / J8 analogs)
 # ---------------------------------------------------------------------------
@@ -1044,6 +1066,7 @@ QUERIES = {
     "kg_doc_nodes": kg_doc_nodes,
     "page_hosts": page_hosts,
     "page_extract_text": page_extract_text,
+    "page_structure": page_structure,
     "page_links": page_links,
     "page_links_internal": page_links_internal,
     "page_ext_sites": page_ext_sites,
@@ -1085,6 +1108,7 @@ ORACLES = {
     "kg_doc_nodes": KG_DOC_NODES_SQL,
     "page_hosts": PAGE_HOSTS_SQL,
     "page_extract_text": PAGE_EXTRACT_TEXT_SQL,
+    "page_structure": PAGE_STRUCTURE_SQL,
     "page_links": PAGE_LINKS_SQL,
     "page_links_internal": PAGE_LINKS_INTERNAL_SQL,
     "page_ext_sites": PAGE_EXT_SITES_SQL,

@@ -30,6 +30,7 @@ Output schema (one row per detected mention):
 from __future__ import annotations
 
 import re
+from bisect import bisect_left
 from dataclasses import dataclass
 
 import pyarrow as pa
@@ -152,9 +153,15 @@ class MentionLinker:
         if self.alias_re is not None:
             for m in self.alias_re.finditer(text):
                 spans.append((m.start(), m.end(), m.group(), True))
-        known_spans = spans[:]
+        # overlap check against the KNOWN spans: they come from finditer, so
+        # they are sorted and non-overlapping — the only candidate overlap
+        # for a cap-run match is the last known span starting before its
+        # end (bisect, O(log n) instead of the quadratic any() scan)
+        known_starts = [s for s, _, _, _ in spans]
+        known_ends = [e for _, e, _, _ in spans]
         for m in _CAP_RUN.finditer(text):
-            if any(s < m.end() and m.start() < e for s, e, _, _ in known_spans):
+            i = bisect_left(known_starts, m.end())
+            if i and known_ends[i - 1] > m.start():
                 continue
             spans.append((m.start(), m.end(), m.group(), False))
         spans.sort()
@@ -198,13 +205,26 @@ class MentionLinker:
                 in_triple[i] = 1
                 in_triple[i + 1] = 1
 
-        # keep external mentions only when they participate in a triple
+        # keep external mentions only when they participate in a triple.
+        # The column lists are bound to locals: 9 direct C-level appends
+        # per mention, no per-mention method-call frame (the ``add()``
+        # method was ~30% of the round-1 profile) and no end-of-batch
+        # transpose (a zip(*rows) rebuild measured just as expensive).
+        (c_url, c_start, c_end, c_surface, c_eid, c_method, c_rel, c_obj,
+         c_lang) = out.cols
         for i in range(n):
             if methods[i] == "external" and not in_triple[i]:
                 continue
             start, end, surface, _ = spans[i]
-            out.add(url, start, end, surface, eids[i], methods[i], rels[i],
-                    objs[i], lang)
+            c_url.append(url)
+            c_start.append(start)
+            c_end.append(end)
+            c_surface.append(surface)
+            c_eid.append(eids[i])
+            c_method.append(methods[i])
+            c_rel.append(rels[i])
+            c_obj.append(objs[i])
+            c_lang.append(lang)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = _Cols()
@@ -217,32 +237,18 @@ class MentionLinker:
 
 
 class _Cols:
-    """Columnar mention accumulator — one Python list per output column
-    instead of a dict per row (row dicts + ``Table.from_pylist`` dominated
-    the linker's profile; columnar build is one ``pa.array`` per column)."""
+    """Columnar mention accumulator: one Python list per output column,
+    appended via locally-bound references in the hot loop (see
+    ``_link_page``), one ``pa.array`` per column at batch end."""
 
-    __slots__ = ("url", "start", "end", "surface", "entity_id", "method", "rel",
-                 "obj_entity_id", "lang")
+    __slots__ = ("cols",)
 
     def __init__(self):
-        for f in self.__slots__:
-            setattr(self, f, [])
-
-    def add(self, url, start, end, surface, entity_id, method, rel,
-            obj_entity_id, lang) -> None:
-        self.url.append(url)
-        self.start.append(start)
-        self.end.append(end)
-        self.surface.append(surface)
-        self.entity_id.append(entity_id)
-        self.method.append(method)
-        self.rel.append(rel)
-        self.obj_entity_id.append(obj_entity_id)
-        self.lang.append(lang)
+        self.cols: tuple[list, ...] = tuple([] for _ in MENTION_SCHEMA)
 
     def to_table(self) -> pa.Table:
         return pa.Table.from_arrays(
-            [pa.array(getattr(self, f.name), f.type) for f in MENTION_SCHEMA],
+            [pa.array(col, f.type) for col, f in zip(self.cols, MENTION_SCHEMA)],
             schema=MENTION_SCHEMA,
         )
 

@@ -87,3 +87,32 @@ def test_build_kg_emits_link_graph(pages_fixture):
     assert got == exp_internal
     ext = kg["ext_sites"].to_pandas()
     assert int(ext.n_links.sum()) == sum(1 for _u, t in planted if t not in corpus)
+
+
+def test_structure_edges_depth_and_dedup():
+    """M4 analog: host → folder prefixes → page chain, deduped containers,
+    depth-capped, unparseable urls skipped."""
+    import pyarrow as pa
+
+    from code_graph_rag_ray.stages.structure import structure_edges
+
+    urls = [
+        "https://a.org/x/y/p1",
+        "https://a.org/x/y/p2",   # shares both folders
+        "https://a.org/p3",       # page at host root
+        "https://b.org/z/deep/nest/p4",  # depth capped at 2
+        "not a url",              # skipped
+    ]
+    pages = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    out = structure_edges(pages, max_depth=2).to_pandas()
+    got = set(map(tuple, out.itertuples(index=False)))
+    assert got == {
+        ("a.org", "a.org/x", "CONTAINS_FOLDER"),
+        ("a.org/x", "a.org/x/y", "CONTAINS_FOLDER"),
+        ("a.org/x/y", "https://a.org/x/y/p1", "CONTAINS_PAGE"),
+        ("a.org/x/y", "https://a.org/x/y/p2", "CONTAINS_PAGE"),
+        ("a.org", "https://a.org/p3", "CONTAINS_PAGE"),
+        ("b.org", "b.org/z", "CONTAINS_FOLDER"),
+        ("b.org/z", "b.org/z/deep", "CONTAINS_FOLDER"),
+        ("b.org/z/deep", "https://b.org/z/deep/nest/p4", "CONTAINS_PAGE"),
+    }
