@@ -87,6 +87,13 @@ _LANGS = ("en", "en", "en", "en", "en", "en", "en", "en", "fr", "de", "es", "zh"
 # ``import_processor.py:861-983``).
 UNKNOWN_ENTITIES = ("Zorblat Inc", "Quuxify Ltd", "Blarg Group")
 
+# Capitalized non-entity sentence openers planted as fact-sentence subjects:
+# the linker's builtin-table gate must suppress them (no mention, no triple)
+# — the analog of the reference's builtin tier + fallback gates
+# (``call_resolver.py:33-44``). Must be a subset of the linker's
+# ``BUILTIN_SURFACES``.
+BUILTINS_PLANTED = ("Today", "Yesterday", "Meanwhile")
+
 
 @dataclass
 class PagesFixture:
@@ -147,7 +154,12 @@ def _build_entities(n_entities: int, rng: np.random.Generator):
     return entities, alias_map, alias_tbl
 
 
-def _pick_alias(ent: dict, rng: np.random.Generator, recent_full: dict[str, str]) -> str:
+def _pick_alias(
+    ent: dict,
+    rng: np.random.Generator,
+    recent_full: dict[str, str],
+    recent_prefix: dict[str, str],
+) -> str:
     """Mention surface for an entity, page-state aware.
 
     A bare-noun alias ("Systems" for "Acme Systems") is only used when this
@@ -155,13 +167,15 @@ def _pick_alias(ent: dict, rng: np.random.Generator, recent_full: dict[str, str]
     the standard news-coreference shape, and exactly the rule the linker's
     recency cascade resolves (the analog of cgr's trie suffix lookup,
     ``function_registry.py`` ``find_ending_with``). Otherwise the full name
-    is used and recorded as the page-local antecedent.
+    is used and recorded as the page-local suffix AND prefix antecedent
+    (the fixture mirrors the linker's two recency maps exactly).
     """
     name = ent["name"]
     noun = name.rsplit(" ", 1)[1]
     if rng.random() < 0.3 and recent_full.get(noun) == ent["entity_id"]:
         return noun
     recent_full[noun] = ent["entity_id"]
+    recent_prefix[name.split(" ", 1)[0]] = ent["entity_id"]
     return name
 
 
@@ -213,7 +227,8 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
         cursor = len(title) + 1  # +1 for the newline after the title
 
         n_pars = 1 + int(rng.integers(3))
-        recent_full: dict[str, str] = {}  # noun -> entity_id of latest full mention
+        recent_full: dict[str, str] = {}    # noun -> entity_id of latest full mention
+        recent_prefix: dict[str, str] = {}  # first token -> entity_id (linker mirror)
 
         def sample_entity() -> dict:
             # entities[1] is the forced name-collision twin of entities[0]: it
@@ -247,7 +262,23 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
                     obj = None if obj_external else sample_entity()
                     rel_surface = _REL_SURFACES[int(rng.integers(len(_REL_SURFACES)))]
 
-                    s_alias = _pick_alias(subj, rng, recent_full)
+                    # builtin-gate plant: a capitalized non-entity opener in
+                    # subject position — the linker must suppress it (no
+                    # mention row, no triple)
+                    builtin_subj = rng.random() < 0.07
+                    if builtin_subj:
+                        s_alias = BUILTINS_PLANTED[int(rng.integers(len(BUILTINS_PLANTED)))]
+                    else:
+                        # prefix-context plant: bare first-token mention,
+                        # valid only when this entity is the page's latest
+                        # full mention starting with that token (mirrors the
+                        # linker's recent_prefix map exactly)
+                        adj = subj["name"].split(" ", 1)[0]
+                        if (rng.random() < 0.15
+                                and recent_prefix.get(adj) == subj["entity_id"]):
+                            s_alias = adj
+                        else:
+                            s_alias = _pick_alias(subj, rng, recent_full, recent_prefix)
                     if par_text_toks:
                         start = par_cursor + 1
                     else:
@@ -258,16 +289,17 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
                         link_rows.append({"url": url, "target": href})
                     else:
                         emit(s_alias)
-                    mention_rows.append(
-                        {"url": url, "surface": s_alias, "start": start,
-                         "end": start + len(s_alias), "type": "ENTITY"}
-                    )
+                    if not builtin_subj:
+                        mention_rows.append(
+                            {"url": url, "surface": s_alias, "start": start,
+                             "end": start + len(s_alias), "type": "ENTITY"}
+                        )
                     for w in rel_surface.split(" "):
                         emit(w)
                     if obj_external:
                         o_alias = UNKNOWN_ENTITIES[int(rng.integers(len(UNKNOWN_ENTITIES)))]
                     else:
-                        o_alias = _pick_alias(obj, rng, recent_full)
+                        o_alias = _pick_alias(obj, rng, recent_full, recent_prefix)
                     start = par_cursor + 1
                     emit(o_alias)
                     mention_rows.append(
@@ -276,7 +308,7 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
                          "type": "EXTERNAL" if obj_external else "ENTITY"}
                     )
                     emit(".")
-                    if not obj_external:
+                    if not obj_external and not builtin_subj:
                         triple_rows.append(
                             {"subj": subj["entity_id"], "pred": RELATIONS[rel_surface],
                              "obj": obj["entity_id"], "url": url}

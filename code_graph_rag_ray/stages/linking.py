@@ -11,12 +11,20 @@ exact qn → receiver-type chain → suffix fallback; registry
 - mention **detection** is one compiled alternation regex (longest-alias
   first, word-bounded) — compiled once per actor, the analog of cgr loading
   tree-sitter parsers once per process (``parser_loader.py:482``),
-- the **cascade**: unique dictionary candidate → page-local recency
-  antecedent for suffix/bare aliases (the ``find_ending_with`` analog) →
-  highest-prior candidate with deterministic entity-id tie-break,
-- **unknown** proper-noun runs participating in a relation pattern mint
-  ``ext::<normalized>`` External entities (cgr's deferred-import rule:
-  unknown target ⇒ ExternalModule node, ``import_processor.py:861-983``),
+- the **cascade** (the analog of the reference's six-step resolver,
+  ``parsers/call_resolver.py:297-318``): for dictionary aliases —
+  unique candidate (exact qn) → page-local *suffix* recency antecedent
+  (the trie ``find_ending_with`` analog) → highest-prior candidate with
+  deterministic entity-id tie-break; for unknown proper-noun runs —
+  builtin-table gate (capitalized function words are never entities;
+  the builtin-table tier + fallback gates, ``call_resolver.py:33-44``)
+  → page-local *prefix* antecedent (single token matching the first
+  token of an earlier full mention, the registry's prefix-query analog,
+  ``function_registry.py:18-283``) → External minting,
+- **unknown** proper-noun runs surviving both gates and participating in
+  a relation pattern mint ``ext::<normalized>`` External entities (cgr's
+  deferred-import rule: unknown target ⇒ ExternalModule node,
+  ``import_processor.py:861-983``),
 - **triple pairing** happens in the same pass: consecutive mentions whose
   gap text strips to a known relation surface form a triple, attached to
   the subject mention row (``rel``/``obj_*`` columns) so downstream stages
@@ -24,7 +32,7 @@ exact qn → receiver-type chain → suffix fallback; registry
 
 Output schema (one row per detected mention):
     url, start, end, surface, entity_id, method, rel, obj_entity_id, lang
-``method`` ∈ {exact, recency, prior, external}.
+``method`` ∈ {exact, recency, context, prior, external}.
 """
 
 from __future__ import annotations
@@ -38,6 +46,22 @@ import pyarrow as pa
 from code_graph_rag_ray.sources.pages import RELATIONS
 
 _CAP_RUN = re.compile(r"\b[A-Z][a-zA-Z0-9]*(?: [A-Z][a-zA-Z0-9]*)*\b")
+
+# Builtin surface table — the reference cascade's last tier is a builtin
+# lookup table plus fallback gates that stop spurious linking
+# (``call_resolver.py:33-44``, step 6 of ``:297-318``). Web-text analog:
+# capitalized function words / temporal adverbs are never entity mentions;
+# without this gate they mint spurious ``ext::`` externals and pair into
+# false triples ("Today acquired X"). Applies only to UNKNOWN cap-runs —
+# a user dictionary alias always wins over the gate.
+BUILTIN_SURFACES = frozenset({
+    "The", "A", "An", "It", "He", "She", "They", "We", "You", "I",
+    "This", "That", "These", "Those", "There", "Here", "But", "And", "Or",
+    "Today", "Yesterday", "Tomorrow", "Meanwhile", "However", "Moreover",
+    "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday",
+    "Sunday", "January", "February", "March", "April", "June", "July",
+    "August", "September", "October", "November", "December",
+})
 
 
 @dataclass(frozen=True)
@@ -159,7 +183,10 @@ class MentionLinker:
         # end (bisect, O(log n) instead of the quadratic any() scan)
         known_starts = [s for s, _, _, _ in spans]
         known_ends = [e for _, e, _, _ in spans]
+        builtins = BUILTIN_SURFACES
         for m in _CAP_RUN.finditer(text):
+            if m.group() in builtins:
+                continue
             i = bisect_left(known_starts, m.end())
             if i and known_ends[i - 1] > m.start():
                 continue
@@ -168,7 +195,8 @@ class MentionLinker:
 
         # cascade link for dictionary mentions — parallel local arrays (a
         # dict per mention dominated the profile)
-        recent_full: dict[str, str] = {}  # suffix token -> entity_id
+        recent_full: dict[str, str] = {}    # suffix token -> entity_id
+        recent_prefix: dict[str, str] = {}  # first token  -> entity_id
         n = len(spans)
         eids: list[str] = [""] * n
         methods: list[str] = [""] * n
@@ -177,8 +205,17 @@ class MentionLinker:
         index = self.index
         for i, (start, end, surface, known) in enumerate(spans):
             if not known:
-                eids[i] = "ext::" + normalize_surface(surface)
-                methods[i] = "external"
+                # prefix-antecedent step: a bare capitalized token matching
+                # the FIRST token of an earlier full mention on this page
+                # resolves to that entity (registry prefix query analog) —
+                # only then does External minting apply
+                eid = recent_prefix.get(surface) if " " not in surface else None
+                if eid is not None:
+                    eids[i] = eid
+                    methods[i] = "context"
+                else:
+                    eids[i] = "ext::" + normalize_surface(surface)
+                    methods[i] = "external"
                 continue
             cands = index[surface]
             if len(cands) == 1:
@@ -189,6 +226,7 @@ class MentionLinker:
                 eid, method = cands[0][0], "prior"
             if " " in surface:
                 recent_full[surface.rsplit(" ", 1)[1]] = eid
+                recent_prefix[surface.split(" ", 1)[0]] = eid
             eids[i] = eid
             methods[i] = method
 

@@ -147,6 +147,72 @@ def test_capture_filter_and_json_export(pages_fixture, kg_run, tmp_path):
     assert {"subj", "pred", "obj", "provenance_url"} <= set(row)
 
 
+def test_cascade_prefix_context_and_builtin_gate():
+    """J2 cascade steps 4-5 analogs: a bare first-token mention resolves to
+    the page's latest full mention with that prefix (registry prefix-query
+    analog); capitalized function words are gated by the builtin table
+    (``call_resolver.py:33-44``) — no mention, no spurious triple."""
+    import pyarrow as pa
+
+    from code_graph_rag_ray.stages.linking import MentionLinker
+
+    alias = pa.Table.from_pylist(
+        [{"alias": "Acme Systems", "entity_id": "E0", "prior": 1.0},
+         {"alias": "Acme Labs", "entity_id": "E1", "prior": 1.0},
+         {"alias": "Orbit Media", "entity_id": "E2", "prior": 1.0}],
+        schema=pa.schema([("alias", pa.string()), ("entity_id", pa.string()),
+                          ("prior", pa.float64())]),
+    )
+    linker = MentionLinker(alias)
+
+    def run(text):
+        return linker(pa.table({
+            "url": pa.array(["https://x/1"]), "text": pa.array([text]),
+            "lang": pa.array(["en"]),
+        })).to_pandas()
+
+    # prefix context: "Acme" resolves to the LATEST full mention with that
+    # first token (E1 after "Acme Labs" supersedes "Acme Systems")
+    out = run("Acme Systems sued Orbit Media . Acme Labs founded Orbit Media . "
+              "Acme acquired Orbit Media .")
+    by_pos = out.sort_values("start")
+    ctx = by_pos[by_pos.method == "context"]
+    assert len(ctx) == 1 and ctx.iloc[0].entity_id == "E1"
+    triples = set(map(tuple, out[out.rel.notna()][
+        ["entity_id", "rel", "obj_entity_id"]].itertuples(index=False)))
+    assert ("E1", "acquired", "E2") in triples
+
+    # with no antecedent, the bare token mints an external instead
+    out2 = run("Acme acquired Orbit Media .")
+    assert (out2.method == "context").sum() == 0
+    assert set(out2[out2.method == "external"].entity_id) == {"ext::acme"}
+
+    # builtin gate: "Today" never becomes a mention or a triple subject
+    out3 = run("Today acquired Orbit Media .")
+    assert not (out3.surface == "Today").any()
+    assert out3.rel.notna().sum() == 0
+
+
+def test_fixture_plants_exercise_new_cascade_steps(pages_fixture, kg_run):
+    """The seeded corpus must actually contain prefix-context and
+    builtin-gated plants (otherwise the P/R gate doesn't pin them)."""
+    import ray.data as rd
+
+    from code_graph_rag_ray.pipelines.kg import build_kg
+    from code_graph_rag_ray.sources.pages import BUILTINS_PLANTED
+
+    fx, fx_dir = pages_fixture
+    mentions = build_kg(
+        rd.read_parquet(f"{fx_dir}/pages.parquet"), fx.alias_dict,
+        build_nodes=False,
+    )["mentions"].to_pandas()
+    assert (mentions.method == "context").sum() > 0
+    assert not mentions.surface.isin(BUILTINS_PLANTED).any()
+    # planted builtin sentences exist in the raw text
+    texts = " ".join(r["text"] for r in fx.expected_text.to_pylist())
+    assert any(b + " " in texts for b in BUILTINS_PLANTED)
+
+
 def test_head_entity_skew_present(pages_fixture):
     """The corpus stresses skew: head entity dominates mentions (salting path)."""
     fx, _ = pages_fixture
