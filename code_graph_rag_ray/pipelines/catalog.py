@@ -741,6 +741,97 @@ LEFT JOIN c ON v.entity_id = c.w
 """
 
 
+def _typed_vocab_alias_tbl() -> pa.Table:
+    """Vocab dictionary with a deterministic ``etype`` taxonomy (node-label
+    analog, ``constants/graph.py:87-109``): even-length words are ``Term``,
+    odd-length ``Metric`` — closed-form, so DuckDB can recompute it."""
+    return pa.Table.from_pylist(
+        [{"alias": w, "entity_id": w, "prior": 1.0,
+          "etype": "Term" if len(w) % 2 == 0 else "Metric"}
+         for w in ENTITY_VOCAB_SORTED],
+        schema=pa.schema([("alias", pa.string()), ("entity_id", pa.string()),
+                          ("prior", pa.float64()), ("etype", pa.string())]),
+    )
+
+
+_LABEL_SQL = "CASE WHEN length({c}) % 2 = 0 THEN 'Term' ELSE 'Metric' END"
+
+
+def kg_typed_nodes(sf_dir: str):
+    """Typed node table: dictionary ``etype`` flows through canonicalization
+    into per-node labels (M7/T3 analog — typed definitions instead of one
+    generic Entity label)."""
+    from code_graph_rag_ray.pipelines.kg import build_kg
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(sf_dir)
+    relations = {w: w for w in RELATION_VOCAB_SORTED}
+    kg = build_kg(pages, _typed_vocab_alias_tbl(), relations=relations)
+    nodes = kg["nodes"]
+
+    def keep(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.invert(pc.equal(b["label"], "ExternalEntity")))
+        return pa.table({"entity_id": f["entity_id"], "label": f["label"],
+                         "n_mentions": pc.cast(f["n_mentions"], pa.int64())})
+
+    return nodes.map_batches(keep, batch_format="pyarrow")
+
+
+KG_TYPED_NODES_SQL = f"""
+WITH c AS (
+  SELECT w, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w IN {_ENT_SQL}
+  GROUP BY w
+)
+SELECT v.entity_id, {_LABEL_SQL.format(c='v.entity_id')} AS label,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_mentions
+FROM (SELECT unnest({_ENT_SQL_LIST}) AS entity_id) v
+LEFT JOIN c ON v.entity_id = c.w
+"""
+
+
+def kg_edge_violations(sf_dir: str):
+    """Relation-legality audit (graph-schema legality matrix analog,
+    ``docs/architecture/graph-schema.md:40-68``): edges whose endpoint
+    labels violate the per-predicate constraint, one streaming pass over
+    the edge table against the broadcast dictionary label map."""
+    from code_graph_rag_ray.pipelines.kg import build_kg
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+    from code_graph_rag_ray.stages.schema import validate_edges
+
+    pages = pages_from_documents(sf_dir)
+    relations = {w: w for w in RELATION_VOCAB_SORTED}
+    kg = build_kg(
+        pages, _typed_vocab_alias_tbl(), relations=relations,
+        materialize_mentions=False, build_nodes=False,
+    )
+    legality = {"dup": (frozenset({"Term"}), None),
+                "join": (None, frozenset({"Term"}))}
+    out = validate_edges(
+        kg["edges"].select_columns(["subj", "pred", "obj", "provenance_url"]),
+        _typed_vocab_alias_tbl(), legality, mode="violations",
+    )
+    return out
+
+
+KG_EDGE_VIOLATIONS_SQL = f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+     idx AS (SELECT doc_id, source, toks, unnest(range(1, len(toks) - 1)) AS i FROM t),
+     e AS (
+       SELECT DISTINCT toks[i] AS subj, toks[i+1] AS pred, toks[i+2] AS obj,
+              'https://' || source || '.example.org/doc/' || doc_id AS provenance_url
+       FROM idx
+       WHERE toks[i] IN {_ENT_SQL} AND toks[i+1] IN {_REL_SQL} AND toks[i+2] IN {_ENT_SQL}
+     )
+SELECT subj, pred, obj, provenance_url,
+       CASE WHEN pred = 'dup' THEN 'subj-label' ELSE 'obj-label' END AS violation
+FROM e
+WHERE (pred = 'dup' AND {_LABEL_SQL.format(c='subj')} <> 'Term')
+   OR (pred = 'join' AND {_LABEL_SQL.format(c='obj')} <> 'Term')
+"""
+
+
 def page_hosts(sf_dir: str):
     """Structure pass analog (M4): host hierarchy counts from page urls."""
     from ray.data.aggregate import Count
@@ -1064,6 +1155,8 @@ QUERIES = {
     "knn_brute": knn_brute,
     "kg_doc_triples": kg_doc_triples,
     "kg_doc_nodes": kg_doc_nodes,
+    "kg_typed_nodes": kg_typed_nodes,
+    "kg_edge_violations": kg_edge_violations,
     "page_hosts": page_hosts,
     "page_extract_text": page_extract_text,
     "page_structure": page_structure,
@@ -1106,6 +1199,8 @@ ORACLES = {
     "knn_brute": KNN_BRUTE_SQL,
     "kg_doc_triples": KG_DOC_TRIPLES_SQL,
     "kg_doc_nodes": KG_DOC_NODES_SQL,
+    "kg_typed_nodes": KG_TYPED_NODES_SQL,
+    "kg_edge_violations": KG_EDGE_VIOLATIONS_SQL,
     "page_hosts": PAGE_HOSTS_SQL,
     "page_extract_text": PAGE_EXTRACT_TEXT_SQL,
     "page_structure": PAGE_STRUCTURE_SQL,

@@ -47,6 +47,21 @@ def canonical_name_map(alias_tbl: pa.Table) -> dict[str, str]:
     return {eid: k[2] for eid, k in best.items()}
 
 
+def entity_type_map(alias_tbl: pa.Table) -> dict[str, str]:
+    """entity_id → node label from the dictionary's optional ``etype``
+    column — the analog of cgr's per-label node taxonomy
+    (``constants/graph.py:87-109`` ``NodeLabel``): the dictionary declares
+    what KIND of entity each id is; absent column (or null etype) defaults
+    to the generic ``Entity`` label."""
+    if "etype" not in alias_tbl.column_names:
+        return {}
+    out: dict[str, str] = {}
+    for row in alias_tbl.select(["entity_id", "etype"]).to_pylist():
+        if row["etype"]:
+            out[row["entity_id"]] = row["etype"]
+    return out
+
+
 def prune_orphans(nodes: Dataset, edges: Dataset) -> Dataset:
     """General orphan pruning (A6 analog, ``graph_updater.py:1961-2049``,
     ``constants/graph.py:371-373``): ExternalEntity nodes survive only when
@@ -96,8 +111,10 @@ def canonicalize_entities(
     """Linked mentions → node table — DISTRIBUTED end to end.
 
     Output: (entity_id, name, label, norm_name, n_mentions, name_family).
-    ``label`` ∈ {Entity, ExternalEntity} (cgr node-label analog: internal
-    definitions vs ExternalModule, ``constants/graph.py:87-109``).
+    ``label`` = the dictionary's ``etype`` for internal entities (default
+    ``Entity`` when the column is absent) and ``ExternalEntity`` for minted
+    externals — the cgr node-label analog: typed definitions vs
+    ExternalModule (``constants/graph.py:87-109``).
 
     Externals are minted from arbitrary proper-noun runs in page text, so
     at web scale the node universe is CORPUS-sized, not dictionary-sized —
@@ -138,10 +155,14 @@ def canonicalize_entities(
     # definition gets a node whether or not it is referenced,
     # function_registry.py:18-60) — dictionary-scale, ships as a dataset
     names = canonical_name_map(alias_tbl)
+    types = entity_type_map(alias_tbl)
     base = rd.from_arrow(
         pa.table(
             {"entity_id": pa.array(sorted(names), pa.string()),
-             "name": pa.array([names[k] for k in sorted(names)], pa.string())}
+             "name": pa.array([names[k] for k in sorted(names)], pa.string()),
+             "label": pa.array(
+                 [types.get(k, "Entity") for k in sorted(names)], pa.string()
+             )}
         )
     )
     base_counts = bucketed_join(
@@ -150,7 +171,6 @@ def canonicalize_entities(
 
     def finish_internal(df: pd.DataFrame) -> pd.DataFrame:
         df["n_mentions"] = df["n_mentions"].fillna(0).astype("int64")
-        df["label"] = "Entity"
         return df[["entity_id", "name", "n_mentions", "label"]]
 
     internal_nodes = base_counts.map_batches(finish_internal, batch_format="pandas")

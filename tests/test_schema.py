@@ -1,0 +1,80 @@
+"""Typed node labels + relation-legality matrix (M7/T3 / graph-schema
+analogs: ``constants/graph.py:87-172``, ``docs/architecture/
+graph-schema.md:40-68``)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from code_graph_rag_ray.stages.canonicalize import canonicalize_entities, entity_type_map
+from code_graph_rag_ray.stages.linking import MENTION_SCHEMA
+from code_graph_rag_ray.stages.schema import validate_edges
+
+_TYPED_ALIAS = pa.Table.from_pylist(
+    [
+        {"alias": "Acme Systems", "entity_id": "E0", "prior": 1.0, "etype": "Org"},
+        {"alias": "Jane Doe", "entity_id": "E1", "prior": 1.0, "etype": "Person"},
+        {"alias": "Widget", "entity_id": "E2", "prior": 1.0, "etype": None},
+    ],
+    schema=pa.schema([("alias", pa.string()), ("entity_id", pa.string()),
+                      ("prior", pa.float64()), ("etype", pa.string())]),
+)
+
+
+def test_entity_type_map_defaults():
+    assert entity_type_map(_TYPED_ALIAS) == {"E0": "Org", "E1": "Person"}
+    # absent column → empty map (every entity defaults to Entity downstream)
+    assert entity_type_map(_TYPED_ALIAS.drop_columns(["etype"])) == {}
+
+
+def test_canonicalize_emits_typed_labels():
+    rows = [
+        {"url": "https://x/1", "start": 0, "end": 5, "surface": "Acme Systems",
+         "entity_id": "E0", "method": "exact", "rel": "acquired",
+         "obj_entity_id": "ext::zorp co", "lang": "en"},
+        {"url": "https://x/1", "start": 20, "end": 27, "surface": "Zorp Co",
+         "entity_id": "ext::zorp co", "method": "external", "rel": None,
+         "obj_entity_id": None, "lang": "en"},
+    ]
+    mentions = rd.from_arrow(pa.Table.from_pylist(rows, schema=MENTION_SCHEMA))
+    nodes = canonicalize_entities(mentions, _TYPED_ALIAS).to_pandas()
+    by_id = nodes.set_index("entity_id")
+    assert by_id.loc["E0", "label"] == "Org"
+    assert by_id.loc["E1", "label"] == "Person"
+    assert by_id.loc["E2", "label"] == "Entity"  # null etype → default
+    assert by_id.loc["ext::zorp co", "label"] == "ExternalEntity"
+
+
+def _edges():
+    return rd.from_arrow(pa.Table.from_pylist(
+        [
+            # employs: Org → Person (legal)
+            {"subj": "E0", "pred": "employs", "obj": "E1", "provenance_url": "u1"},
+            # employs: Person subject (illegal)
+            {"subj": "E1", "pred": "employs", "obj": "E1", "provenance_url": "u2"},
+            # employs: external object (illegal — ExternalEntity not allowed)
+            {"subj": "E0", "pred": "employs", "obj": "ext::zorp co", "provenance_url": "u3"},
+            # unconstrained predicate — always legal
+            {"subj": "E1", "pred": "mentions", "obj": "ext::zorp co", "provenance_url": "u4"},
+        ]
+    ))
+
+
+_LEGALITY = {"employs": (frozenset({"Org"}), frozenset({"Person"}))}
+
+
+def test_validate_edges_modes():
+    flagged = validate_edges(_edges(), _TYPED_ALIAS, _LEGALITY).to_pandas()
+    v = flagged.set_index("provenance_url")["violation"]
+    assert pd.isna(v["u1"]) and pd.isna(v["u4"])
+    assert v["u2"] == "subj-label"
+    assert v["u3"] == "obj-label"
+
+    kept = validate_edges(_edges(), _TYPED_ALIAS, _LEGALITY, mode="drop").to_pandas()
+    assert sorted(kept.provenance_url) == ["u1", "u4"]
+    assert "violation" not in kept.columns
+
+    viols = validate_edges(_edges(), _TYPED_ALIAS, _LEGALITY, mode="violations").to_pandas()
+    assert sorted(viols.provenance_url) == ["u2", "u3"]
