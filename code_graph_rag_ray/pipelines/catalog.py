@@ -1006,6 +1006,37 @@ def doc_simhash(sf_dir: str):
     return ds.map_batches(simhash_batch_factory(), batch_format="pyarrow")
 
 
+def doc_jaccard_pairs(sf_dir: str):
+    """Exact word-trigram Jaccard for consecutive-doc candidate pairs —
+    the n-gram Jaccard dedup family member with a full DuckDB oracle
+    (intersection/union of exact shingle sets, IEEE-double division both
+    sides → bit-identical values)."""
+    from code_graph_rag_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds).to_pandas()
+    return _ensure_cols(out, {"id_a": "int64", "id_b": "int64",
+                              "jaccard": "float64"})
+
+
+DOC_JACCARD_PAIRS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+     g AS (
+       SELECT doc_id,
+              list_distinct(list_transform(
+                range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              )) AS sh
+       FROM t
+     )
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         AS jaccard
+FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+"""
+
+
 def doc_simhash_pairs(sf_dir: str):
     """SimHash Hamming-banded near-dup pairs (rows-only; pigeonhole
     banding semantics pinned in tests/test_dedup.py)."""
@@ -1167,6 +1198,7 @@ QUERIES = {
     # rows-only (no SQL-expressible oracle; semantics pinned in tests/)
     "doc_minhash_pairs": doc_minhash_pairs,
     "doc_simhash": doc_simhash,
+    "doc_jaccard_pairs": doc_jaccard_pairs,
     "doc_simhash_pairs": doc_simhash_pairs,
     "doc_embeddings": doc_embeddings,
     "embedding_dup_pairs": embedding_dup_pairs,
@@ -1195,6 +1227,7 @@ ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_findings": DOC_FINDINGS_SQL,
     "doc_exact_dup_clusters": DOC_EXACT_DUP_SQL,
+    "doc_jaccard_pairs": DOC_JACCARD_PAIRS_SQL,
     "doc_lang_counts": DOC_LANG_COUNTS_SQL,
     "knn_brute": KNN_BRUTE_SQL,
     "kg_doc_triples": KG_DOC_TRIPLES_SQL,

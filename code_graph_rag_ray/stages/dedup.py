@@ -181,6 +181,79 @@ def jaccard(a: str, b: str, n: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
+def _shingle_set(text: str, n: int) -> set[str]:
+    toks = text.split()
+    if len(toks) < n:
+        return {text}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def jaccard_exact(a: str, b: str, n: int = 3) -> float:
+    """Word-n-gram Jaccard over EXACT shingle string sets (no hashing).
+
+    The hashed :func:`jaccard` is the fast verify kernel (crc32 shingles);
+    this variant is collision-free and bit-reproducible by any engine that
+    forms the same shingle sets (the DuckDB oracle recomputes it exactly —
+    intersection/union counts divided as IEEE doubles)."""
+    sa, sb = _shingle_set(a, n), _shingle_set(b, n)
+    return len(sa & sb) / len(sa | sb)
+
+
+def ngram_jaccard_pairs(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    n: int = 3,
+) -> Dataset:
+    """n-gram Jaccard similarity for consecutive-id candidate pairs.
+
+    Deterministic candidate generator: pair each document with ``id + 1``
+    (within ``group_col`` when given) via a distributed self-join on a
+    derived key — the linear-candidate shape (O(rows) pairs, no n²). The
+    per-pair exact-set verify runs inside the join's cogroup batches, the
+    same kernel placement as the MinHash verify stage. Output:
+    (id_a, id_b, jaccard).
+    """
+    import pyarrow.compute as pc
+
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    extra = [group_col] if group_col else []
+
+    def left(b: pa.Table) -> pa.Table:
+        cols = {"k": b[id_col], "id_a": b[id_col], "text_a": b[text_col]}
+        for c in extra:
+            cols["ga_" + c] = b[c]
+        return pa.table(cols)
+
+    def right(b: pa.Table) -> pa.Table:
+        cols = {"k": pc.add(b[id_col], -1), "id_b": b[id_col], "text_b": b[text_col]}
+        for c in extra:
+            cols["gb_" + c] = b[c]
+        return pa.table(cols)
+
+    joined = bucketed_join(
+        ds.map_batches(left, batch_format="pyarrow"),
+        ds.map_batches(right, batch_format="pyarrow"),
+        on="k", how="inner",
+    )
+
+    def compute(df):
+        import pandas as pd
+
+        for c in extra:
+            df = df[df["ga_" + c] == df["gb_" + c]]
+        return pd.DataFrame(
+            {"id_a": df["id_a"], "id_b": df["id_b"],
+             "jaccard": [jaccard_exact(a, b, n)
+                         for a, b in zip(df["text_a"], df["text_b"])]}
+        )
+
+    return joined.map_batches(compute, batch_format="pandas")
+
+
 def exact_dup_clusters(ds: Dataset, *, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
     """Exact dedup: (md5, n_dups, keeper=min id) per content-hash cluster.
 

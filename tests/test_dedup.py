@@ -114,3 +114,34 @@ def test_simhash_near_dup_pairs_planted():
     # sits at hamming 6 — template fillers share tokens by construction)
     for a, b in got:
         assert (a, b) == (4, 19)
+
+
+def test_ngram_jaccard_pairs_consecutive_and_grouped():
+    """Exact-set trigram Jaccard over consecutive-id candidate pairs;
+    group_col restricts pairing to same-group neighbors."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.dedup import jaccard_exact, ngram_jaccard_pairs
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",   # near dup of 0
+        "totally different words entirely here now",
+        "alpha beta gamma delta epsilon zeta",  # exact dup of 2? no — of 0, but not adjacent
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts),
+        "grp": pa.array(["x", "x", "x", "y"]),
+    }))
+    out = ngram_jaccard_pairs(ds).to_pandas().set_index("id_a")
+    assert sorted(out.index) == [0, 1, 2]
+    # (0,1): shingles overlap 3 of 5 distinct → 3/5
+    assert out.loc[0, "jaccard"] == jaccard_exact(texts[0], texts[1]) == 3 / 5
+    assert out.loc[1, "jaccard"] == 0.0
+    assert out.loc[2, "jaccard"] == 0.0
+
+    grouped = ngram_jaccard_pairs(ds, group_col="grp").to_pandas()
+    # pair (2,3) crosses groups x|y → dropped; only (0,1) and (1,2) remain
+    assert sorted(grouped.id_a) == [0, 1]
