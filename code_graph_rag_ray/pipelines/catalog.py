@@ -1160,6 +1160,82 @@ KG_FIXTURE_PR_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# page manifest (S7 dependency-manifest reader analog)
+# ---------------------------------------------------------------------------
+
+def page_manifest(sf_dir: str):
+    """S7 analog: vectorized <meta name/content> manifest rows per page
+    (the web-page 'dependency manifest' — parsers/dependency_parser.py)."""
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+    from code_graph_rag_ray.stages.manifest import extract_manifest
+
+    return extract_manifest(pages_from_documents(sf_dir))
+
+
+PAGE_MANIFEST_SQL = """
+WITH p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         doc_id, lang
+  FROM documents)
+SELECT url, 'generator' AS key,
+       'gen-' || (doc_id % 5) || ' 1.' || (doc_id % 3) || '.' || (doc_id % 11) AS value
+FROM p
+UNION ALL
+SELECT url, 'language' AS key, lang AS value FROM p
+UNION ALL
+SELECT url, 'requires' AS key,
+       'lib-' || (doc_id % 4) || '@^2.' || (doc_id % 6) AS value
+FROM p
+"""
+
+
+def page_deps(sf_dir: str):
+    """DEPENDS_ON_EXTERNAL edges with version_spec parsed from manifest
+    values (definition_processor.py:451-478 analog)."""
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+    from code_graph_rag_ray.stages.manifest import extract_manifest, manifest_deps
+
+    return manifest_deps(extract_manifest(pages_from_documents(sf_dir)))
+
+
+PAGE_DEPS_SQL = """
+WITH p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url, doc_id
+  FROM documents)
+SELECT url, 'lib-' || (doc_id % 4) AS dep_name, '^2.' || (doc_id % 6) AS version_spec
+FROM p
+UNION ALL
+SELECT url, 'gen-' || (doc_id % 5) AS dep_name,
+       '1.' || (doc_id % 3) || '.' || (doc_id % 11) AS version_spec
+FROM p
+"""
+
+
+def ext_packages(sf_dir: str):
+    """ExternalPackage node table: per-package dependent counts (MERGE
+    aggregation analog). Partial count per batch, dictionary-scale final
+    groupby."""
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+    from code_graph_rag_ray.stages.manifest import (
+        extract_manifest, external_packages, manifest_deps,
+    )
+
+    deps = manifest_deps(extract_manifest(pages_from_documents(sf_dir)))
+    return external_packages(deps)
+
+
+EXT_PACKAGES_SQL = """
+WITH p AS (SELECT doc_id FROM documents),
+     d AS (
+       SELECT 'lib-' || (doc_id % 4) AS dep_name FROM p
+       UNION ALL
+       SELECT 'gen-' || (doc_id % 5) AS dep_name FROM p)
+SELECT dep_name, CAST(count(*) AS BIGINT) AS n_dependents
+FROM d GROUP BY dep_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1194,6 +1270,9 @@ QUERIES = {
     "page_links": page_links,
     "page_links_internal": page_links_internal,
     "page_ext_sites": page_ext_sites,
+    "page_manifest": page_manifest,
+    "page_deps": page_deps,
+    "ext_packages": ext_packages,
     "kg_fixture_pr": kg_fixture_pr,
     # rows-only (no SQL-expressible oracle; semantics pinned in tests/)
     "doc_minhash_pairs": doc_minhash_pairs,
@@ -1240,5 +1319,8 @@ ORACLES = {
     "page_links": PAGE_LINKS_SQL,
     "page_links_internal": PAGE_LINKS_INTERNAL_SQL,
     "page_ext_sites": PAGE_EXT_SITES_SQL,
+    "page_manifest": PAGE_MANIFEST_SQL,
+    "page_deps": PAGE_DEPS_SQL,
+    "ext_packages": EXT_PACKAGES_SQL,
     "kg_fixture_pr": KG_FIXTURE_PR_SQL,
 }

@@ -418,7 +418,15 @@ def _docs_to_pages_batch(batch: pa.Table) -> pa.Table:
       — a real page url iff document ``doc_id//2`` shares this document's
       source (data-dependent, so the semi-join is non-trivial and
       SQL-checkable) — and an always-EXTERNAL site link
-      ``https://ext-<doc_id%7>.example.net/``.
+      ``https://ext-<doc_id%7>.example.net/``,
+    - three planted ``<meta name=... content=...>`` head declarations (the
+      dependency-manifest analog, S7): ``generator`` =
+      ``gen-<doc_id%5> 1.<doc_id%3>.<doc_id%11>``, ``language`` = the
+      document's ``lang`` column (data-dependent), ``requires`` =
+      ``lib-<doc_id%4>@^2.<doc_id%6>`` (npm-caret spec — values must avoid
+      ``"`` and ``>`` so the tag-strip regex and extract_text byte identity
+      are untouched). No ``href=`` attribute, so the link oracles are
+      untouched too.
     """
     import numpy as np
     import pyarrow.compute as pc
@@ -432,9 +440,20 @@ def _docs_to_pages_batch(batch: pa.Table) -> pa.Table:
         pa.array(["https://"] * n), batch["source"],
         pa.array([".example.org/doc/"] * n), doc_id, "",
     )
+    gen5 = pa.array((ids % 5).astype(str), pa.string())
+    gen3 = pa.array((ids % 3).astype(str), pa.string())
+    gen11 = pa.array((ids % 11).astype(str), pa.string())
+    lib4 = pa.array((ids % 4).astype(str), pa.string())
+    lib6 = pa.array((ids % 6).astype(str), pa.string())
     html = pc.binary_join_element_wise(
         pa.array(["<html><head><title>doc "] * n), doc_id,
-        pa.array(["</title></head><body><p>"] * n), batch["text"],
+        pa.array(['</title><meta name="generator" content="gen-'] * n), gen5,
+        pa.array([" 1."] * n), gen3,
+        pa.array(["."] * n), gen11,
+        pa.array(['"><meta name="language" content="'] * n), batch["lang"],
+        pa.array(['"><meta name="requires" content="lib-'] * n), lib4,
+        pa.array(["@^2."] * n), lib6,
+        pa.array(['"></head><body><p>'] * n), batch["text"],
         pa.array(['</p><p><a href="https://'] * n), batch["source"],
         pa.array([".example.org/doc/"] * n), half_id,
         pa.array(['">ref</a> <a href="https://ext-'] * n), ext_n,
