@@ -14,8 +14,12 @@ exact qn → receiver-type chain → suffix fallback; registry
 - the **cascade** (the analog of the reference's six-step resolver,
   ``parsers/call_resolver.py:297-318``): for dictionary aliases —
   unique candidate (exact qn) → page-local *suffix* recency antecedent
-  (the trie ``find_ending_with`` analog) → highest-prior candidate with
-  deterministic entity-id tie-break; for unknown proper-noun runs —
+  (the trie ``find_ending_with`` analog) → **unique-seen redirect**: an
+  ambiguous alias whose candidate set contains exactly ONE entity already
+  resolved on this page links to it (the interface→unique-concrete-
+  implementer redirect, ``call_resolver.py:2596-2682``) → highest-prior
+  candidate with deterministic entity-id tie-break; for unknown
+  proper-noun runs —
   builtin-table gate (capitalized function words are never entities;
   the builtin-table tier + fallback gates, ``call_resolver.py:33-44``)
   → page-local *prefix* antecedent (single token matching the first
@@ -32,7 +36,7 @@ exact qn → receiver-type chain → suffix fallback; registry
 
 Output schema (one row per detected mention):
     url, start, end, surface, entity_id, method, rel, obj_entity_id, lang
-``method`` ∈ {exact, recency, context, prior, external}.
+``method`` ∈ {exact, recency, unique, context, prior, external}.
 """
 
 from __future__ import annotations
@@ -197,6 +201,7 @@ class MentionLinker:
         # dict per mention dominated the profile)
         recent_full: dict[str, str] = {}    # suffix token -> entity_id
         recent_prefix: dict[str, str] = {}  # first token  -> entity_id
+        seen: set[str] = set()              # entity ids resolved on this page
         n = len(spans)
         eids: list[str] = [""] * n
         methods: list[str] = [""] * n
@@ -223,10 +228,26 @@ class MentionLinker:
             elif " " not in surface and surface in recent_full:
                 eid, method = recent_full[surface], "recency"
             else:
-                eid, method = cands[0][0], "prior"
+                # unique-seen redirect: exactly one candidate was already
+                # resolved on this page → it wins over the global prior
+                # (interface → unique concrete implementer,
+                # call_resolver.py:2596-2682)
+                hit: str | None = None
+                for c, _p in cands:
+                    if c in seen:
+                        if hit is None:
+                            hit = c
+                        elif hit != c:
+                            hit = None
+                            break
+                if hit is not None:
+                    eid, method = hit, "unique"
+                else:
+                    eid, method = cands[0][0], "prior"
             if " " in surface:
                 recent_full[surface.rsplit(" ", 1)[1]] = eid
                 recent_prefix[surface.split(" ", 1)[0]] = eid
+            seen.add(eid)
             eids[i] = eid
             methods[i] = method
 

@@ -193,6 +193,50 @@ def test_cascade_prefix_context_and_builtin_gate():
     assert out3.rel.notna().sum() == 0
 
 
+def test_cascade_unique_seen_redirect():
+    """J2 cascade step: an ambiguous alias whose candidate set contains
+    exactly ONE entity already resolved on this page redirects to it, even
+    against a higher global prior (interface → unique-concrete-implementer,
+    ``call_resolver.py:2596-2682``). Zero or two seen candidates fall back
+    to the prior argmax."""
+    import pyarrow as pa
+
+    from code_graph_rag_ray.stages.linking import MentionLinker
+
+    alias = pa.Table.from_pylist(
+        [{"alias": "Titan", "entity_id": "EA", "prior": 0.9},
+         {"alias": "Titan", "entity_id": "EB", "prior": 0.1},
+         {"alias": "Bravo Networks", "entity_id": "EB", "prior": 1.0},
+         {"alias": "Alpha Group", "entity_id": "EA", "prior": 1.0},
+         {"alias": "Orbit Media", "entity_id": "E2", "prior": 1.0}],
+        schema=pa.schema([("alias", pa.string()), ("entity_id", pa.string()),
+                          ("prior", pa.float64())]),
+    )
+    linker = MentionLinker(alias)
+
+    def run(text):
+        return linker(pa.table({
+            "url": pa.array(["https://x/1"]), "text": pa.array([text]),
+            "lang": pa.array(["en"]),
+        })).to_pandas()
+
+    # EB (prior 0.1) is the only candidate seen on the page → redirect
+    out = run("Bravo Networks sued Orbit Media . Titan acquired Orbit Media .")
+    t = out[out.surface == "Titan"]
+    assert len(t) == 1 and t.iloc[0].entity_id == "EB"
+    assert t.iloc[0].method == "unique"
+
+    # nothing seen → global prior argmax (EA)
+    out2 = run("Titan acquired Orbit Media .")
+    t2 = out2[out2.surface == "Titan"]
+    assert t2.iloc[0].entity_id == "EA" and t2.iloc[0].method == "prior"
+
+    # BOTH candidates seen → ambiguous again, prior argmax
+    out3 = run("Bravo Networks sued Alpha Group . Titan acquired Orbit Media .")
+    t3 = out3[out3.surface == "Titan"]
+    assert t3.iloc[0].entity_id == "EA" and t3.iloc[0].method == "prior"
+
+
 def test_fixture_plants_exercise_new_cascade_steps(pages_fixture, kg_run):
     """The seeded corpus must actually contain prefix-context and
     builtin-gated plants (otherwise the P/R gate doesn't pin them)."""
