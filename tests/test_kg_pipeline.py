@@ -252,6 +252,9 @@ def test_fixture_plants_exercise_new_cascade_steps(pages_fixture, kg_run):
     )["mentions"].to_pandas()
     assert (mentions.method == "context").sum() > 0
     assert not mentions.surface.isin(BUILTINS_PLANTED).any()
+    # the head entity's collision-twin surface re-resolves via the
+    # unique-seen redirect once the head entity has appeared on the page
+    assert (mentions.method == "unique").sum() > 0
     # planted builtin sentences exist in the raw text
     texts = " ".join(r["text"] for r in fx.expected_text.to_pylist())
     assert any(b + " " in texts for b in BUILTINS_PLANTED)
