@@ -34,7 +34,10 @@ from code_graph_rag_ray.stages.text_analysis import (
     quality_batch,
     token_stats_batch,
 )
-from code_graph_rag_ray.stages.windows import session_windows, tumbling_window_agg
+from code_graph_rag_ray.stages.windows import (
+    session_windows_chunked,
+    tumbling_window_agg,
+)
 
 _ENT_SQL = sql_in_list(ENTITY_VOCAB_SORTED)
 _REL_SQL = sql_in_list(RELATION_VOCAB_SORTED)
@@ -466,8 +469,10 @@ FROM events GROUP BY 1, 2
 
 
 def events_sessions(sf_dir: str):
+    # chunked two-phase sessionization: the skew-safe path (whale user =
+    # one giant map_groups task otherwise) is the oracle-checked one
     ds = _pq(sf_dir, "events", ["user_id", "ts"])
-    return session_windows(ds, gap_s=1800)
+    return session_windows_chunked(ds, gap_s=1800)
 
 
 EVENTS_SESSIONS_SQL = """

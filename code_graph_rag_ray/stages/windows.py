@@ -96,3 +96,89 @@ def session_windows(
         return out
 
     return events.groupby(key_col).map_groups(sessions, batch_format="pandas")
+
+
+def session_windows_chunked(
+    events: Dataset,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_s: int = 1800,
+    chunk_s: int = 86400,
+) -> Dataset:
+    """Skew-safe sessionization, bit-identical to :func:`session_windows`.
+
+    A whale key (one user carrying a large share of the events) makes the
+    per-key ``map_groups`` a single giant task. Standard two-phase split:
+
+    1. sessionize within ``(key, time-chunk)`` groups — chunk = epoch-µs
+       floor-divided by ``chunk_s`` (must be ≥ ``gap_s``), so the whale's
+       events spread over ``span/chunk_s`` tasks; local sessions are maximal
+       within their chunk and carry µs-precision bounds,
+    2. merge per key over the SESSION summaries (3 ints each — bounded by
+       session count, not event count): sorted by start, a session whose
+       start is within ``gap_s`` of the previous end continues it (only
+       chunk-boundary-adjacent sessions can merge, chained merges handle a
+       session spanning many chunks).
+
+    Output is floored to epoch seconds at the very end, like the plain
+    version (µs precision is kept through BOTH phases — flooring before the
+    merge would change gap decisions).
+    """
+    if chunk_s < gap_s:
+        raise ValueError("chunk_s must be >= gap_s")
+
+    gap_us = gap_s * 1_000_000
+
+    def local_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__ts_us", kind="mergesort")
+        ts_us = g["__ts_us"].to_numpy()
+        new_session = np.ones(len(g), dtype=bool)
+        new_session[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
+        sid = np.cumsum(new_session)
+        out = (
+            g.assign(__sid=sid)
+            .groupby("__sid")
+            .agg(start_us=("__ts_us", "min"), end_us=("__ts_us", "max"),
+                 n_events=("__ts_us", "size"))
+            .reset_index(drop=True)
+        )
+        out.insert(0, key_col, g[key_col].iloc[0])
+        return out
+
+    def assign_chunk(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
+        chunk = pc.divide(ts_us, chunk_s * 1_000_000)
+        return pa.table({key_col: b[key_col], "__ts_us": ts_us, "__chunk": chunk})
+
+    def merge_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["start_us", "end_us"], kind="mergesort")
+        starts = g["start_us"].to_numpy()
+        ends = g["end_us"].to_numpy()
+        n = g["n_events"].to_numpy()
+        # local sessions never overlap (chunk-disjoint), so running-max of
+        # end == previous end in sorted order
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (starts[1:] - ends[:-1]) > gap_us
+        sid = np.cumsum(new)
+        out = (
+            pd.DataFrame({"sid": sid, "s": starts, "e": ends, "n": n})
+            .groupby("sid")
+            .agg(s=("s", "min"), e=("e", "max"), n=("n", "sum"))
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {
+                key_col: g[key_col].iloc[0],
+                "session_start": out["s"] // 1_000_000,
+                "session_end": out["e"] // 1_000_000,
+                "n_events": out["n"],
+            }
+        )
+
+    local = (
+        events.map_batches(assign_chunk, batch_format="pyarrow")
+        .groupby([key_col, "__chunk"])
+        .map_groups(local_sessions, batch_format="pandas")
+    )
+    return local.groupby(key_col).map_groups(merge_sessions, batch_format="pandas")

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -13,7 +14,11 @@ from code_graph_rag_ray.stages.text_analysis import (
     quality_batch,
     token_stats_batch,
 )
-from code_graph_rag_ray.stages.windows import session_windows, tumbling_window_agg
+from code_graph_rag_ray.stages.windows import (
+    session_windows,
+    session_windows_chunked,
+    tumbling_window_agg,
+)
 
 
 def test_token_stats():
@@ -87,6 +92,60 @@ def test_session_windows_gap_split():
     u1 = out[out.user_id == 1].sort_values("session_start")
     assert u1.n_events.tolist() == [2, 1]
     assert len(out[out.user_id == 2]) == 1
+
+
+def _norm_sessions(df):
+    return sorted(map(tuple, df[["user_id", "session_start", "session_end",
+                                 "n_events"]].itertuples(index=False)))
+
+
+def test_session_windows_chunked_equals_plain_across_boundaries():
+    """Two-phase (skew-safe) sessionization is bit-identical to the plain
+    per-key version, including sessions that straddle one or MANY chunk
+    boundaries (chained merges) and events exactly on a boundary."""
+    rng = np.random.default_rng(7)
+    base = 1_704_067_200  # 2024-01-01, a multiple of 3600
+    rows = []
+    # random users with random gaps
+    for u in range(8):
+        t = base + int(rng.integers(86_400))
+        for _ in range(60):
+            t += int(rng.integers(4000))  # gaps straddle the 1800s threshold
+            rows.append({"user_id": u, "ts": pd.Timestamp(t, unit="s")})
+    # a session spanning MANY chunks: events every 1000s for 5 hours, with
+    # chunk_s=3600 → ~18 boundary crossings, all within-gap → ONE session
+    t = base + 500
+    for _ in range(18):
+        t += 1000
+        rows.append({"user_id": 99, "ts": pd.Timestamp(t, unit="s")})
+    # an event exactly on a chunk boundary
+    rows.append({"user_id": 98, "ts": pd.Timestamp(base + 3600, unit="s")})
+    rows.append({"user_id": 98, "ts": pd.Timestamp(base + 3600 + 1800, unit="s")})
+    df = pd.DataFrame(rows)
+
+    plain = session_windows(rd.from_pandas(df), gap_s=1800).to_pandas()
+    chunked = session_windows_chunked(
+        rd.from_pandas(df), gap_s=1800, chunk_s=3600
+    ).to_pandas()
+    assert _norm_sessions(chunked) == _norm_sessions(plain)
+    u99 = chunked[chunked.user_id == 99]
+    assert len(u99) == 1 and u99.iloc[0].n_events == 18  # chained merge
+
+
+def test_session_windows_chunked_whale_user_splits_groups():
+    """The whale key's events must spread over many phase-1 groups (the
+    scale argument), while output matches the plain path."""
+    base = 1_704_067_200
+    rows = [{"user_id": 0, "ts": pd.Timestamp(base + i * 2000, unit="s")}
+            for i in range(500)]  # gaps 2000s > 1800s → 500 sessions
+    rows += [{"user_id": 1, "ts": pd.Timestamp(base + 100, unit="s")}]
+    df = pd.DataFrame(rows)
+    chunked = session_windows_chunked(
+        rd.from_pandas(df), gap_s=1800, chunk_s=7200
+    ).to_pandas()
+    plain = session_windows(rd.from_pandas(df), gap_s=1800).to_pandas()
+    assert _norm_sessions(chunked) == _norm_sessions(plain)
+    assert len(chunked[chunked.user_id == 0]) == 500
 
 
 def test_multimodal_decode_plumbing():
