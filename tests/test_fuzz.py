@@ -60,3 +60,38 @@ def test_decode_binary_never_raises(payloads):
         except UnicodeDecodeError:
             assert e == "utf8-decode-error"
         assert t is not None
+
+
+meta_fragments = st.lists(
+    st.one_of(
+        st.text(max_size=30),
+        st.sampled_from(
+            ['<meta name="', '" content="', '">', '<meta name="k" content="v">',
+             '<meta name="unterminated', 'content="loose"', '<a href="u">',
+             "<head>", "</head>", '"', "\n"]
+        ),
+    ),
+    max_size=10,
+).map("".join)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(meta_fragments, min_size=1, max_size=6))
+def test_manifest_extraction_never_raises_and_is_row_isolated(htmls):
+    """Manifest extraction over arbitrary/malformed markup: never raises,
+    deterministic, and batch-composition independent (each row's manifest
+    rows depend only on that row — the per-row invariant)."""
+    from code_graph_rag_ray.stages.manifest import extract_meta
+
+    keys, vals, rows = extract_meta(pa.array(htmls, pa.string()))
+    keys2, vals2, rows2 = extract_meta(pa.array(htmls, pa.string()))
+    assert keys.to_pylist() == keys2.to_pylist()
+    assert vals.to_pylist() == vals2.to_pylist()
+    assert rows.tolist() == rows2.tolist()
+    # batch == per-row singleton composition
+    per_row: list[tuple] = []
+    for i, h in enumerate(htmls):
+        k1, v1, _ = extract_meta(pa.array([h], pa.string()))
+        per_row.extend((i, k, v) for k, v in zip(k1.to_pylist(), v1.to_pylist()))
+    got = list(zip(rows.tolist(), keys.to_pylist(), vals.to_pylist()))
+    assert got == per_row
