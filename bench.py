@@ -103,25 +103,31 @@ def run_bench() -> dict:
         )
         relations = {w: w for w in RELATION_VOCAB_SORTED}
 
-        t0 = time.perf_counter()
-        kg = build_kg(
-            pages, alias_tbl, relations=relations,
-            materialize_mentions=False,  # single consumer → fully streaming
-            build_nodes=False,           # edges-only: skip the CC branch
-        )
-        # consume with an IN-TASK count (one row per block reaches the
-        # driver). This matches the real terminal op's data movement —
-        # write_parquet also writes inside the tasks and ships only
-        # metadata — whereas Dataset.count() ships every edge block through
-        # the object store, which is measurement artifact, not pipeline
-        # work (observed: it flattened the scaling curve).
-        counted = kg["edges"].map_batches(
-            lambda b: pa.table({"n": pa.array([b.num_rows], pa.int64())}),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-        n_triples = counted.sum("n")
-        headline = time.perf_counter() - t0
+        # best of 2: single runs on this shared VM fluctuate ±20-30%
+        # (hypervisor steal — same reasoning as run_scaling); the min is
+        # the least-interference estimate of pipeline capability
+        headline = float("inf")
+        n_triples = 0
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            kg = build_kg(
+                pages, alias_tbl, relations=relations,
+                materialize_mentions=False,  # single consumer → fully streaming
+                build_nodes=False,           # edges-only: skip the CC branch
+            )
+            # consume with an IN-TASK count (one row per block reaches the
+            # driver). This matches the real terminal op's data movement —
+            # write_parquet also writes inside the tasks and ships only
+            # metadata — whereas Dataset.count() ships every edge block
+            # through the object store, which is measurement artifact, not
+            # pipeline work (observed: it flattened the scaling curve).
+            counted = kg["edges"].map_batches(
+                lambda b: pa.table({"n": pa.array([b.num_rows], pa.int64())}),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            n_triples = counted.sum("n")
+            headline = min(headline, time.perf_counter() - t0)
 
         # ---- materialize stage (hash(subj)-partitioned, sorted write) ----
         # timed on a smaller corpus (factor 40) so the full north-star
@@ -170,6 +176,7 @@ def run_bench() -> dict:
             "sf": _sf_of(sf_dir),
             "num_cpus": num_cpus,
             "bench_factor": factor,
+            "headline_runs": 2,
             "triples": int(n_triples),
             "triples_per_sec": round(n_triples / headline, 1),
         }
