@@ -1004,11 +1004,42 @@ def doc_minhash_pairs(sf_dir: str):
 
 
 def doc_simhash(sf_dir: str):
-    """64-bit SimHash signature per document (rows-only check)."""
+    """64-bit SimHash signature per document — bit-exact DuckDB oracle:
+    the md5-low32 bigram shingle hashes are recomputed in SQL and the
+    per-bit majority vote rebuilt with integer bit math."""
     from code_graph_rag_ray.stages.dedup import simhash_batch_factory
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(simhash_batch_factory(), batch_format="pyarrow")
+
+
+# Shared CTE: per-doc SimHash recomputed exactly — md5-low32 of word-bigram
+# shingles (docs with <2 tokens degrade to md5(text), mirroring
+# _token_hashes), strict-majority bit votes over bits 0..62 (bit 63 is
+# masked off in the Python path).
+_SIMHASH_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 8))::UBIGINT::BIGINT AS h
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)
+  UNION ALL
+  SELECT d.doc_id, ('0x' || substr(md5(d.text), 1, 8))::UBIGINT::BIGINT AS h
+  FROM documents d JOIN toks USING (doc_id) WHERE len(toks.t) < 2
+),
+votes AS (
+  SELECT doc_id, b,
+         CASE WHEN 2 * sum((h >> b) & 1) > count(*) THEN 1 ELSE 0 END AS bit
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 63)) AS b) bits
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id, CAST(sum(bit * (1::BIGINT << b)) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+DOC_SIMHASH_SQL = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sig"
 
 
 def doc_jaccard_pairs(sf_dir: str):
@@ -1043,13 +1074,25 @@ FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
 
 
 def doc_simhash_pairs(sf_dir: str):
-    """SimHash Hamming-banded near-dup pairs (rows-only; pigeonhole
-    banding semantics pinned in tests/test_dedup.py)."""
+    """SimHash Hamming-banded near-dup pairs. Pigeonhole banding is
+    EXACT-recall for hamming ≤ k (k+1 bands ⇒ any qualifying pair agrees
+    on ≥1 band), so the distributed banded result equals the exact
+    all-pairs SQL — provided no bucket exceeds ``max_group`` (holds at
+    oracle scale; truncation is the documented skew guard at 100 TB)."""
     from code_graph_rag_ray.stages.dedup import simhash_near_dup_pairs
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     out = simhash_near_dup_pairs(ds, max_hamming=3).to_pandas()
     return _ensure_cols(out, {"a": "int64", "b": "int64", "hamming": "int64"})
+
+
+DOC_SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_CTE}
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
 
 
 def embedding_dup_pairs(sf_dir: str):
@@ -1324,6 +1367,8 @@ ORACLES = {
     "page_links": PAGE_LINKS_SQL,
     "page_links_internal": PAGE_LINKS_INTERNAL_SQL,
     "page_ext_sites": PAGE_EXT_SITES_SQL,
+    "doc_simhash": DOC_SIMHASH_SQL,
+    "doc_simhash_pairs": DOC_SIMHASH_PAIRS_SQL,
     "page_manifest": PAGE_MANIFEST_SQL,
     "page_deps": PAGE_DEPS_SQL,
     "ext_packages": EXT_PACKAGES_SQL,

@@ -31,14 +31,28 @@ _M61 = (1 << 61) - 1
 
 
 def _token_hashes(text: str, n: int = 3) -> np.ndarray:
-    """crc32 hashes of word n-gram shingles."""
-    import zlib
+    """md5-low32 hashes of word n-gram shingles.
+
+    md5 rather than crc32 so the signatures are DuckDB-recomputable —
+    ``('0x' || substr(md5(s),1,8))::UBIGINT`` rebuilds these exact values,
+    which is what upgrades the simhash queries from rows-only to bit-exact
+    oracle checks. Values stay < 2^32, preserving the exact-product
+    property the MinHasher relies on."""
+    import hashlib
 
     toks = text.split()
     if len(toks) < n:
-        return np.asarray([zlib.crc32(text.encode())], dtype=np.uint64)
+        return np.asarray(
+            [int.from_bytes(hashlib.md5(text.encode()).digest()[:4], "big")],
+            dtype=np.uint64,
+        )
     return np.asarray(
-        [zlib.crc32(" ".join(toks[i : i + n]).encode()) for i in range(len(toks) - n + 1)],
+        [
+            int.from_bytes(
+                hashlib.md5(" ".join(toks[i : i + n]).encode()).digest()[:4], "big"
+            )
+            for i in range(len(toks) - n + 1)
+        ],
         dtype=np.uint64,
     )
 
@@ -48,7 +62,7 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 64, seed: int = 7):
         rng = np.random.default_rng(seed)
-        # a < 2^31 and x < 2^32 (crc32 shingles) keep a*x < 2^63, so the
+        # a < 2^31 and x < 2^32 (md5-low32 shingles) keep a*x < 2^63, so the
         # uint64 product is EXACT — a full-width a would wrap mod 2^64
         # before the mod-M61, silently breaking the universal-hash property
         # (biased signatures → reduced LSH recall).
@@ -191,7 +205,7 @@ def _shingle_set(text: str, n: int) -> set[str]:
 def jaccard_exact(a: str, b: str, n: int = 3) -> float:
     """Word-n-gram Jaccard over EXACT shingle string sets (no hashing).
 
-    The hashed :func:`jaccard` is the fast verify kernel (crc32 shingles);
+    The hashed :func:`jaccard` is the fast verify kernel (md5-low32 shingles);
     this variant is collision-free and bit-reproducible by any engine that
     forms the same shingle sets (the DuckDB oracle recomputes it exactly —
     intersection/union counts divided as IEEE doubles)."""
