@@ -85,6 +85,32 @@ def partition_ids(arr: pa.Array | pa.ChunkedArray, num_partitions: int) -> np.nd
     return (stable_hash_array(arr) % np.uint64(num_partitions)).astype(np.int32)
 
 
+def md5_low32_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """uint32 = first 4 md5 digest bytes (big-endian) per element.
+
+    The oracle-checkable sibling of ``stable_hash_array``: DuckDB rebuilds
+    the exact values with ``('0x' || substr(md5(x),1,8))::UBIGINT``, which
+    is what lets split/sample assignments be verified bit-exactly in SQL.
+    Use it for POLICY decisions a user must be able to audit (train/val
+    splits, samples); use ``stable_hash_array`` for internal partitioning
+    where speed matters and no SQL parity is needed.
+    """
+    import hashlib
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5((v or "").encode()).digest()[:4], "big")
+            for v in arr.to_pylist()
+        ),
+        dtype=np.uint32,
+        count=len(arr),
+    )
+
+
 def md5_hex_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Content-hash column (cgr's MD5 change detection, graph_updater.py:129-141).
 

@@ -1095,6 +1095,53 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic split / stratified sampling (training-data curation ops)
+# ---------------------------------------------------------------------------
+
+def doc_split(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment by md5-low32 bucket
+    of doc_id — order/partitioning independent and auditable in SQL."""
+    from code_graph_rag_ray.stages.sampling import hash_split
+
+    ds = _pq(sf_dir, "documents", ["doc_id"])
+    return hash_split(ds, id_col="doc_id")
+
+
+DOC_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 AS bk
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN bk < 9000 THEN 'train'
+            WHEN bk < 9500 THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+
+def doc_sample_stratified(sf_dir: str):
+    """Per-stratum deterministic downsampling: keep 20% of English pages,
+    100% of French (low-resource upweighting shape), 50% of the rest."""
+    from code_graph_rag_ray.stages.sampling import stratified_sample
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(
+        ds, id_col="doc_id", strata_col="lang",
+        fractions={"en": 0.2, "fr": 1.0}, default_fraction=0.5,
+    )
+
+
+DOC_SAMPLE_STRATIFIED_SQL = """
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 AS bk
+  FROM documents)
+SELECT doc_id, lang FROM b
+WHERE bk < CASE lang WHEN 'en' THEN 2000 WHEN 'fr' THEN 10000 ELSE 5000 END
+"""
+
+
 def embedding_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup pairs via hyperplane-LSH buckets."""
     from code_graph_rag_ray.stages.dedup import embedding_near_dup_pairs
@@ -1133,13 +1180,29 @@ def doc_embeddings(sf_dir: str):
     from code_graph_rag_ray.stages.embedding import embed_documents
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
-    out = embed_documents(ds, dim=64, concurrency=2, batch_size=256).to_pandas()
-    # stable scalar projection for the driver's value recorder
-    out["emb_norm"] = out["embedding"].map(
-        lambda v: round(float(np.linalg.norm(np.asarray(v, np.float64))), 4)
+
+    # stable scalar projection for the driver's value recorder — computed
+    # IN the pipeline (vectorized flatten+reshape over the fixed-dim list
+    # column), the result stays a streaming Dataset
+    def project(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": b["doc_id"],
+                             "emb_norm": pa.array([], pa.float64()),
+                             "emb_head": pa.array([], pa.float64())})
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = mat.reshape(b.num_rows, -1)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "emb_norm": pa.array(np.round(np.linalg.norm(mat, axis=1), 4)),
+            "emb_head": pa.array(np.round(mat[:, 0], 6)),
+        })
+
+    return embed_documents(ds, dim=64, concurrency=2, batch_size=256).map_batches(
+        project, batch_format="pyarrow"
     )
-    out["emb_head"] = out["embedding"].map(lambda v: round(float(v[0]), 6))
-    return out[["doc_id", "emb_norm", "emb_head"]]
 
 
 def doc_lang_pred(sf_dir: str):
@@ -1161,11 +1224,24 @@ def media_features(sf_dir: str):
 
     del sf_dir  # media corpus is generated deterministically (seeded)
     ds = rd.from_arrow(make_fake_media_table(256))
-    out = decode_media(ds, decoder="fake").to_pandas()
-    out["feature_norm"] = out["feature"].map(
-        lambda f: round(float(np.linalg.norm(np.asarray(f))), 4)
-    )
-    return out[["media_id", "kind", "payload_bytes", "feature_norm"]]
+
+    def project(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"media_id": b["media_id"], "kind": b["kind"],
+                             "payload_bytes": b["payload_bytes"],
+                             "feature_norm": pa.array([], pa.float64())})
+        feat = b["feature"]
+        if isinstance(feat, pa.ChunkedArray):
+            feat = feat.combine_chunks()
+        mat = feat.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = mat.reshape(b.num_rows, -1)
+        return pa.table({
+            "media_id": b["media_id"], "kind": b["kind"],
+            "payload_bytes": b["payload_bytes"],
+            "feature_norm": pa.array(np.round(np.linalg.norm(mat, axis=1), 4)),
+        })
+
+    return decode_media(ds, decoder="fake").map_batches(project, batch_format="pyarrow")
 
 
 def events_debounce(sf_dir: str):
@@ -1321,6 +1397,8 @@ QUERIES = {
     "page_manifest": page_manifest,
     "page_deps": page_deps,
     "ext_packages": ext_packages,
+    "doc_split": doc_split,
+    "doc_sample_stratified": doc_sample_stratified,
     "kg_fixture_pr": kg_fixture_pr,
     # rows-only (no SQL-expressible oracle; semantics pinned in tests/)
     "doc_minhash_pairs": doc_minhash_pairs,
@@ -1372,5 +1450,7 @@ ORACLES = {
     "page_manifest": PAGE_MANIFEST_SQL,
     "page_deps": PAGE_DEPS_SQL,
     "ext_packages": EXT_PACKAGES_SQL,
+    "doc_split": DOC_SPLIT_SQL,
+    "doc_sample_stratified": DOC_SAMPLE_STRATIFIED_SQL,
     "kg_fixture_pr": KG_FIXTURE_PR_SQL,
 }

@@ -1,0 +1,91 @@
+"""Deterministic dataset splitting & stratified sampling (training-data ops).
+
+A 100 TB training corpus needs train/val/test assignment and per-stratum
+downsampling that are (a) pure functions of the row key — reproducible
+across runs, machines and engine versions, never dependent on row order or
+partitioning — and (b) auditable: a user must be able to recompute the
+assignment in SQL. Both operators therefore key off the md5-low32 bucket of
+the id column (``functions.hashing.md5_low32_array``), which DuckDB rebuilds
+exactly (``('0x' || substr(md5(CAST(id AS VARCHAR)),1,8))::UBIGINT``) — the
+same auditability rule the reference applies to its MD5 change detection
+(``graph_updater.py:129-141``).
+
+Both are stateless single-pass ``map_batches`` — no shuffle, no state, and
+the split never changes when the corpus is re-partitioned or appended to.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from code_graph_rag_ray.functions.hashing import md5_low32_array
+
+_BUCKETS = 10_000
+
+
+def hash_split(
+    ds: Dataset,
+    *,
+    id_col: str,
+    splits: dict[str, float] | None = None,
+    buckets: int = _BUCKETS,
+) -> Dataset:
+    """Append a ``split`` column assigned by hash bucket.
+
+    ``splits`` maps name → fraction (must sum to ≤ 1; any remainder falls
+    into the LAST split). Assignment: bucket = md5_low32(id) % buckets;
+    cumulative fraction ranges in the given order. Rows with equal ids land
+    in the same split by construction (leak-free for duplicated keys).
+    """
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(splits)
+    # integer cut points: split i covers [cuts[i-1], cuts[i])
+    cuts = np.minimum(
+        np.round(np.cumsum([splits[n] for n in names]) * buckets).astype(np.int64),
+        buckets,
+    )
+    cuts[-1] = buckets
+    names_arr = np.asarray(names, dtype=object)
+
+    def assign(b: pa.Table) -> pa.Table:
+        bk = (md5_low32_array(b[id_col]) % np.uint32(buckets)).astype(np.int64)
+        idx = np.searchsorted(cuts, bk, side="right")
+        return b.append_column("split", pa.array(names_arr[idx], pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: Dataset,
+    *,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    buckets: int = _BUCKETS,
+) -> Dataset:
+    """Keep a deterministic per-stratum fraction of rows.
+
+    Row kept iff md5_low32(id) % buckets < round(frac(stratum) × buckets).
+    Per-stratum fractions let a pipeline rebalance skewed strata (e.g. keep
+    5% of English pages but 100% of a low-resource language) — the standard
+    training-data curation shape. Stateless and shuffle-free: the keep
+    decision depends only on (id, stratum).
+    """
+    thresholds = {k: int(round(v * buckets)) for k, v in fractions.items()}
+    default_thr = int(round(default_fraction * buckets))
+
+    def keep(b: pa.Table) -> pa.Table:
+        bk = (md5_low32_array(b[id_col]) % np.uint32(buckets)).astype(np.int64)
+        strata = b[strata_col].to_pylist()
+        thr = np.fromiter(
+            (thresholds.get(s, default_thr) for s in strata),
+            dtype=np.int64,
+            count=len(strata),
+        )
+        return b.filter(pa.array(bk < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
