@@ -1142,6 +1142,33 @@ WHERE bk < CASE lang WHEN 'en' THEN 2000 WHEN 'fr' THEN 10000 ELSE 5000 END
 """
 
 
+def doc_split_leaks(sf_dir: str):
+    """Decontamination: 8-token-prefix fingerprints spanning ≥2 of the
+    train/val/test splits — the rows a curation pipeline quarantines."""
+    from code_graph_rag_ray.stages.sampling import cross_split_leaks
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return cross_split_leaks(ds, id_col="doc_id", text_col="text")
+
+
+DOC_SPLIT_LEAKS_SQL = """
+WITH b AS (
+  SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fingerprint,
+         CASE WHEN bk < 9000 THEN 'train'
+              WHEN bk < 9500 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT text,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                   % 10000 AS bk
+        FROM documents))
+SELECT fingerprint,
+       CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+FROM b GROUP BY fingerprint
+HAVING count(DISTINCT split) > 1
+"""
+
+
 def embedding_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup pairs via hyperplane-LSH buckets."""
     from code_graph_rag_ray.stages.dedup import embedding_near_dup_pairs
@@ -1399,6 +1426,7 @@ QUERIES = {
     "ext_packages": ext_packages,
     "doc_split": doc_split,
     "doc_sample_stratified": doc_sample_stratified,
+    "doc_split_leaks": doc_split_leaks,
     "kg_fixture_pr": kg_fixture_pr,
     # rows-only (no SQL-expressible oracle; semantics pinned in tests/)
     "doc_minhash_pairs": doc_minhash_pairs,
@@ -1452,5 +1480,6 @@ ORACLES = {
     "ext_packages": EXT_PACKAGES_SQL,
     "doc_split": DOC_SPLIT_SQL,
     "doc_sample_stratified": DOC_SAMPLE_STRATIFIED_SQL,
+    "doc_split_leaks": DOC_SPLIT_LEAKS_SQL,
     "kg_fixture_pr": KG_FIXTURE_PR_SQL,
 }

@@ -89,3 +89,68 @@ def stratified_sample(
         return b.filter(pa.array(bk < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def cross_split_leaks(
+    ds: Dataset,
+    *,
+    id_col: str,
+    text_col: str,
+    splits: dict[str, float] | None = None,
+    prefix_tokens: int = 8,
+    buckets: int = _BUCKETS,
+) -> Dataset:
+    """Decontamination check: content fingerprints present in ≥2 splits.
+
+    The fingerprint is md5 of the first ``prefix_tokens`` whitespace tokens
+    (the standard n-gram-overlap contamination key — exact-duplicate AND
+    shared-boilerplate leaks both surface; whole-doc equality misses the
+    latter). Two-phase: per-batch partial pivot counts per fingerprint,
+    one dictionary-scale groupby over fingerprints (# distinct fingerprints
+    ≪ corpus when leaks exist; the groupby payload is counts, not text).
+
+    Returns (fingerprint, n_<split>…) rows for fingerprints spanning more
+    than one split — the rows a curation pipeline would quarantine.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(splits)
+    assigned = hash_split(ds, id_col=id_col, splits=splits, buckets=buckets)
+
+    def partial(b: pa.Table) -> pa.Table:
+        fps = pa.array(
+            [
+                hashlib.md5(
+                    " ".join((t or "").split()[:prefix_tokens]).encode()
+                ).hexdigest()
+                for t in b[text_col].to_pylist()
+            ],
+            pa.string(),
+        )
+        cols = {"fingerprint": fps}
+        for n in names:
+            cols[f"n_{n}"] = pc.cast(pc.equal(b["split"], n), pa.int64())
+        t = pa.table(cols)
+        return (
+            pa.TableGroupBy(t, ["fingerprint"], use_threads=False)
+            .aggregate([(f"n_{n}", "sum") for n in names])
+            .rename_columns(["fingerprint"] + [f"n_{n}" for n in names])
+        )
+
+    counts = assigned.map_batches(partial, batch_format="pyarrow").groupby(
+        "fingerprint"
+    ).aggregate(*[Sum(f"n_{n}", alias_name=f"n_{n}") for n in names])
+
+    def leaks_only(b: pa.Table) -> pa.Table:
+        nz = None
+        for n in names:
+            ind = pc.cast(pc.greater(b[f"n_{n}"], 0), pa.int64())
+            nz = ind if nz is None else pc.add(nz, ind)
+        return b.filter(pc.greater(nz, 1))
+
+    return counts.map_batches(leaks_only, batch_format="pyarrow")

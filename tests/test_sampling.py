@@ -68,3 +68,38 @@ def test_stratified_sample_default_fraction_zero_drops_unknown():
         _docs(300), id_col="doc_id", strata_col="lang", fractions={"fr": 1.0}
     ).to_pandas()
     assert set(out.lang) == {"fr"}
+
+
+def test_cross_split_leaks_planted():
+    """Planted identical prefixes spanning splits must surface; fingerprints
+    confined to one split must not."""
+    from code_graph_rag_ray.stages.sampling import cross_split_leaks, hash_split
+
+    shared = "the quick brown fox jumps over the lazy dog tail one"
+    n = 400
+    texts = [f"unique {i} text body with distinct tokens {i*7} here okay" for i in range(n)]
+    # plant the shared prefix on MANY ids so both sides of the 90/10 split
+    # get some deterministically
+    for i in range(0, n, 4):
+        texts[i] = shared + f" suffix {i}"
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts),
+    })
+    splits = {"train": 0.5, "test": 0.5}
+    leaks = cross_split_leaks(
+        rd.from_arrow(t), id_col="doc_id", text_col="text",
+        splits=splits, prefix_tokens=8,
+    ).to_pandas()
+    import hashlib
+    fp = hashlib.md5(" ".join(shared.split()[:8]).encode()).hexdigest()
+    assert fp in set(leaks.fingerprint)
+    row = leaks[leaks.fingerprint == fp].iloc[0]
+    assert row.n_train + row.n_test == 100 and row.n_train > 0 and row.n_test > 0
+    # every reported fingerprint genuinely spans both splits
+    assert ((leaks.n_train > 0) & (leaks.n_test > 0)).all()
+    # sanity: counts reconcile with a direct recomputation
+    assigned = hash_split(rd.from_arrow(t), id_col="doc_id", splits=splits).to_pandas()
+    planted_ids = set(range(0, n, 4))
+    exp_train = (assigned[assigned.doc_id.isin(planted_ids)].split == "train").sum()
+    assert row.n_train == exp_train
