@@ -1233,12 +1233,44 @@ def doc_embeddings(sf_dir: str):
 
 
 def doc_lang_pred(sf_dir: str):
-    """Heuristic language-ID over documents (actor-pool stage)."""
+    """Heuristic language-ID over documents (actor-pool stage). Bit-exact
+    DuckDB oracle: the marker-word argmax (CJK char-range → zh; else
+    function-word intersection counts, strict-majority fold over sorted
+    langs, 0 hits → 'und') is recomputed in SQL from the same tables."""
     from code_graph_rag_ray.stages.text_analysis import LangId
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2, num_cpus=1)
     return out.select_columns(["doc_id", "lang_pred"])
+
+
+def _lang_pred_sql() -> str:
+    from code_graph_rag_ray.stages.text_analysis import _LANG_MARKERS
+
+    def lst(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang])) + "]"
+
+    hits = ",\n       ".join(
+        f"len(list_intersect(words, {lst(l)})) AS h_{l}"
+        for l in sorted(_LANG_MARKERS)
+    )
+    g = "greatest(h_de, h_en, h_es, h_fr)"
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, list_distinct(string_split(lower(text), ' ')) AS words
+  FROM documents),
+h AS (SELECT doc_id, text, {hits} FROM w)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN {g} = 0 THEN 'und'
+       WHEN h_de = {g} THEN 'de'
+       WHEN h_en = {g} THEN 'en'
+       WHEN h_es = {g} THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM h"""
+
+
+DOC_LANG_PRED_SQL = _lang_pred_sql()
 
 
 def media_features(sf_dir: str):
@@ -1481,5 +1513,6 @@ ORACLES = {
     "doc_split": DOC_SPLIT_SQL,
     "doc_sample_stratified": DOC_SAMPLE_STRATIFIED_SQL,
     "doc_split_leaks": DOC_SPLIT_LEAKS_SQL,
+    "doc_lang_pred": DOC_LANG_PRED_SQL,
     "kg_fixture_pr": KG_FIXTURE_PR_SQL,
 }
