@@ -1142,6 +1142,47 @@ WHERE bk < CASE lang WHEN 'en' THEN 2000 WHEN 'fr' THEN 10000 ELSE 5000 END
 """
 
 
+def events_attribution(sf_dir: str):
+    """Click→view attribution: for every click, the same user's latest
+    view at-or-before it — the distributed as-of join (time-chunked
+    cogroup, stages/asof.py). Misses carry the -1 sentinel so the output
+    is null-free int64 (dtype-stable across blocks and vs the oracle)."""
+    from code_graph_rag_ray.stages.asof import asof_join_chunked
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def side(t: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], t)).drop_columns(["event_type"])
+        return f
+
+    clicks = ev.map_batches(side("click"), batch_format="pyarrow")
+    views = ev.map_batches(side("view"), batch_format="pyarrow")
+    out = asof_join_chunked(
+        clicks, views, by="user_id", on="ts",
+        right_cols=["event_id"], suffix="_view", chunk_s=21600,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"], "ts": b["ts"],
+            "ts_view": pc.fill_null(pc.cast(b["ts_view"], pa.int64()), -1),
+            "event_id_view": pc.fill_null(pc.cast(b["event_id_view"], pa.int64()), -1),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_ATTRIBUTION_SQL = """
+WITH c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+     v AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view')
+SELECT c.user_id, c.event_id, epoch_us(c.ts) AS ts,
+       COALESCE(epoch_us(v.ts), -1) AS ts_view,
+       COALESCE(v.event_id, -1) AS event_id_view
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
 def doc_split_leaks(sf_dir: str):
     """Decontamination: 8-token-prefix fingerprints spanning ≥2 of the
     train/val/test splits — the rows a curation pipeline quarantines."""
@@ -1459,6 +1500,7 @@ QUERIES = {
     "doc_split": doc_split,
     "doc_sample_stratified": doc_sample_stratified,
     "doc_split_leaks": doc_split_leaks,
+    "events_attribution": events_attribution,
     "kg_fixture_pr": kg_fixture_pr,
     # rows-only (no SQL-expressible oracle; semantics pinned in tests/)
     "doc_minhash_pairs": doc_minhash_pairs,
@@ -1514,5 +1556,6 @@ ORACLES = {
     "doc_sample_stratified": DOC_SAMPLE_STRATIFIED_SQL,
     "doc_split_leaks": DOC_SPLIT_LEAKS_SQL,
     "doc_lang_pred": DOC_LANG_PRED_SQL,
+    "events_attribution": EVENTS_ATTRIBUTION_SQL,
     "kg_fixture_pr": KG_FIXTURE_PR_SQL,
 }

@@ -1,0 +1,267 @@
+"""Distributed as-of join (event-time enrichment, the §2.8 family member
+Ray Data lacks).
+
+``asof_join_chunked(left, right, by=key, on=ts)`` attaches to every left
+row the latest right row of the same key with ``right.ts <= left.ts`` —
+click→view attribution, state-as-of-event enrichment. Construction
+(documented partitioning assumption: rows co-locate by (key, time-chunk)):
+
+1. both sides land in ``(key, chunk)`` cogroups (chunk = epoch-µs
+   floor-div ``chunk_s``), shipped as per-bucket Arrow-IPC blobs — the
+   :func:`code_graph_rag_ray.stages.relational.bucketed_join` shuffle shape
+   (exactly each side's own columns move, row count O(batches × buckets));
+   a whale key's events spread over ``span/chunk_s`` groups,
+2. a left row's match may precede its chunk, so the right side reduces to
+   per-(key, chunk) LAST-row summaries (batch-local combiner first — one
+   row per key-chunk per batch crosses the wire), and one per-key pass over
+   summaries ∪ left-chunk markers computes each left chunk's CARRY-IN (the
+   latest right row strictly before the chunk) — bounded by #key-chunks,
+3. each cogroup locally ``merge_asof``s its left rows against carry-in ∪
+   in-chunk right rows.
+
+Timestamps are int64 epoch-µs end to end (timestamps change resolution
+across shuffle/pandas boundaries — NOTES.md); the output ``on`` column is
+int64 µs. LEFT-join semantics (no preceding right row → nulls), DuckDB
+``ASOF LEFT JOIN`` parity. Rows with null key or null ts are dropped on
+both sides (SQL null-key join semantics; document for callers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from code_graph_rag_ray.stages.relational import _arrow_schema, _pack_side
+
+
+def _ts_us(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+    return pc.cast(col, pa.int64())
+
+
+def asof_join_chunked(
+    left: Dataset,
+    right: Dataset,
+    *,
+    by: str,
+    on: str = "ts",
+    right_cols: list[str] | None = None,
+    chunk_s: int = 86400,
+    suffix: str = "_r",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Left as-of join: latest right row per key with ts ≤ left ts."""
+    if num_buckets is None:
+        try:
+            import ray
+
+            num_buckets = max(32, 2 * int(ray.cluster_resources().get("CPU", 16)))
+        except Exception:  # pragma: no cover
+            num_buckets = 32
+
+    chunk_us = chunk_s * 1_000_000
+    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    lcols = [c for c in lschema.names if c != on]  # includes `by`
+    rcols = right_cols or [c for c in rschema.names if c not in (by, on)]
+    # unified schema for right summaries / markers / carries
+    sum_schema = pa.schema(
+        [(by, lschema.field(by).type), ("__chunk", pa.int64()),
+         ("__ts_us", pa.int64())]
+        + [(c, rschema.field(c).type) for c in rcols]
+    )
+    l_payload = ["__chunk", "__ts_us"] + lcols
+    r_payload = ["__chunk", "__ts_us", by] + rcols
+
+    def add_group_cols(b: pa.Table, keep: list[str]) -> pa.Table:
+        ts = _ts_us(b[on]) if on in b.column_names else _ts_us(b["__ts_us"])
+        chunk = pc.divide(ts, chunk_us) if on in b.column_names else b["__chunk"]
+        cols = {"__ts_us": ts, "__chunk": chunk}
+        for c in keep:
+            if c not in cols:
+                cols[c] = b[c]
+        t = pa.table(cols)
+        g = pc.binary_join_element_wise(
+            pc.cast(t[by], pa.string()), pc.cast(t["__chunk"], pa.string()), "|"
+        )
+        # null key or null ts → null composite → dropped by the packer
+        return t.append_column("__g", g)
+
+    lt = left.map_batches(
+        lambda b: add_group_cols(b, lcols), batch_format="pyarrow"
+    ).map_batches(
+        _pack_side("__g", l_payload, 0, num_buckets, drop_null_keys=True),
+        batch_format="pyarrow",
+    )
+
+    right_grouped = right.map_batches(
+        lambda b: add_group_cols(b, [by] + rcols), batch_format="pyarrow"
+    )
+
+    # ---- right per-(key, chunk) last-row summaries (combiner first) ------
+    def last_per_group(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return sum_schema.empty_table()
+        idx = pa.array(
+            np.lexsort((
+                b["__ts_us"].to_numpy(zero_copy_only=False),
+                b["__chunk"].to_numpy(zero_copy_only=False),
+                pc.cast(b[by], pa.string()).to_numpy(zero_copy_only=False),
+            )),
+            pa.int64(),
+        )
+        s = b.take(idx)
+        ks = pc.cast(s[by], pa.string()).to_numpy(zero_copy_only=False)
+        cs = s["__chunk"].to_numpy(zero_copy_only=False)
+        lastmask = np.ones(len(ks), dtype=bool)
+        lastmask[:-1] = (ks[1:] != ks[:-1]) | (cs[1:] != cs[:-1])
+        s = s.filter(pa.array(lastmask))
+        return pa.table({f.name: s[f.name] for f in sum_schema})
+
+    r_partials = right_grouped.map_batches(last_per_group, batch_format="pyarrow")
+
+    def global_last(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("__ts_us", kind="mergesort").tail(1)
+
+    r_last = (
+        r_partials.groupby([by, "__chunk"])
+        .map_groups(global_last, batch_format="pandas")
+        # normalize to Arrow blocks: map_groups emits pandas blocks, and a
+        # union of mixed block types fails at execution (Ray 2.49)
+        .map_batches(lambda b: b, batch_format="pyarrow")
+    )
+
+    # ---- left chunk markers (combiner: unique (key, chunk) per batch) ----
+    def markers(b: pa.Table) -> pa.Table:
+        t = pa.table({by: b[by], "__chunk": b["__chunk"]})
+        u = (
+            pa.TableGroupBy(t, [by, "__chunk"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        n = u.num_rows
+        cols = {by: u[by], "__chunk": u["__chunk"],
+                "__ts_us": pa.nulls(n, pa.int64())}
+        for c in rcols:
+            cols[c] = pa.nulls(n, sum_schema.field(c).type)
+        return pa.table(cols, schema=sum_schema)
+
+    l_markers = (
+        left.map_batches(lambda b: add_group_cols(b, lcols), batch_format="pyarrow")
+        .map_batches(markers, batch_format="pyarrow")
+    )
+
+    # ---- per-key carry-in for every left chunk (ts-null rows = markers) ---
+    def carries(g: pd.DataFrame) -> pd.DataFrame:
+        need = np.unique(g.loc[g["__ts_us"].isna(), "__chunk"].to_numpy())
+        rows = g[g["__ts_us"].notna()].sort_values(
+            ["__chunk", "__ts_us"], kind="mergesort"
+        )
+        if len(need) == 0 or rows.empty:
+            return rows.iloc[0:0]
+        r_chunks = rows["__chunk"].to_numpy()
+        out = []
+        for c in need:
+            i = int(np.searchsorted(r_chunks, c))  # rights with chunk < c
+            if i > 0:
+                carry = rows.iloc[i - 1 : i].copy()
+                carry["__chunk"] = c
+                out.append(carry)
+        res = pd.concat(out) if out else rows.iloc[0:0]
+        # pandas upcast every marker-nulled int column to float64; restore
+        # the summary schema (the surviving rows are real rows, never null)
+        casts = {
+            f.name: "int64"
+            for f in sum_schema
+            if pa.types.is_integer(f.type) and f.name in res.columns
+        }
+        casts.update({"__ts_us": "int64", "__chunk": "int64"})
+        return res.astype(casts)
+
+    carry = r_last.union(l_markers).groupby(by).map_groups(
+        carries, batch_format="pandas"
+    )
+
+    def pack_right(b: pa.Table) -> pa.Table:
+        g = pc.binary_join_element_wise(
+            pc.cast(b[by], pa.string()), pc.cast(b["__chunk"], pa.string()), "|"
+        )
+        t = b.append_column("__g", g)
+        return _pack_side("__g", r_payload, 1, num_buckets, drop_null_keys=True)(t)
+
+    rt = right_grouped.map_batches(
+        _pack_side("__g", r_payload, 1, num_buckets, drop_null_keys=True),
+        batch_format="pyarrow",
+    )
+    ct = carry.map_batches(pack_right, batch_format="pyarrow")
+
+    # ---- local merge_asof per (key, chunk) inside each bucket -------------
+    lblob_schema = pa.schema(
+        [("__key", pa.string())]
+        + [(c, pa.int64()) if c in ("__chunk", "__ts_us")
+           else (c, lschema.field(c).type) for c in l_payload]
+    )
+    rblob_schema = pa.schema(
+        [("__key", pa.string())]
+        + [(c, pa.int64()) if c in ("__chunk", "__ts_us")
+           else (c, sum_schema.field(c).type) for c in r_payload]
+    )
+    out_cols = lcols + [on] + [f"{on}{suffix}"] + [f"{c}{suffix}" for c in rcols]
+
+    def _read(blobs, schema: pa.Schema) -> pd.DataFrame:
+        tabs = [pa.ipc.open_stream(pa.py_buffer(x)).read_all() for x in blobs]
+        if not tabs:
+            tabs = [schema.empty_table()]
+        return pa.concat_tables(tabs).to_pandas()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lf = _read(g.loc[g["__side"] == 0, "__blob"], lblob_schema)
+        rf = _read(g.loc[g["__side"] == 1, "__blob"], rblob_schema)
+        if lf.empty:
+            return pd.DataFrame({c: [] for c in out_cols})
+        rsub = {k: v for k, v in rf.groupby("__key", sort=False)} if not rf.empty else {}
+        outs = []
+        for key, lsub in lf.groupby("__key", sort=False):
+            lsub = lsub.sort_values("__ts_us", kind="mergesort")
+            r = rsub.get(key)
+            if r is None:
+                m = lsub.copy()
+                m[f"__rts{suffix}"] = pd.Series(pd.NA, index=m.index, dtype="Int64")
+                for c in rcols:
+                    m[f"{c}{suffix}"] = None
+            else:
+                r = r.sort_values(["__ts_us"] + rcols, kind="mergesort")
+                rr = r[["__ts_us"] + rcols].rename(
+                    columns={c: f"{c}{suffix}" for c in rcols}
+                )
+                rr = rr.assign(**{f"__rts{suffix}": rr["__ts_us"]})
+                m = pd.merge_asof(
+                    lsub, rr, on="__ts_us",
+                    direction="backward", allow_exact_matches=True,
+                )
+            outs.append(m)
+        out = pd.concat(outs)
+        out = out.rename(columns={"__ts_us": on, f"__rts{suffix}": f"{on}{suffix}"})
+        # unify nullable dtypes across groups: a group whose lefts all
+        # matched yields int64 right columns while a group with misses
+        # yields float64/object — divergent block schemas break the union
+        fixes = [(f"{on}{suffix}", pa.int64())] + [
+            (f"{c}{suffix}", sum_schema.field(c).type) for c in rcols
+        ]
+        for col, typ in fixes:
+            if pa.types.is_integer(typ):
+                out[col] = out[col].astype("Int64")
+            elif pa.types.is_floating(typ):
+                out[col] = out[col].astype("float64")
+        return out[out_cols]
+
+    return (
+        lt.union(rt)
+        .union(ct)
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
