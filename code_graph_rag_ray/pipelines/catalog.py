@@ -1183,6 +1183,51 @@ FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
 """
 
 
+def events_session_assign(sf_dir: str):
+    """Event→session assignment: the distributed RANGE join
+    (stages/rangejoin.py) maps every event into its containing session
+    interval — sessions themselves derived by the skew-safe chunked
+    sessionizer, so this is the sessionize→assign composition end-to-end."""
+    from code_graph_rag_ray.stages.rangejoin import range_join_chunked
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id"])
+    sessions = session_windows_chunked(
+        _pq(sf_dir, "events", ["user_id", "ts"]), gap_s=1800
+    )
+    return range_join_chunked(
+        ev, sessions, by="user_id", on="ts",
+        start_col="session_start", end_col="session_end",
+        chunk=21600, points_ts_div=1_000_000,
+    )
+
+
+EVENTS_SESSION_ASSIGN_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), sess AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, sid
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) // 1000000 AS ts,
+       sess.session_start AS session_start_iv,
+       sess.session_end AS session_end_iv,
+       sess.n_events AS n_events_iv
+FROM events e JOIN sess ON e.user_id = sess.user_id
+  AND epoch_us(e.ts) // 1000000 BETWEEN sess.session_start AND sess.session_end
+"""
+
+
 def doc_split_leaks(sf_dir: str):
     """Decontamination: 8-token-prefix fingerprints spanning ≥2 of the
     train/val/test splits — the rows a curation pipeline quarantines."""
@@ -1501,6 +1546,7 @@ QUERIES = {
     "doc_sample_stratified": doc_sample_stratified,
     "doc_split_leaks": doc_split_leaks,
     "events_attribution": events_attribution,
+    "events_session_assign": events_session_assign,
     "kg_fixture_pr": kg_fixture_pr,
     # rows-only (no SQL-expressible oracle; semantics pinned in tests/)
     "doc_minhash_pairs": doc_minhash_pairs,
@@ -1557,5 +1603,6 @@ ORACLES = {
     "doc_split_leaks": DOC_SPLIT_LEAKS_SQL,
     "doc_lang_pred": DOC_LANG_PRED_SQL,
     "events_attribution": EVENTS_ATTRIBUTION_SQL,
+    "events_session_assign": EVENTS_SESSION_ASSIGN_SQL,
     "kg_fixture_pr": KG_FIXTURE_PR_SQL,
 }
