@@ -160,7 +160,8 @@ def run_bench() -> dict:
         for name in ("q1_pricing_summary", "q5_nation_revenue", "doc_triples",
                      "doc_quality", "events_hourly", "knn_brute",
                      "page_links", "page_links_internal", "doc_findings",
-                     "doc_embeddings"):
+                     "doc_embeddings", "events_attribution",
+                     "events_session_assign"):
             t0 = time.perf_counter()
             res = catalog.QUERIES[name](sf_dir)
             if hasattr(res, "count"):
