@@ -125,17 +125,6 @@ def asof_join_chunked(
 
     r_partials = right_grouped.map_batches(last_per_group, batch_format="pyarrow")
 
-    def global_last(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("__ts_us", kind="mergesort").tail(1)
-
-    r_last = (
-        r_partials.groupby([by, "__chunk"])
-        .map_groups(global_last, batch_format="pandas")
-        # normalize to Arrow blocks: map_groups emits pandas blocks, and a
-        # union of mixed block types fails at execution (Ray 2.49)
-        .map_batches(lambda b: b, batch_format="pyarrow")
-    )
-
     # ---- left chunk markers (combiner: unique (key, chunk) per batch) ----
     def markers(b: pa.Table) -> pa.Table:
         t = pa.table({by: b[by], "__chunk": b["__chunk"]})
@@ -156,34 +145,71 @@ def asof_join_chunked(
     )
 
     # ---- per-key carry-in for every left chunk (ts-null rows = markers) ---
+    # One bucketed cogroup over BATCH-LEVEL right summaries ∪ markers: the
+    # former global last-per-(key,chunk) shuffle is redundant — the latest
+    # right row strictly before a chunk is just the last summary row in
+    # (key, chunk, ts) sort order, whether or not the per-(key,chunk)
+    # partials were pre-reduced. Vectorized: one UDF call per hash bucket
+    # (per-key map_groups paid per-GROUP pandas call overhead).
+    from code_graph_rag_ray.functions.hashing import partition_ids
+
+    def add_key_bucket(b: pa.Table) -> pa.Table:
+        ids = partition_ids(pc.cast(b[by], pa.string()), num_buckets)
+        return b.append_column("__b2", pa.array(ids))
+
+    sortable_rcols = [
+        c for c in rcols
+        if not pa.types.is_nested(sum_schema.field(c).type)
+    ]
+
     def carries(g: pd.DataFrame) -> pd.DataFrame:
-        need = np.unique(g.loc[g["__ts_us"].isna(), "__chunk"].to_numpy())
-        rows = g[g["__ts_us"].notna()].sort_values(
-            ["__chunk", "__ts_us"], kind="mergesort"
-        )
-        if len(need) == 0 or rows.empty:
-            return rows.iloc[0:0]
-        r_chunks = rows["__chunk"].to_numpy()
-        out = []
-        for c in need:
-            i = int(np.searchsorted(r_chunks, c))  # rights with chunk < c
-            if i > 0:
-                carry = rows.iloc[i - 1 : i].copy()
-                carry["__chunk"] = c
-                out.append(carry)
-        res = pd.concat(out) if out else rows.iloc[0:0]
-        # pandas upcast every marker-nulled int column to float64; restore
-        # the summary schema (the surviving rows are real rows, never null)
+        # restore the summary schema everywhere (markers' nulls upcast int
+        # columns to float64 in pandas — NOTES.md landmine 15), INCLUDING on
+        # the empty early-returns, else block schemas diverge per group
         casts = {
             f.name: "int64"
             for f in sum_schema
-            if pa.types.is_integer(f.type) and f.name in res.columns
+            if pa.types.is_integer(f.type)
         }
         casts.update({"__ts_us": "int64", "__chunk": "int64"})
-        return res.astype(casts)
+        isna = g["__ts_us"].isna().to_numpy()
+        rows = g[~isna]
+        empty = rows.iloc[0:0].drop(columns=["__b2"]).astype(casts)
+        needs = g.loc[isna, ["__ks", "__chunk"]].drop_duplicates()
+        if needs.empty or rows.empty:
+            return empty
+        # deterministic ties: sort summaries by (key, chunk, ts, payload)
+        rows = rows.sort_values(
+            ["__ks", "__chunk", "__ts_us"] + sortable_rcols, kind="mergesort"
+        )
+        uniq, codes = np.unique(
+            np.concatenate([rows["__ks"].to_numpy(), needs["__ks"].to_numpy()]),
+            return_inverse=True,
+        )
+        rk = codes[: len(rows)].astype(np.int64)
+        nk = codes[len(rows):].astype(np.int64)
+        rc = rows["__chunk"].to_numpy().astype(np.int64)
+        nc = needs["__chunk"].to_numpy().astype(np.int64)
+        comb_r = (rk << 32) + rc
+        i = np.searchsorted(comb_r, (nk << 32) + nc, side="left")
+        prev = i - 1
+        valid = (i > 0) & (rk[np.clip(prev, 0, None)] == nk)
+        if not valid.any():
+            return empty
+        res = rows.iloc[prev[valid]].copy()
+        res["__chunk"] = nc[valid]
+        return res.drop(columns=["__b2"]).astype(casts)
 
-    carry = r_last.union(l_markers).groupby(by).map_groups(
-        carries, batch_format="pandas"
+    def add_ks(b: pa.Table) -> pa.Table:
+        # string key image used for cross-dtype-stable sorting/factorizing
+        return b.append_column("__ks", pc.cast(b[by], pa.string()))
+
+    carry = (
+        r_partials.union(l_markers)
+        .map_batches(lambda b: add_key_bucket(add_ks(b)), batch_format="pyarrow")
+        .groupby("__b2")
+        .map_groups(carries, batch_format="pandas")
+        .map_batches(lambda b: b.drop_columns(["__ks"]), batch_format="pyarrow")
     )
 
     def pack_right(b: pa.Table) -> pa.Table:
@@ -223,28 +249,31 @@ def asof_join_chunked(
         rf = _read(g.loc[g["__side"] == 1, "__blob"], rblob_schema)
         if lf.empty:
             return pd.DataFrame({c: [] for c in out_cols})
-        rsub = {k: v for k, v in rf.groupby("__key", sort=False)} if not rf.empty else {}
-        outs = []
-        for key, lsub in lf.groupby("__key", sort=False):
-            lsub = lsub.sort_values("__ts_us", kind="mergesort")
-            r = rsub.get(key)
-            if r is None:
-                m = lsub.copy()
-                m[f"__rts{suffix}"] = pd.Series(pd.NA, index=m.index, dtype="Int64")
-                for c in rcols:
-                    m[f"{c}{suffix}"] = None
-            else:
-                r = r.sort_values(["__ts_us"] + rcols, kind="mergesort")
-                rr = r[["__ts_us"] + rcols].rename(
-                    columns={c: f"{c}{suffix}" for c in rcols}
-                )
-                rr = rr.assign(**{f"__rts{suffix}": rr["__ts_us"]})
-                m = pd.merge_asof(
-                    lsub, rr, on="__ts_us",
-                    direction="backward", allow_exact_matches=True,
-                )
-            outs.append(m)
-        out = pd.concat(outs)
+        # grouped asof in one C call: both frames globally sorted by the on
+        # column (stable, payload tie-break preserved within each key), then
+        # merge_asof(by=) — replaces the per-(key,chunk) Python loop that
+        # paid a pandas merge_asof call per cogroup
+        lf = lf.sort_values("__ts_us", kind="mergesort")
+        if rf.empty:
+            out = lf.copy()
+            out[f"__rts{suffix}"] = pd.Series(
+                pd.NA, index=out.index, dtype="Int64"
+            )
+            for c in rcols:
+                out[f"{c}{suffix}"] = None
+        else:
+            rr = rf[["__key", "__ts_us"] + rcols].rename(
+                columns={c: f"{c}{suffix}" for c in rcols}
+            )
+            rr = rr.assign(**{f"__rts{suffix}": rr["__ts_us"]})
+            rr = rr.sort_values(
+                ["__ts_us"] + [f"{c}{suffix}" for c in sortable_rcols],
+                kind="mergesort",
+            )
+            out = pd.merge_asof(
+                lf, rr, on="__ts_us", by="__key",
+                direction="backward", allow_exact_matches=True,
+            )
         out = out.rename(columns={"__ts_us": on, f"__rts{suffix}": f"{on}{suffix}"})
         # unify nullable dtypes across groups: a group whose lefts all
         # matched yields int64 right columns while a group with misses
@@ -259,9 +288,8 @@ def asof_join_chunked(
                 out[col] = out[col].astype("float64")
         return out[out_cols]
 
-    return (
-        lt.union(rt)
-        .union(ct)
-        .groupby("__bucket")
-        .map_groups(merge, batch_format="pandas")
-    )
+    tagged = lt.union(rt).union(ct)
+    # the groupby's sort pays a fixed cost per input block (NOTES.md fact
+    # 6); the packed payload is tiny, so coalesce to ~2×CPU blocks first
+    tagged = tagged.repartition(max(16, num_buckets // 2))
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")

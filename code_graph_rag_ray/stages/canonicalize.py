@@ -190,14 +190,34 @@ def canonicalize_entities(
 
     # duplicate-identity variant suffix: deterministic rank within
     # norm_name (sorted by entity id — content-determined, never arrival
-    # order); one cheap per-group pass, group cardinality = name collisions
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("entity_id", kind="mergesort").reset_index(drop=True)
-        k = np.arange(len(g))
-        g["name"] = np.where(k > 0, g["name"] + "@" + k.astype(str), g["name"])
-        return g
+    # order). Runs as a BUCKETED cogroup (hash(norm_name) buckets, one
+    # vectorized UDF call per bucket) — a per-norm_name map_groups pays a
+    # Python call per DISTINCT NAME, corpus-scale here since externals are
+    # minted from page text.
+    from code_graph_rag_ray.functions.hashing import partition_ids
 
-    nodes = nodes.groupby("norm_name").map_groups(rank_group, batch_format="pandas")
+    def add_name_bucket(b: pa.Table) -> pa.Table:
+        ids = partition_ids(b["norm_name"], 64)
+        return b.append_column("__nb", pa.array(ids))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["norm_name", "entity_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        nv = g["norm_name"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = nv[1:] != nv[:-1]
+        starts = np.flatnonzero(new)
+        # rank within each norm_name run = position − run start
+        k = np.arange(len(g)) - np.repeat(starts, np.diff(np.r_[starts, len(g)]))
+        g["name"] = np.where(k > 0, g["name"] + "@" + k.astype(str), g["name"])
+        return g.drop(columns=["__nb"])
+
+    nodes = (
+        nodes.map_batches(add_name_bucket, batch_format="pyarrow")
+        .groupby("__nb")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
 
     # DISTRIBUTED 2: name families — CC over the alias↔entity bipartite
     # graph (A3 analog), joined back per entity.

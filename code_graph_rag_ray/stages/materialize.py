@@ -16,6 +16,7 @@ signature) become explicit dataset operators here:
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
@@ -108,11 +109,29 @@ def exact_dedup_rows(ds: Dataset, keys: list[str], sort_cols: list[str] | None =
 
     local = ds.map_batches(local_first, batch_format="pyarrow")
 
-    def pick_first(g: pd.DataFrame) -> pd.DataFrame:
-        cols = sc or list(g.columns)
-        return g.sort_values(cols, kind="mergesort").head(1)
+    # bucketed cogroup (hash(keys) buckets): per-key map_groups would pay a
+    # Python call per DISTINCT KEY; here each bucket sorts once and keeps
+    # the first row of every key run — same winner (min by sort_cols within
+    # key), vectorized
+    def add_bucket(b: pa.Table) -> pa.Table:
+        kimg = b[keys[0]] if len(keys) == 1 else pc.binary_join_element_wise(
+            *[pc.cast(b[k], pa.string()) for k in keys], "\x1f"
+        )
+        return b.append_column("__db", pa.array(partition_ids(kimg, 64)))
 
-    return local.groupby(keys).map_groups(pick_first, batch_format="pandas")
+    def pick_first(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [c for c in (sc or list(g.columns)) if c != "__db"]
+        g = g.sort_values(keys + cols, kind="mergesort")
+        kv = g[keys].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (kv[1:] != kv[:-1]).any(axis=1)
+        return g[new].drop(columns=["__db"])
+
+    return (
+        local.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__db")
+        .map_groups(pick_first, batch_format="pandas")
+    )
 
 
 def add_partition_column(ds: Dataset, key: str, num_partitions: int, col: str = "part") -> Dataset:

@@ -144,24 +144,23 @@ def range_join_chunked(
         I = _read(g.loc[g["__side"] == 1, "__blob"], iblob)
         if P.empty or I.empty:
             return pd.DataFrame({c: [] for c in out_cols})
-        isub = {k: v for k, v in I.groupby("__key", sort=False)}
-        outs = []
-        for key, psub in P.groupby("__key", sort=False):
-            iv = isub.get(key)
-            if iv is None:
-                continue
-            ts = psub["__ts"].to_numpy()
-            s = iv[start_col].to_numpy().astype(np.int64)
-            e = iv[end_col].to_numpy().astype(np.int64)
-            pi, ii = np.nonzero((ts[:, None] >= s) & (ts[:, None] <= e))
-            if len(pi) == 0:
-                continue
-            lp = psub.iloc[pi].reset_index(drop=True)
-            li = iv.iloc[ii].reset_index(drop=True)[icols].rename(columns=rename_iv)
-            outs.append(pd.concat([lp, li], axis=1))
-        if not outs:
+        # one vectorized hash-join on the (key, chunk) cogroup id, then the
+        # containment filter — the candidate-pair count is identical to the
+        # former per-key broadcast mask (sum over keys of |P_k|·|I_k|), but
+        # the pairing runs in C instead of a Python loop per key
+        isub = I[["__key"] + icols].rename(columns=rename_iv)
+        m = P.merge(isub, on="__key", how="inner")
+        s = m[rename_iv[start_col]].to_numpy().astype(np.int64)
+        e = m[rename_iv[end_col]].to_numpy().astype(np.int64)
+        ts = m["__ts"].to_numpy()
+        m = m[(ts >= s) & (ts <= e)]
+        if m.empty:
             return pd.DataFrame({c: [] for c in out_cols})
-        out = pd.concat(outs).rename(columns={"__ts": on})
+        out = m.rename(columns={"__ts": on})
         return out[out_cols]
 
-    return pt.union(it).groupby("__bucket").map_groups(merge, batch_format="pandas")
+    tagged = pt.union(it)
+    # the groupby's sort pays a fixed cost per input block (NOTES.md fact
+    # 6); the packed payload is tiny, so coalesce to ~2×CPU blocks first
+    tagged = tagged.repartition(max(16, num_buckets // 2))
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")

@@ -105,6 +105,7 @@ def session_windows_chunked(
     key_col: str = "user_id",
     gap_s: int = 1800,
     chunk_s: int = 86400,
+    num_buckets: int | None = None,
 ) -> Dataset:
     """Skew-safe sessionization, bit-identical to :func:`session_windows`.
 
@@ -129,56 +130,89 @@ def session_windows_chunked(
         raise ValueError("chunk_s must be >= gap_s")
 
     gap_us = gap_s * 1_000_000
+    from code_graph_rag_ray.functions.hashing import partition_ids
 
-    def local_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("__ts_us", kind="mergesort")
-        ts_us = g["__ts_us"].to_numpy()
-        new_session = np.ones(len(g), dtype=bool)
-        new_session[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
-        sid = np.cumsum(new_session)
-        out = (
-            g.assign(__sid=sid)
-            .groupby("__sid")
-            .agg(start_us=("__ts_us", "min"), end_us=("__ts_us", "max"),
-                 n_events=("__ts_us", "size"))
-            .reset_index(drop=True)
-        )
-        out.insert(0, key_col, g[key_col].iloc[0])
-        return out
+    if num_buckets is None:
+        try:
+            import ray
+
+            num_buckets = max(32, 2 * int(ray.cluster_resources().get("CPU", 16)))
+        except Exception:  # pragma: no cover
+            num_buckets = 32
+
+    # Both phases run as BUCKETED cogroups (one UDF call per hash bucket,
+    # vectorized over every group inside) instead of per-(key,chunk)
+    # map_groups: Ray's map_groups invokes the UDF once per GROUP, and at
+    # ~4k groups the per-call pandas overhead dominated the whole stage
+    # (measured 19 s → ~4 s on the sf0.01 events table).
 
     def assign_chunk(b: pa.Table) -> pa.Table:
         ts_us = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
         chunk = pc.divide(ts_us, chunk_s * 1_000_000)
-        return pa.table({key_col: b[key_col], "__ts_us": ts_us, "__chunk": chunk})
-
-    def merge_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["start_us", "end_us"], kind="mergesort")
-        starts = g["start_us"].to_numpy()
-        ends = g["end_us"].to_numpy()
-        n = g["n_events"].to_numpy()
-        # local sessions never overlap (chunk-disjoint), so running-max of
-        # end == previous end in sorted order
-        new = np.ones(len(g), dtype=bool)
-        new[1:] = (starts[1:] - ends[:-1]) > gap_us
-        sid = np.cumsum(new)
-        out = (
-            pd.DataFrame({"sid": sid, "s": starts, "e": ends, "n": n})
-            .groupby("sid")
-            .agg(s=("s", "min"), e=("e", "max"), n=("n", "sum"))
-            .reset_index(drop=True)
+        g = pc.binary_join_element_wise(
+            pc.cast(b[key_col], pa.string()), pc.cast(chunk, pa.string()), "|"
         )
+        return pa.table(
+            {key_col: b[key_col], "__ts_us": ts_us, "__chunk": chunk,
+             "__b": pa.array(partition_ids(g, num_buckets))}
+        )
+
+    def local_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        # whole bucket: many (key, chunk) groups, fully vectorized
+        g = g.sort_values([key_col, "__chunk", "__ts_us"], kind="mergesort")
+        ts = g["__ts_us"].to_numpy()
+        kv = g[key_col].to_numpy()
+        ch = g["__chunk"].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        new[1:] = (
+            (kv[1:] != kv[:-1]) | (ch[1:] != ch[:-1])
+            | ((ts[1:] - ts[:-1]) > gap_us)
+        )
+        st = np.flatnonzero(new)
+        en = np.r_[st[1:], n] - 1
         return pd.DataFrame(
             {
-                key_col: g[key_col].iloc[0],
-                "session_start": out["s"] // 1_000_000,
-                "session_end": out["e"] // 1_000_000,
-                "n_events": out["n"],
+                key_col: kv[st],
+                "start_us": ts[st],
+                "end_us": ts[en],
+                "n_events": np.diff(np.r_[st, n]).astype(np.int64),
+            }
+        )
+
+    def add_key_bucket(b: pa.Table) -> pa.Table:
+        ids = partition_ids(pc.cast(b[key_col], pa.string()), num_buckets)
+        return b.append_column("__b2", pa.array(ids))
+
+    def merge_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "start_us", "end_us"], kind="mergesort")
+        kv = g[key_col].to_numpy()
+        starts = g["start_us"].to_numpy()
+        ends = g["end_us"].to_numpy()
+        nn = g["n_events"].to_numpy()
+        # local sessions never overlap (chunk-disjoint), so within a key the
+        # running-max of end == previous end in sorted order
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        new[1:] = (kv[1:] != kv[:-1]) | ((starts[1:] - ends[:-1]) > gap_us)
+        st = np.flatnonzero(new)
+        en = np.r_[st[1:], n] - 1
+        return pd.DataFrame(
+            {
+                key_col: kv[st],
+                "session_start": starts[st] // 1_000_000,
+                "session_end": ends[en] // 1_000_000,
+                "n_events": np.add.reduceat(nn, st).astype(np.int64),
             }
         )
 
     local = (
         events.map_batches(assign_chunk, batch_format="pyarrow")
-        .groupby([key_col, "__chunk"])
+        .groupby("__b")
         .map_groups(local_sessions, batch_format="pandas")
     )
-    return local.groupby(key_col).map_groups(merge_sessions, batch_format="pandas")
+    return (
+        local.map_batches(add_key_bucket, batch_format="pyarrow")
+        .groupby("__b2")
+        .map_groups(merge_sessions, batch_format="pandas")
+    )
