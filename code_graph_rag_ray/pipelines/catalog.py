@@ -1228,6 +1228,41 @@ FROM events e JOIN sess ON e.user_id = sess.user_id
 """
 
 
+def doc_tfidf_topk(sf_dir: str):
+    """Top-5 keywords per document by tf/df — distributed TF-IDF: per-batch
+    vectorized tokenize+tf, two-phase df count, object-store broadcast of
+    the df table, per-doc rank inside doc-complete blocks
+    (stages/tfidf.py). The rank key tf/df is one IEEE division, so score
+    and ranking are bit-identical to the DuckDB oracle (ln-idf would be
+    libm-dependent)."""
+    from code_graph_rag_ray.stages.tfidf import tfidf_topk
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_topk(ds, k=5)
+
+
+DOC_TFIDF_TOPK_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * 1.0 / df.df DESC, tf.term ASC
+         ) AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, rank FROM scored WHERE rank <= 5
+"""
+
+
 def doc_split_leaks(sf_dir: str):
     """Decontamination: 8-token-prefix fingerprints spanning ≥2 of the
     train/val/test splits — the rows a curation pipeline quarantines."""
@@ -1545,6 +1580,7 @@ QUERIES = {
     "doc_split": doc_split,
     "doc_sample_stratified": doc_sample_stratified,
     "doc_split_leaks": doc_split_leaks,
+    "doc_tfidf_topk": doc_tfidf_topk,
     "events_attribution": events_attribution,
     "events_session_assign": events_session_assign,
     "kg_fixture_pr": kg_fixture_pr,
@@ -1601,6 +1637,7 @@ ORACLES = {
     "doc_split": DOC_SPLIT_SQL,
     "doc_sample_stratified": DOC_SAMPLE_STRATIFIED_SQL,
     "doc_split_leaks": DOC_SPLIT_LEAKS_SQL,
+    "doc_tfidf_topk": DOC_TFIDF_TOPK_SQL,
     "doc_lang_pred": DOC_LANG_PRED_SQL,
     "events_attribution": EVENTS_ATTRIBUTION_SQL,
     "events_session_assign": EVENTS_SESSION_ASSIGN_SQL,

@@ -1,0 +1,119 @@
+"""Distributed TF-IDF keyword extraction (training-data / retrieval op).
+
+Pipeline shape (no full-corpus materialization anywhere):
+
+1. ``extract_tf_batch`` — per-batch vectorized tokenize (RE2
+   ``[^a-z0-9]+`` split over lowered text, the same automaton DuckDB's
+   ``regexp_split_to_array`` runs, so the oracle tokenizes identically)
+   and per-(doc, term) counts via an Arrow groupby. A document is one
+   input row, so its counts are complete within its batch — tf needs no
+   shuffle.
+2. document frequency — two-phase grouped count over the tf rows
+   (batch combiner first: a term's partials are one row per block, so hot
+   terms exchange O(blocks) not O(docs)).
+3. the df table (vocab-scale) is broadcast back onto the tf rows via the
+   object-store broadcast join (never lands on the driver), and the
+   per-doc top-k runs vectorized inside ``map_batches`` — valid because
+   the broadcast join preserves block boundaries and tf blocks are
+   doc-complete by construction.
+
+Scoring note: the rank key is ``tf / df`` (a monotone idf surrogate).
+One IEEE-754 division is correctly rounded in every engine, so the score
+— and therefore the ranking — is bit-identical between numpy and the
+DuckDB oracle; ``ln``-based idf is libm-dependent and would break the
+exact-value gate. Ties rank by term ascending (content-determined).
+
+cgr analog: the registry's ``simple_name_lookup`` grouped multimap
+(function_registry.py:99-101) generalized to a scored term→doc surface;
+the embedding sink's "represent a document by salient features"
+(graph_updater.py:2051-2181) without a model.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def extract_tf_batch(
+    b: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """(id, term, tf) rows — vectorized tokenize + Arrow groupby count."""
+    empty = pa.table(
+        {id_col: pa.array([], pa.int64()),
+         "term": pa.array([], pa.string()),
+         "tf": pa.array([], pa.int64())}
+    )
+    if b.num_rows == 0:
+        return empty
+    toks = pc.split_pattern_regex(pc.utf8_lower(b[text_col]), pattern=_TOKEN_SPLIT)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    ids = pc.take(b[id_col], parent)
+    keep = pc.not_equal(flat, "")
+    pairs = pa.table({id_col: ids, "term": flat}).filter(keep)
+    if pairs.num_rows == 0:
+        return empty
+    g = pa.TableGroupBy(pairs, [id_col, "term"], use_threads=False).aggregate(
+        [([], "count_all")]
+    )
+    return pa.table(
+        {id_col: g[id_col], "term": g["term"],
+         "tf": pc.cast(g["count_all"], pa.int64())}
+    )
+
+
+def document_frequency(tf_rows: Dataset, *, id_col: str = "doc_id") -> Dataset:
+    """(term, df) — each tf row is one (doc, term) incidence, so df is a
+    two-phase grouped count over terms."""
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+
+    terms = tf_rows.select_columns(["term"])
+    return partial_groupby_sum(terms, ["term"], {}, count_alias="df")
+
+
+def tfidf_topk(
+    docs: Dataset,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Top-k terms per document by tf/df: (id, term, tf, df, rank)."""
+    from code_graph_rag_ray.stages.relational import broadcast_join
+
+    tf_rows = docs.map_batches(
+        lambda b: extract_tf_batch(b, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+    )
+    df_tbl = document_frequency(tf_rows, id_col=id_col)
+    scored = broadcast_join(tf_rows, df_tbl, on="term")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(__s=g["tf"].to_numpy() / g["df"].to_numpy())
+        g = g.sort_values(
+            [id_col, "__s", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        ids = g[id_col].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        new[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new)
+        rank = (
+            np.arange(n) - np.repeat(starts, np.diff(np.r_[starts, n])) + 1
+        )
+        g = g.assign(rank=rank.astype(np.int64))
+        out = g[rank <= k]
+        return out[[id_col, "term", "tf", "df", "rank"]].astype(
+            {"tf": "int64", "df": "int64"}
+        )
+
+    # doc-complete blocks in, doc-complete blocks out: the broadcast join
+    # is a map_batches, so the per-doc rank never needs a shuffle
+    return scored.map_batches(topk, batch_format="pandas", batch_size=None)

@@ -1,0 +1,66 @@
+"""TF-IDF keyword extraction: planted ranking + batch-size invariance."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from code_graph_rag_ray.stages.tfidf import extract_tf_batch, tfidf_topk
+
+
+def test_extract_tf_counts_and_tokenization():
+    b = pa.table(
+        {"doc_id": [1, 2], "text": ["Apple apple, banana!", "  banana?? CHERRY"]}
+    )
+    out = extract_tf_batch(b).to_pandas()
+    got = {(r.doc_id, r.term): r.tf for r in out.itertuples()}
+    assert got == {
+        (1, "apple"): 2, (1, "banana"): 1,
+        (2, "banana"): 1, (2, "cherry"): 1,
+    }
+
+
+def test_tfidf_topk_planted_ranking(ray_session):
+    # "rare" appears in one doc only (df=1); "common" in all docs (df=3).
+    # With equal tf, rare outranks common everywhere it occurs.
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "rare common filler0",
+                "common filler1 filler1",
+                "common filler2 zebra",
+            ],
+        }
+    )
+    out = tfidf_topk(rd.from_pandas(docs), k=2).to_pandas()
+    d1 = out[out.doc_id == 1].sort_values("rank")
+    # rare and filler0 both have tf=1, df=1 → tie broken by term asc
+    assert list(d1.term) == ["filler0", "rare"]
+    assert list(d1["rank"]) == [1, 2]
+    d2 = out[out.doc_id == 2].sort_values("rank")
+    # filler1 tf=2 df=1 (score 2.0) beats common tf=1 df=3
+    assert list(d2.term) == ["filler1", "common"]
+    assert int(d2.iloc[0]["df"]) == 1 and int(d2.iloc[0]["tf"]) == 2
+    assert int(d2.iloc[1]["df"]) == 3
+    d3 = out[out.doc_id == 3].sort_values("rank")
+    # common (1/3) is pushed out of top-2 by the two df=1 terms
+    assert list(d3.term) == ["filler2", "zebra"]
+
+
+def test_tfidf_topk_batch_size_invariant(ray_session):
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(30),
+            "text": [f"alpha beta w{i} w{i} gamma" for i in range(30)],
+        }
+    )
+    def run(nblocks):
+        ds = rd.from_pandas(docs).repartition(nblocks)
+        out = tfidf_topk(ds, k=3).to_pandas()
+        return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+    a, b = run(1), run(7)
+    pd.testing.assert_frame_equal(a, b)
+    # per-doc unique term w{i}: df=1, tf=2 → rank 1 everywhere
+    top = a[a["rank"] == 1]
+    assert (top.term.to_numpy() == [f"w{i}" for i in range(30)]).all()
