@@ -578,6 +578,37 @@ FROM t
 """
 
 
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality: per-doc duplicate-word / top-1-gram
+    fractions + the corpus-filter flag, all in one shuffle-free vectorized
+    map_batches (stages/text_analysis.repetition_batch). Each fraction is
+    one int/int IEEE division → bit-identical to the SQL oracle."""
+    from code_graph_rag_ray.stages.text_analysis import repetition_batch
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+DOC_REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS c FROM tok WHERE term <> '' GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_words, count(*)::BIGINT AS n_distinct,
+         max(c)::BIGINT AS top_term_n
+  FROM tf GROUP BY 1
+)
+SELECT doc_id, n_words, n_distinct, top_term_n,
+       (n_words - n_distinct) / greatest(n_words, 1)::DOUBLE AS dup_word_frac,
+       top_term_n / greatest(n_words, 1)::DOUBLE AS top_term_frac,
+       (top_term_n / greatest(n_words, 1)::DOUBLE > 0.08
+        OR (n_words - n_distinct) / greatest(n_words, 1)::DOUBLE > 0.85)
+         AS repetitive
+FROM agg
+"""
+
+
 def doc_findings(sf_dir: str):
     """Rule-based findings tier (M12 analog): pluggable RE2 rule registry
     scanned vectorized per batch → typed finding rows."""
@@ -1561,6 +1592,7 @@ QUERIES = {
     "doc_quality": doc_quality,
     "doc_fingerprint": doc_fingerprint,
     "doc_findings": doc_findings,
+    "doc_repetition": doc_repetition,
     "doc_exact_dup_clusters": doc_exact_dup_clusters,
     "doc_lang_counts": doc_lang_counts,
     "knn_brute": knn_brute,
@@ -1615,6 +1647,7 @@ ORACLES = {
     "doc_quality": DOC_QUALITY_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_findings": DOC_FINDINGS_SQL,
+    "doc_repetition": DOC_REPETITION_SQL,
     "doc_exact_dup_clusters": DOC_EXACT_DUP_SQL,
     "doc_jaccard_pairs": DOC_JACCARD_PAIRS_SQL,
     "doc_lang_counts": DOC_LANG_COUNTS_SQL,

@@ -121,6 +121,62 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(out, pa.string()))
 
 
+def repetition_batch(
+    batch: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_frac_max: float = 0.08,
+    dup_frac_max: float = 0.85,
+) -> pa.Table:
+    """Gopher-style repetition quality signals, fully vectorized.
+
+    Per document: whitespace word count, distinct-word count, the top
+    unigram's count, and the two repetition fractions Gopher-class corpus
+    filters threshold on (duplicate-word fraction and top-1-gram
+    fraction). ``repetitive`` flags documents breaching either threshold.
+
+    Each fraction is ONE IEEE-754 int/int division, so values — and the
+    boolean flag — are bit-identical to the SQL oracle. A document is one
+    input row, so all its words are in-batch: no shuffle anywhere (the
+    M12 findings-tier pattern, reference analyzers/ registry, applied to
+    corpus curation).
+    """
+    toks = pc.split_pattern(batch[text_col], pattern=" ")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    pairs = pa.table(
+        {"row": pc.cast(parent, pa.int64()), "term": flat}
+    ).filter(keep)
+    n_rows = batch.num_rows
+    g = pa.TableGroupBy(pairs, ["row", "term"], use_threads=False).aggregate(
+        [([], "count_all")]
+    )
+    rows = g["row"].to_numpy(zero_copy_only=False)
+    cnts = g["count_all"].to_numpy(zero_copy_only=False)
+    n_words = np.bincount(rows, weights=cnts, minlength=n_rows).astype(np.int64)
+    n_distinct = np.bincount(rows, minlength=n_rows).astype(np.int64)
+    top = np.zeros(n_rows, dtype=np.int64)
+    np.maximum.at(top, rows, cnts)
+    denom = np.maximum(n_words, 1).astype(np.float64)
+    dup_frac = (n_words - n_distinct) / denom
+    top_frac = top / denom
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "top_term_n": pa.array(top, pa.int64()),
+            "dup_word_frac": pa.array(dup_frac, pa.float64()),
+            "top_term_frac": pa.array(top_frac, pa.float64()),
+            "repetitive": pa.array(
+                (top_frac > top_frac_max) | (dup_frac > dup_frac_max), pa.bool_()
+            ),
+        }
+    )
+
+
 def fingerprint_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """(id, md5, rolling_min_fp): md5 content hash + min rolling-window hash.
 

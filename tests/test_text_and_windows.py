@@ -169,3 +169,45 @@ def test_multimodal_real_decoder_gated():
         from code_graph_rag_ray.stages.multimodal import MediaDecoder
 
         MediaDecoder(decoder="pil")
+
+
+def test_repetition_batch_planted():
+    from code_graph_rag_ray.stages.text_analysis import repetition_batch
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a a a a a a a a a b",          # one whale unigram
+                    "alpha beta gamma delta eps",    # all distinct
+                    "x y  x y",                      # double space -> empty token dropped
+                ]
+            ),
+        }
+    )
+    r = {
+        row["doc_id"]: row
+        for row in repetition_batch(
+            b, top_frac_max=0.5, dup_frac_max=0.85
+        ).to_pylist()
+    }
+    assert r[1]["n_words"] == 10 and r[1]["top_term_n"] == 9
+    assert r[1]["top_term_frac"] == 0.9 and r[1]["repetitive"]
+    assert r[2]["n_distinct"] == 5 and r[2]["dup_word_frac"] == 0.0
+    assert not r[2]["repetitive"]
+    assert r[3]["n_words"] == 4 and r[3]["n_distinct"] == 2
+    assert r[3]["dup_word_frac"] == 0.5
+
+
+def test_repetition_batch_composition_invariant():
+    """Per-row outputs must not depend on batch composition."""
+    from code_graph_rag_ray.stages.text_analysis import repetition_batch
+
+    texts = ["q w e r t", "q q q q", "solo", "m n m n m n"]
+    b = pa.table(
+        {"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)}
+    )
+    whole = repetition_batch(b).to_pylist()
+    singles = [repetition_batch(b.slice(i, 1)).to_pylist()[0] for i in range(4)]
+    assert whole == singles
