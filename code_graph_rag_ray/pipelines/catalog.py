@@ -609,6 +609,70 @@ FROM agg
 """
 
 
+_SCRUB_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_SCRUB_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_SCRUB_PHONE = r"\+\d[\d-]{7,}\d"
+
+
+def doc_scrub_pii(sf_dir: str):
+    """PII redaction (stages/scrub.py): deterministic PII is injected
+    closed-form from doc_id (the synthetic corpus carries none), then the
+    ordered RE2 rule registry scrubs it vectorized. Arrow and DuckDB both
+    compile RE2, so replacement spans — and therefore the scrubbed bytes
+    and per-rule counts — are bit-identical to the oracle."""
+    from code_graph_rag_ray.stages.scrub import scrub_batch
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(b: pa.Table) -> pa.Table:
+        i = pc.cast(b["doc_id"], pa.string())
+        n = b.num_rows
+
+        def lit(s: str):
+            return pa.array([s] * n, pa.string())
+
+        # last arg of binary_join_element_wise is the separator
+        injected = pc.binary_join_element_wise(
+            b["text"],
+            lit(" contact u"),
+            i,
+            lit("@mail.example.org from 10."),
+            pc.cast(
+                pa.array(b["doc_id"].to_numpy(zero_copy_only=False) % 256, pa.int64()),
+                pa.string(),
+            ),
+            lit(".0.1 call +1-555-"),
+            pc.utf8_lpad(i, width=4, padding="0"),
+            "",
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": injected})
+
+    return ds.map_batches(inject, batch_format="pyarrow").map_batches(
+        scrub_batch, batch_format="pyarrow"
+    )
+
+
+DOC_SCRUB_PII_SQL = f"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id || '@mail.example.org from 10.'
+              || (doc_id % 256) || '.0.1 call +1-555-'
+              || lpad(doc_id::VARCHAR, 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_SCRUB_EMAIL}')) AS n_email,
+       len(regexp_extract_all(text, '{_SCRUB_IPV4}')) AS n_ipv4,
+       len(regexp_extract_all(text, '{_SCRUB_PHONE}')) AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_SCRUB_EMAIL}', '<EMAIL>', 'g'),
+           '{_SCRUB_IPV4}', '<IP>', 'g'),
+         '{_SCRUB_PHONE}', '<PHONE>', 'g') AS text_clean
+FROM inj
+"""
+
+
 def doc_findings(sf_dir: str):
     """Rule-based findings tier (M12 analog): pluggable RE2 rule registry
     scanned vectorized per batch → typed finding rows."""
@@ -1593,6 +1657,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_findings": doc_findings,
     "doc_repetition": doc_repetition,
+    "doc_scrub_pii": doc_scrub_pii,
     "doc_exact_dup_clusters": doc_exact_dup_clusters,
     "doc_lang_counts": doc_lang_counts,
     "knn_brute": knn_brute,
@@ -1648,6 +1713,7 @@ ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_findings": DOC_FINDINGS_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
+    "doc_scrub_pii": DOC_SCRUB_PII_SQL,
     "doc_exact_dup_clusters": DOC_EXACT_DUP_SQL,
     "doc_jaccard_pairs": DOC_JACCARD_PAIRS_SQL,
     "doc_lang_counts": DOC_LANG_COUNTS_SQL,
