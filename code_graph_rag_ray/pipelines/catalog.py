@@ -609,6 +609,31 @@ FROM agg
 """
 
 
+def doc_len_quantiles(sf_dir: str):
+    """Exact per-language length percentiles (curation-cutoff profiling):
+    two-phase (lang, n_chars) histogram, per-lang cume_dist pick matching
+    DuckDB quantile_disc bit-for-bit (stages/quantiles.py)."""
+    from code_graph_rag_ray.stages.quantiles import grouped_quantiles
+
+    ds = _pq(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_quantiles(
+        ds,
+        key="lang",
+        value_col="n_chars",
+        qs={"q25": 0.25, "q50": 0.5, "q75": 0.75, "q90": 0.9},
+    )
+
+
+DOC_LEN_QUANTILES_SQL = """
+SELECT lang, count(*)::BIGINT AS n,
+       quantile_disc(n_chars, 0.25) AS q25,
+       quantile_disc(n_chars, 0.50) AS q50,
+       quantile_disc(n_chars, 0.75) AS q75,
+       quantile_disc(n_chars, 0.90) AS q90
+FROM documents GROUP BY lang
+"""
+
+
 _SCRUB_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _SCRUB_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _SCRUB_PHONE = r"\+\d[\d-]{7,}\d"
@@ -1658,6 +1683,7 @@ QUERIES = {
     "doc_findings": doc_findings,
     "doc_repetition": doc_repetition,
     "doc_scrub_pii": doc_scrub_pii,
+    "doc_len_quantiles": doc_len_quantiles,
     "doc_exact_dup_clusters": doc_exact_dup_clusters,
     "doc_lang_counts": doc_lang_counts,
     "knn_brute": knn_brute,
@@ -1714,6 +1740,7 @@ ORACLES = {
     "doc_findings": DOC_FINDINGS_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "doc_scrub_pii": DOC_SCRUB_PII_SQL,
+    "doc_len_quantiles": DOC_LEN_QUANTILES_SQL,
     "doc_exact_dup_clusters": DOC_EXACT_DUP_SQL,
     "doc_jaccard_pairs": DOC_JACCARD_PAIRS_SQL,
     "doc_lang_counts": DOC_LANG_COUNTS_SQL,

@@ -1,0 +1,67 @@
+"""Exact distributed grouped quantiles (discrete / percentile_disc semantics).
+
+Shape: two-phase value-count histogram (per-batch Arrow combiner → small
+global groupby over (key, value) partials — a hot value exchanges
+O(blocks) rows, not O(rows)), then a per-key ``map_groups`` walks the
+sorted histogram and picks each requested quantile.
+
+Selection rule = SQL ``percentile_disc`` / DuckDB ``quantile_disc``:
+the smallest value whose cumulative distribution ``cum/n >= q``, with
+``cum/n`` computed as ONE int/int IEEE-754 double division — verified
+empirically to reproduce DuckDB bit-for-bit including the q=0.9, n=10
+case where a float ``ceil(q*n)`` rule diverges (0.9*10 rounds above 9).
+
+Scale note: the shuffled state is the per-group distinct-value histogram,
+so this is exact AND cheap for discrete-ish columns (lengths, counts,
+scores on a grid). For continuous doubles the histogram degenerates to
+row count — pre-bin (e.g. ``round(x, 3)``) or switch to a sketch before
+reaching for this operator.
+
+cgr analog: the findings/metrics summarizer (analyzers aggregate stats
+per module, M12); re-targeted as corpus length/score distribution
+profiling for curation cutoffs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def grouped_quantiles(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    qs: dict[str, float],
+) -> Dataset:
+    """Per-``key`` exact quantiles of ``value_col``.
+
+    ``qs`` maps output column name → quantile in (0, 1]. Returns one row
+    per key: (key, n, <alias...>) with aliases in ``qs`` insertion order.
+    """
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+
+    hist = partial_groupby_sum(
+        ds.select_columns([key, value_col]), [key, value_col], {}, count_alias="cnt"
+    )
+
+    aliases = list(qs)
+    probs = np.array([qs[a] for a in aliases], dtype=np.float64)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col, kind="mergesort")
+        vals = g[value_col].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        n = cum[-1]
+        # cume_dist comparison, elementwise over the histogram × quantiles
+        cd = cum.astype(np.float64) / np.float64(n)
+        idx = np.argmax(cd[:, None] >= probs[None, :], axis=0)
+        out = {key: [g[key].iloc[0]], "n": np.array([n], dtype=np.int64)}
+        for j, alias in enumerate(aliases):
+            out[alias] = vals[idx[j] : idx[j] + 1]
+        return pd.DataFrame(out)
+
+    return hist.groupby(key).map_groups(pick, batch_format="pandas")

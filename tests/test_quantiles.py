@@ -1,0 +1,63 @@
+"""Exact grouped quantiles (stages/quantiles.py) vs DuckDB quantile_disc."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from code_graph_rag_ray.stages.quantiles import grouped_quantiles
+
+QS = {"q25": 0.25, "q50": 0.5, "q75": 0.75, "q90": 0.9}
+
+
+def _compare(df: pd.DataFrame):
+    ds = rd.from_pandas(df).repartition(7)
+    got = (
+        grouped_quantiles(ds, key="g", value_col="v", qs=QS)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        """SELECT g, count(*)::BIGINT AS n,
+                  quantile_disc(v, 0.25) AS q25, quantile_disc(v, 0.50) AS q50,
+                  quantile_disc(v, 0.75) AS q75, quantile_disc(v, 0.90) AS q90
+           FROM t GROUP BY g ORDER BY g"""
+    ).df()
+    exp = exp.astype(got.dtypes.to_dict())
+    assert got.equals(exp), f"\n{got}\n{exp}"
+
+
+def test_quantiles_match_duckdb_random():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 6, 5000),
+            "v": rng.integers(0, 40, 5000).astype(np.int64),
+        }
+    )
+    _compare(df)
+
+
+def test_quantiles_edge_group_sizes():
+    # n=10 with q=0.9 is the float-ceil divergence case; n=1 and n=2 edges
+    df = pd.DataFrame(
+        {
+            "g": [0] * 10 + [1] + [2, 2],
+            "v": list(range(1, 11)) + [99] + [5, 7],
+        }
+    )
+    df["v"] = df["v"].astype(np.int64)
+    _compare(df)
+
+
+def test_quantiles_skewed_histogram():
+    # one whale value dominating the histogram
+    df = pd.DataFrame({"g": [0] * 1000, "v": [3] * 990 + list(range(10))})
+    df["v"] = df["v"].astype(np.int64)
+    _compare(df)
