@@ -35,6 +35,7 @@ from code_graph_rag_ray.stages.text_analysis import (
     token_stats_batch,
 )
 from code_graph_rag_ray.stages.windows import (
+    hopping_window_agg,
     session_windows_chunked,
     tumbling_window_agg,
 )
@@ -465,6 +466,49 @@ SELECT event_type,
        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
        count(*) AS n_events
 FROM events GROUP BY 1, 2
+"""
+
+
+def events_hopping(sf_dir: str):
+    """Hopping windows (1h window / 15min hop): vectorized np.repeat
+    replication into hop-aligned windows, then the same two-phase grouped
+    sum as tumbling (stages/windows.hopping_window_agg). Integer-cents
+    sums keep the double output bit-exact vs the oracle."""
+    ds = _pq(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"ts": b["ts"], "event_type": b["event_type"], "value_c": _cents(b["value"])}
+        )
+
+    out = hopping_window_agg(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        window_s=3600, hop_s=900, value_col="value_c",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": b["event_type"], "window_start": b["window_start"],
+             "sum_value": pc.divide(pc.cast(b["sum_value"], pa.float64()), 100.0),
+             "n_events": b["n_events"]}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_HOPPING_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_c,
+         epoch_us(ts) AS t FROM events
+), w AS (
+  SELECT event_type, value_c,
+         unnest(generate_series((t - 3600000000) // 900000000 + 1,
+                                t // 900000000)) * 900 AS window_start
+  FROM e
+)
+SELECT event_type, window_start, sum(value_c) / 100.0 AS sum_value,
+       count(*) AS n_events
+FROM w GROUP BY 1, 2
 """
 
 
@@ -1684,6 +1728,7 @@ QUERIES = {
     "doc_repetition": doc_repetition,
     "doc_scrub_pii": doc_scrub_pii,
     "doc_len_quantiles": doc_len_quantiles,
+    "events_hopping": events_hopping,
     "doc_exact_dup_clusters": doc_exact_dup_clusters,
     "doc_lang_counts": doc_lang_counts,
     "knn_brute": knn_brute,
@@ -1741,6 +1786,7 @@ ORACLES = {
     "doc_repetition": DOC_REPETITION_SQL,
     "doc_scrub_pii": DOC_SCRUB_PII_SQL,
     "doc_len_quantiles": DOC_LEN_QUANTILES_SQL,
+    "events_hopping": EVENTS_HOPPING_SQL,
     "doc_exact_dup_clusters": DOC_EXACT_DUP_SQL,
     "doc_jaccard_pairs": DOC_JACCARD_PAIRS_SQL,
     "doc_lang_counts": DOC_LANG_COUNTS_SQL,

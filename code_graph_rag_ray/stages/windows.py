@@ -60,6 +60,59 @@ def tumbling_window_agg(
     )
 
 
+def hopping_window_agg(
+    events: Dataset,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window_s: int = 3600,
+    hop_s: int = 900,
+) -> Dataset:
+    """(key, window_start, n_events, sum_value) per hopping/sliding window.
+
+    Each event lands in every hop-aligned window covering it
+    (``window_s / hop_s`` windows): membership is computed in integer µs
+    (k ∈ [⌊(t−size)/hop⌋+1, ⌊t/hop⌋]) and the replication is one
+    vectorized ``np.repeat`` — no per-row loop, no cross-row state — then
+    the same two-phase grouped sum as tumbling. The expansion multiplies
+    rows by size/hop BEFORE the combiner, but the partials stay one row
+    per (key, window) per block, so the shuffle is no bigger than
+    tumbling's at the same window granularity.
+    """
+    size_us = window_s * 1_000_000
+    hop_us = hop_s * 1_000_000
+
+    def assign(b: pa.Table) -> pa.Table:
+        t_us = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        k_hi = t_us // hop_us
+        k_lo = (t_us - size_us) // hop_us + 1
+        counts = k_hi - k_lo + 1
+        total = int(counts.sum())
+        rows = np.repeat(np.arange(len(t_us)), counts)
+        starts = np.zeros(len(t_us), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        k = np.repeat(k_lo, counts) + (np.arange(total) - np.repeat(starts, counts))
+        idx = pa.array(rows, pa.int64())
+        return pa.table(
+            {
+                key_col: pc.take(b[key_col], idx),
+                "window_start": pa.array(k * hop_s, pa.int64()),
+                value_col: pc.take(b[value_col], idx),
+            }
+        )
+
+    assigned = events.map_batches(assign, batch_format="pyarrow")
+    return partial_groupby_sum(
+        assigned,
+        [key_col, "window_start"],
+        {value_col: "sum_value"},
+        count_alias="n_events",
+    )
+
+
 def session_windows(
     events: Dataset,
     *,

@@ -211,3 +211,20 @@ def test_repetition_batch_composition_invariant():
     whole = repetition_batch(b).to_pylist()
     singles = [repetition_batch(b.slice(i, 1)).to_pylist()[0] for i in range(4)]
     assert whole == singles
+
+
+def test_hopping_window_membership():
+    from code_graph_rag_ray.stages.windows import hopping_window_agg
+
+    # event at t=3700s with 3600s window / 900s hop lands in starts
+    # {900, 1800, 2700, 3600}; event at t=100 in {-3500.. step 900} ∩ (t-size, t]
+    ts = pd.to_datetime([3700, 100], unit="s")
+    df = pd.DataFrame({"ts": ts, "event_type": ["a", "a"], "value": [1.0, 1.0]})
+    out = (
+        hopping_window_agg(rd.from_pandas(df), window_s=3600, hop_s=900)
+        .to_pandas()
+        .sort_values("window_start")
+    )
+    got = {int(r.window_start): int(r.n_events) for r in out.itertuples()}
+    # t=100 covers starts {-2700,-1800,-900,0}; t=3700 covers {900..3600}
+    assert got == {w: 1 for w in (-2700, -1800, -900, 0, 900, 1800, 2700, 3600)}
