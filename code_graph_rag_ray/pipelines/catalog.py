@@ -653,6 +653,36 @@ FROM agg
 """
 
 
+def corpus_top_terms(sf_dir: str):
+    """Corpus heavy hitters: global top-20 terms by total occurrences.
+    Per-batch tf combiner (tfidf.extract_tf_batch) → two-phase grouped
+    sum over terms → block-local top-k → one-block exact merge
+    (stages/skew.global_topk); the driver never sees the vocabulary."""
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+    from code_graph_rag_ray.stages.skew import global_topk
+    from code_graph_rag_ray.stages.tfidf import extract_tf_batch
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    tf_rows = ds.map_batches(extract_tf_batch, batch_format="pyarrow")
+    term_counts = partial_groupby_sum(
+        tf_rows.select_columns(["term", "tf"]), ["term"], {"tf": "n"}
+    )
+    return global_topk(term_counts, item="term", n_col="n", k=20)
+
+
+CORPUS_TOP_TERMS_SQL = """
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tc AS (
+  SELECT term, count(*)::BIGINT AS n,
+         row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rank
+  FROM tok WHERE term <> '' GROUP BY term
+)
+SELECT term, n, rank FROM tc WHERE rank <= 20
+"""
+
+
 def doc_len_quantiles(sf_dir: str):
     """Exact per-language length percentiles (curation-cutoff profiling):
     two-phase (lang, n_chars) histogram, per-lang cume_dist pick matching
@@ -1729,6 +1759,7 @@ QUERIES = {
     "doc_scrub_pii": doc_scrub_pii,
     "doc_len_quantiles": doc_len_quantiles,
     "events_hopping": events_hopping,
+    "corpus_top_terms": corpus_top_terms,
     "doc_exact_dup_clusters": doc_exact_dup_clusters,
     "doc_lang_counts": doc_lang_counts,
     "knn_brute": knn_brute,
@@ -1787,6 +1818,7 @@ ORACLES = {
     "doc_scrub_pii": DOC_SCRUB_PII_SQL,
     "doc_len_quantiles": DOC_LEN_QUANTILES_SQL,
     "events_hopping": EVENTS_HOPPING_SQL,
+    "corpus_top_terms": CORPUS_TOP_TERMS_SQL,
     "doc_exact_dup_clusters": DOC_EXACT_DUP_SQL,
     "doc_jaccard_pairs": DOC_JACCARD_PAIRS_SQL,
     "doc_lang_counts": DOC_LANG_COUNTS_SQL,

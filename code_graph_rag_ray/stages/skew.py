@@ -23,6 +23,41 @@ from ray.data import Dataset
 from code_graph_rag_ray.functions.hashing import crc32_array
 
 
+def global_topk(
+    ds: Dataset,
+    *,
+    item: str,
+    n_col: str = "n",
+    k: int = 20,
+) -> Dataset:
+    """(item, n, rank): global top-k rows by ``n_col`` (heavy hitters).
+
+    Local top-k per block (each block can only contribute k survivors)
+    → coalesce the ≤ blocks×k partials to one block → final exact top-k
+    with rank. Ties break by ``item`` ascending (content-determined).
+    Exact when each item's total count lives on one row (i.e. ``ds`` is
+    already an aggregated (item, n) table, e.g. from
+    ``partial_groupby_sum``) — the single merged block holds O(blocks·k)
+    rows, never the vocabulary.
+    """
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            b, sort_keys=[(n_col, "descending"), (item, "ascending")]
+        )
+        return b.take(idx[:k])
+
+    def final_topk(b: pa.Table) -> pa.Table:
+        t = local_topk(b)
+        return t.append_column("rank", pa.array(range(1, t.num_rows + 1), pa.int64()))
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def salted_topk_per_key(
     ds: Dataset,
     *,

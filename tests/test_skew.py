@@ -39,3 +39,25 @@ def test_salted_topk_exact_under_whale_key():
     counts = collections.Counter(r["url"] for r in rows if r["entity"] == "whale")
     assert out[(out.entity == "whale") & (out["rank"] == 1)].url.iloc[0] == "u_hot"
     assert counts["u_hot"] == out[(out.entity == "whale") & (out["rank"] == 1)].n.iloc[0]
+
+def test_global_topk_exact_across_blocks():
+    """global_topk must merge block-local survivors exactly: an item whose
+    total is spread across MANY blocks is not the target (inputs are
+    pre-aggregated), but block boundaries must not change the answer."""
+    import pandas as pd
+
+    from code_graph_rag_ray.stages.skew import global_topk
+
+    rows = [{"term": f"w{i:04d}", "n": (i * 37) % 500 + 1} for i in range(2000)]
+    # plant exact ties at the k boundary to exercise item-ascending tie-break
+    rows += [{"term": "tie_a", "n": 499}, {"term": "tie_b", "n": 499}]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(16)
+
+    out = global_topk(ds, item="term", n_col="n", k=10).to_pandas()
+
+    df = pd.DataFrame(rows).sort_values(
+        ["n", "term"], ascending=[False, True], kind="mergesort"
+    ).head(10).reset_index(drop=True)
+    assert out.sort_values("rank").term.tolist() == df.term.tolist()
+    assert out.sort_values("rank").n.tolist() == df.n.tolist()
+    assert out["rank"].tolist() == list(range(1, 11))
