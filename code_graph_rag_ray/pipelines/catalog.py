@@ -1169,6 +1169,95 @@ SELECT site, count(*) AS n_links FROM u GROUP BY site
 """
 
 
+def _internal_link_graph(sf_dir: str):
+    """(pages, internal links_to edges) — shared input of the graph-metric
+    queries."""
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+    from code_graph_rag_ray.stages.links import extract_links, resolve_links
+
+    pages = pages_from_documents(sf_dir)
+    links = extract_links(pages)
+    internal = resolve_links(links, pages.select_columns(["url"]))["internal"]
+    return pages, internal
+
+
+def page_rank(sf_dir: str):
+    """Fixed-point PageRank over the links_to graph (the web-native "which
+    node matters" metric the reference's retrieval layer ranks by).
+
+    Integer recurrence → bit-exact vs the oracle's unrolled SQL iterations
+    at ANY parallelism (see stages/graph_metrics.py)."""
+    from code_graph_rag_ray.stages.graph_metrics import pagerank
+
+    pages, internal = _internal_link_graph(sf_dir)
+    return pagerank(
+        internal,
+        pages.select_columns(["url"]),
+        src="src_url",
+        dst="dst_url",
+        node="url",
+        iters=4,
+    )
+
+
+def _page_rank_sql(iters: int = 4, scale: int = 10**12) -> str:
+    """Unrolled fixed-point PageRank recurrence — the SAME integer updates
+    the distributed stage runs, so the match is exact, not approximate."""
+    head = f"""
+WITH p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1
+  FROM documents),
+e AS (SELECT a.url AS src, a.t1 AS dst
+      FROM p a JOIN (SELECT url FROM p) b ON a.t1 = b.url),
+deg AS (SELECT src, count(*) AS c FROM e GROUP BY src),
+nn AS (SELECT count(*) AS n FROM p),
+r0 AS (SELECT url AS node, {scale} // n AS rank FROM p CROSS JOIN nn)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+d{i} AS (SELECT coalesce(sum(r.rank), 0) AS m
+         FROM r{i-1} r LEFT JOIN deg ON r.node = deg.src
+         WHERE deg.src IS NULL),
+s{i} AS (SELECT e.dst, sum((85 * r.rank) // (100 * deg.c)) AS s
+         FROM e JOIN r{i-1} r ON e.src = r.node
+                JOIN deg ON e.src = deg.src
+         GROUP BY e.dst),
+r{i} AS (SELECT p.url AS node,
+                ((15 * {scale}) // (100 * nn.n)
+                 + (85 * (SELECT m FROM d{i})) // (100 * nn.n)
+                 + coalesce(s.s, 0))::BIGINT AS rank
+         FROM p CROSS JOIN nn LEFT JOIN s{i} s ON p.url = s.dst)""")
+    return head + "," + ",".join(steps) + f"\nSELECT node, rank FROM r{iters}"
+
+
+PAGE_RANK_SQL = _page_rank_sql()
+
+
+def page_degree(sf_dir: str):
+    """Per-node out/in degree of the links_to graph — one union pass + one
+    two-phase grouped sum (no join)."""
+    from code_graph_rag_ray.stages.graph_metrics import degree_stats
+
+    _pages, internal = _internal_link_graph(sf_dir)
+    return degree_stats(internal, src="src_url", dst="dst_url")
+
+
+PAGE_DEGREE_SQL = """
+WITH p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1
+  FROM documents),
+e AS (SELECT a.url AS src, a.t1 AS dst
+      FROM p a JOIN (SELECT url FROM p) b ON a.t1 = b.url),
+u AS (SELECT src AS node, 1 AS o, 0 AS i FROM e
+      UNION ALL
+      SELECT dst AS node, 0 AS o, 1 AS i FROM e)
+SELECT node, sum(o)::BIGINT AS out_deg, sum(i)::BIGINT AS in_deg
+FROM u GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data operators without a SQL-expressible oracle (driver records a
 # rows-only check; full semantics are pinned by the pytest suite instead)
@@ -1773,6 +1862,8 @@ QUERIES = {
     "page_links": page_links,
     "page_links_internal": page_links_internal,
     "page_ext_sites": page_ext_sites,
+    "page_rank": page_rank,
+    "page_degree": page_degree,
     "page_manifest": page_manifest,
     "page_deps": page_deps,
     "ext_packages": ext_packages,
@@ -1833,6 +1924,8 @@ ORACLES = {
     "page_links": PAGE_LINKS_SQL,
     "page_links_internal": PAGE_LINKS_INTERNAL_SQL,
     "page_ext_sites": PAGE_EXT_SITES_SQL,
+    "page_rank": PAGE_RANK_SQL,
+    "page_degree": PAGE_DEGREE_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,
     "doc_simhash_pairs": DOC_SIMHASH_PAIRS_SQL,
     "page_manifest": PAGE_MANIFEST_SQL,

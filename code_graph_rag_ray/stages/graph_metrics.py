@@ -1,0 +1,156 @@
+"""Graph metrics over the extracted link graph: PageRank and degree stats.
+
+The reference's graph is consumed by rank-ordered retrieval (RAG over the
+code graph); the web-native analog of "which node matters" is PageRank over
+the ``links_to`` edge table produced by ``stages/links.py`` (the J4/J8
+family, ``import_processor.py:861-983``, ``graph_updater.py:1023-1047``).
+
+Scale design (the whole point):
+
+- **Fixed-point integer arithmetic.** Ranks are int64 in units of
+  ``1/scale``; every per-edge contribution is ``(d_num * rank) //
+  (d_den * deg)`` — a floor division that is associative-safe (integer sums
+  are order-independent), so the distributed result is BIT-EXACT against
+  any reference implementation (the DuckDB oracle re-runs the identical
+  recurrence with ``//``). Float PageRank would drift across summation
+  orders and break hash-exact verification.
+- **Partition once, iterate cheap.** The degree-weighted edge table is
+  materialized once; each iteration is one bucketed cogroup join
+  (edges ⋈ ranks on src), one two-phase grouped sum of contributions, and
+  one left cogroup join back onto the node table. No driver-side state
+  beyond two scalars per iteration.
+- **Dangling mass without an extra pass.** The edges ⋈ ranks join runs
+  ``how="right"``: rank rows with no out-edges surface as unmatched rows in
+  the SAME shuffle and fold into a sentinel key of the contribution sum, so
+  dangling-node mass redistribution costs zero additional joins.
+- **Skew**: a whale in-degree node (everyone links to wikipedia.org) is one
+  hot key in the contribution sum — handled by the two-phase partial
+  aggregate (one partial row per key per block before the shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from code_graph_rag_ray.stages.relational import bucketed_join, partial_groupby_sum
+
+# sentinel dst for dangling-node mass; "\x00" cannot appear in a url
+_DANGLING = "\x00dangling"
+
+
+def pagerank(
+    edges: Dataset,
+    nodes: Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    iters: int = 4,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> Dataset:
+    """Fixed-point power-iteration PageRank.
+
+    edges(src, dst) + nodes(node) → (node, rank:int64) after ``iters``
+    rounds of::
+
+        base      = ((d_den - d_num) * scale) // (d_den * n)
+        contrib_e = (d_num * rank[src_e]) // (d_den * deg[src_e])
+        dang      = (d_num * sum(rank[v] for dangling v)) // (d_den * n)
+        rank'[u]  = base + dang + sum(contrib_e for e into u)
+
+    ``rank / scale`` approximates true PageRank; the integer recurrence is
+    deterministic and order-free, so the result is bit-exact reproducible
+    (and oracle-checkable) at any parallelism.
+    """
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda b: pa.table({"node": pa.array([], pa.string()),
+                                "rank": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        )
+    base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    r0 = scale // n
+
+    deg = partial_groupby_sum(edges.select_columns([src]), [src], {}, count_alias="deg")
+    wedges = bucketed_join(edges, deg, on=src).materialize()
+
+    ranks = nodes.map_batches(
+        lambda b, v=r0: pa.table(
+            {"node": b[node],
+             "rank": pa.array(np.full(b.num_rows, v, np.int64))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    node_tbl = nodes.select_columns([node]).materialize()
+
+    for _ in range(iters):
+        joined = bucketed_join(
+            wedges, ranks, on=src, right_on="node", how="right"
+        )
+
+        def to_contrib(b: pa.Table, dn=damping_num, dd=damping_den) -> pa.Table:
+            df = b.to_pandas() if isinstance(b, pa.Table) else b
+            rank = df["rank"].to_numpy(np.int64)
+            matched = df[dst].notna().to_numpy()
+            out_key = np.where(matched, df[dst].astype(object), _DANGLING)
+            c = np.empty(len(df), np.int64)
+            if matched.any():
+                # deg rode through a right-join (unmatched rows are NaN) →
+                # float64; values are small counts, exact to cast back
+                degv = df["deg"].to_numpy(np.float64)
+                degi = np.where(matched, degv, 1.0).astype(np.int64)
+                c[matched] = (dn * rank[matched]) // (dd * degi[matched])
+            # dangling rows carry raw rank mass (damped/divided at the end,
+            # AFTER the global sum — floor once, not per row)
+            c[~matched] = rank[~matched]
+            return pa.table({"dst": pa.array(out_key, pa.string()),
+                             "c": pa.array(c, pa.int64())})
+
+        sums = partial_groupby_sum(
+            joined.map_batches(to_contrib, batch_format="pyarrow"),
+            ["dst"], {"c": "s"},
+        ).materialize()
+
+        import pyarrow.compute as pc
+
+        dang_rows = sums.map_batches(
+            lambda b: b.filter(pc.equal(b["dst"], _DANGLING)),
+            batch_format="pyarrow",
+        ).take_all()  # ≤1 row survives the vectorized scan
+        dang_mass = int(dang_rows[0]["s"]) if dang_rows else 0
+        dang_share = (damping_num * dang_mass) // (damping_den * n)
+
+        upd = bucketed_join(node_tbl, sums, on=node, right_on="dst", how="left")
+
+        def new_rank(b: pa.Table, add=base + dang_share) -> pa.Table:
+            df = b.to_pandas() if isinstance(b, pa.Table) else b
+            s = df["s"].fillna(0).astype(np.int64).to_numpy()
+            return pa.table({"node": pa.array(df[node].astype(str)),
+                             "rank": pa.array((add + s).astype(np.int64))})
+
+        ranks = upd.map_batches(new_rank, batch_format="pyarrow").materialize()
+
+    return ranks
+
+
+def degree_stats(edges: Dataset, *, src: str = "src", dst: str = "dst") -> Dataset:
+    """Per-node (out_deg, in_deg) over an edge table.
+
+    One pass, ONE shuffle: each edge emits (node=src, out=1, in=0) and
+    (node=dst, out=0, in=1); a two-phase grouped sum reduces both counters
+    together — no outer join, no second exchange."""
+
+    def emit(b: pa.Table) -> pa.Table:
+        ones = np.ones(b.num_rows, np.int64)
+        zeros = np.zeros(b.num_rows, np.int64)
+        s = pa.table({"node": b[src], "o": pa.array(ones), "i": pa.array(zeros)})
+        d = pa.table({"node": b[dst], "o": pa.array(zeros), "i": pa.array(ones)})
+        return pa.concat_tables([s, d])
+
+    both = edges.map_batches(emit, batch_format="pyarrow")
+    return partial_groupby_sum(both, ["node"], {"o": "out_deg", "i": "in_deg"})

@@ -1,0 +1,81 @@
+"""PageRank + degree stats vs a single-process integer reference.
+
+The fixed-point recurrence (graph_metrics.pagerank docstring) is exact
+integer arithmetic, so the distributed result must match the reference
+BIT-FOR-BIT regardless of block layout — that is the whole design point."""
+
+from __future__ import annotations
+
+import numpy as np
+import ray.data as rd
+
+from code_graph_rag_ray.stages.graph_metrics import degree_stats, pagerank
+
+SCALE = 10**12
+
+
+def ref_pagerank(edges, nodes, iters=4, dn=85, dd=100, scale=SCALE):
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(nodes)
+    r = {v: scale // n for v in nodes}
+    base = ((dd - dn) * scale) // (dd * n)
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for a, b in edges:
+            s[b] += (dn * r[a]) // (dd * deg[a])
+        dang = sum(r[v] for v in nodes if v not in deg)
+        share = (dn * dang) // (dd * n)
+        r = {v: base + share + s[v] for v in nodes}
+    return r
+
+
+def _run(edges, nodes, iters=4):
+    e = rd.from_items(
+        [{"src": a, "dst": b} for a, b in edges], override_num_blocks=7
+    )
+    nd = rd.from_items([{"node": v} for v in nodes], override_num_blocks=5)
+    out = pagerank(e, nd, iters=iters)
+    return {r["node"]: r["rank"] for r in out.take_all()}
+
+
+def test_pagerank_with_dangling_matches_reference():
+    nodes = ["a", "b", "c", "d", "e"]
+    # d and e are dangling (no out-edges); e also has no in-edges
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "d")]
+    got = _run(edges, nodes)
+    want = ref_pagerank(edges, nodes)
+    assert got == want
+    # sanity: total mass stays within floor-loss of scale
+    assert 0 < sum(got.values()) <= SCALE
+
+
+def test_pagerank_whale_hub_exact():
+    n = 400
+    nodes = [f"n{i}" for i in range(n)] + ["hub"]
+    edges = [(f"n{i}", "hub") for i in range(n)] + [("hub", "n0")]
+    got = _run(edges, nodes, iters=3)
+    want = ref_pagerank(edges, nodes, iters=3)
+    assert got == want
+    assert got["hub"] == max(got.values())
+
+
+def test_pagerank_self_loop_chain():
+    # the fixture's doc graph shape: i -> i//2, including the 0 -> 0 self-loop
+    nodes = [str(i) for i in range(64)]
+    edges = [(str(i), str(i // 2)) for i in range(64)]
+    got = _run(edges, nodes)
+    want = ref_pagerank(edges, nodes)
+    assert got == want
+    assert got["0"] == max(got.values())
+
+
+def test_degree_stats():
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "a")]
+    e = rd.from_items([{"src": a, "dst": b} for a, b in edges],
+                      override_num_blocks=3)
+    rows = {r["node"]: (r["out_deg"], r["in_deg"])
+            for r in degree_stats(e).take_all()}
+    assert rows == {"a": (2, 2), "b": (1, 1), "c": (2, 2)}
+    assert all(isinstance(v[0], (int, np.integer)) for v in rows.values())
