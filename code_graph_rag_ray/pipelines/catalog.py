@@ -469,6 +469,49 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_sliding_hour(sf_dir: str):
+    """Per-user sliding 1h-window running sum (RANGE semantics: all events
+    of that user in [ts-1h, ts]). One time-chunk shuffle with boundary
+    context replication (stages/windows.sliding_time_sum); integer cents →
+    bit-exact vs SQL's RANGE window frame."""
+    from code_graph_rag_ray.stages.windows import sliding_time_sum
+
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": b["event_id"], "ts": b["ts"], "user_id": b["user_id"],
+             "value_c": _cents(b["value"])}
+        )
+
+    out = sliding_time_sum(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        value_col="value_c", window_s=3600,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": b["event_id"], "user_id": b["user_id"],
+             "ts_us": b["ts_us"],
+             "w_sum": pc.divide(pc.cast(b["w_sum"], pa.float64()), 100.0),
+             "w_n": b["w_n"]}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_SLIDING_HOUR_SQL = """
+SELECT event_id, user_id,
+       CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+       sum(CAST(round(value * 100) AS BIGINT))
+         OVER w / 100.0 AS w_sum,
+       CAST(count(*) OVER w AS BIGINT) AS w_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def events_hopping(sf_dir: str):
     """Hopping windows (1h window / 15min hop): vectorized np.repeat
     replication into hop-aligned windows, then the same two-phase grouped
@@ -1234,6 +1277,26 @@ r{i} AS (SELECT p.url AS node,
 PAGE_RANK_SQL = _page_rank_sql()
 
 
+def doc_top_by_lang(sf_dir: str):
+    """Per-group top-k (top-3 longest docs per lang): block-local per-group
+    truncation so a whale lang exchanges O(blocks×k) rows, never the group
+    (stages/relational.grouped_top_k). Tiebreak on doc_id makes the k-th
+    rank deterministic."""
+    from code_graph_rag_ray.stages.relational import grouped_top_k
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return grouped_top_k(docs, "lang", "n_chars", 3, tiebreak="doc_id")
+
+
+DOC_TOP_BY_LANG_SQL = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 3
+"""
+
+
 def page_degree(sf_dir: str):
     """Per-node out/in degree of the links_to graph — one union pass + one
     two-phase grouped sum (no join)."""
@@ -1837,6 +1900,7 @@ QUERIES = {
     "top10_customers": top10_customers,
     "distinct_mktsegments": distinct_mktsegments,
     "events_hourly": events_hourly,
+    "events_sliding_hour": events_sliding_hour,
     "events_sessions": events_sessions,
     "doc_mentions": doc_mentions,
     "doc_triples": doc_triples,
@@ -1864,6 +1928,7 @@ QUERIES = {
     "page_ext_sites": page_ext_sites,
     "page_rank": page_rank,
     "page_degree": page_degree,
+    "doc_top_by_lang": doc_top_by_lang,
     "page_manifest": page_manifest,
     "page_deps": page_deps,
     "ext_packages": ext_packages,
@@ -1898,6 +1963,7 @@ ORACLES = {
     "top10_customers": TOP10_CUSTOMERS_SQL,
     "distinct_mktsegments": DISTINCT_MKTSEG_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
+    "events_sliding_hour": EVENTS_SLIDING_HOUR_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
@@ -1926,6 +1992,7 @@ ORACLES = {
     "page_ext_sites": PAGE_EXT_SITES_SQL,
     "page_rank": PAGE_RANK_SQL,
     "page_degree": PAGE_DEGREE_SQL,
+    "doc_top_by_lang": DOC_TOP_BY_LANG_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,
     "doc_simhash_pairs": DOC_SIMHASH_PAIRS_SQL,
     "page_manifest": PAGE_MANIFEST_SQL,

@@ -334,3 +334,61 @@ def top_k(ds: Dataset, by: str, k: int, *, descending: bool = True) -> Dataset:
         return b.take(idx)
 
     return ds.map_batches(local, batch_format="pyarrow").sort(by, descending=descending).limit(k)
+
+
+def grouped_top_k(
+    ds: Dataset,
+    group: str,
+    by: str,
+    k: int,
+    *,
+    descending: bool = True,
+    tiebreak: str | None = None,
+) -> Dataset:
+    """Per-group top-k without sorting whole groups through the shuffle.
+
+    Phase 1 (map): each block is sorted once and truncated to k rows PER
+    GROUP (vectorized run-boundary arithmetic) — at most k × groups-in-block
+    rows leave any block, so a whale group exchanges O(blocks × k), not its
+    full row count. Phase 2: groupby(group).map_groups re-sorts the ≤ k ×
+    blocks survivors and heads k. ``tiebreak`` (ascending) makes the result
+    deterministic under ties at the k boundary — REQUIRED for exact oracle
+    comparison; without it rows tied at rank k are arbitrary."""
+    import numpy as np
+
+    import pyarrow.compute as pc
+
+    order = "descending" if descending else "ascending"
+    sort_keys = [(group, "ascending"), (by, order)]
+    if tiebreak:
+        sort_keys.append((tiebreak, "ascending"))
+
+    def local(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        t = b.take(pc.sort_indices(b, sort_keys=sort_keys))
+        g = np.asarray(t[group].to_pandas(), dtype=object)
+        first = np.ones(len(g), bool)
+        first[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(first)
+        grp_id = np.cumsum(first) - 1
+        pos = np.arange(len(g)) - starts[grp_id]
+        return t.filter(pa.array(pos < k))
+
+    cols = None
+    try:
+        cols = list(_arrow_schema(ds).names)
+    except Exception:  # pragma: no cover - schemaless input
+        pass
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        by_cols = [by] + ([tiebreak] if tiebreak else [])
+        asc = [not descending] + ([True] if tiebreak else [])
+        out = df.sort_values(by_cols, ascending=asc, kind="mergesort").head(k)
+        return out[cols] if cols else out
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(group)
+        .map_groups(merge, batch_format="pandas")
+    )

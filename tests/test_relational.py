@@ -131,3 +131,29 @@ def test_broadcast_join_dataset_small_side():
     assert list(out.k) == [7, 11]
     assert list(out.tag) == ["seven", "eleven"]
     assert list(out.v) == [70, 110]
+
+
+def test_grouped_top_k_ties_and_small_groups():
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.relational import grouped_top_k
+
+    rows = (
+        # whale group: 200 rows, ties at the k boundary
+        [{"g": "whale", "v": i % 10, "id": i} for i in range(200)]
+        # group smaller than k
+        + [{"g": "tiny", "v": 5, "id": 900}]
+        # exact ties everywhere — tiebreak decides
+        + [{"g": "tie", "v": 1, "id": i} for i in range(905, 910)]
+    )
+    ds = rd.from_items(rows, override_num_blocks=9)
+    got = grouped_top_k(ds, "g", "v", 3, tiebreak="id").take_all()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append((r["v"], r["id"]))
+    for v in by_g.values():
+        v.sort(key=lambda t: (-t[0], t[1]))
+    # whale: v=9 rows are ids 9,19,29,... → smallest three ids win
+    assert by_g["whale"] == [(9, 9), (9, 19), (9, 29)]
+    assert by_g["tiny"] == [(5, 900)]
+    assert by_g["tie"] == [(1, 905), (1, 906), (1, 907)]

@@ -228,3 +228,44 @@ def test_hopping_window_membership():
     got = {int(r.window_start): int(r.n_events) for r in out.itertuples()}
     # t=100 covers starts {-2700,-1800,-900,0}; t=3700 covers {900..3600}
     assert got == {w: 1 for w in (-2700, -1800, -900, 0, 900, 1800, 2700, 3600)}
+
+
+def test_sliding_time_sum_boundaries_and_peers():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.windows import sliding_time_sum
+
+    # timestamps in µs; window = 10 s, chunk = 10 s → windows cross chunks
+    w_us = 10_000_000
+    rows = []
+    # user 1: events at t=1,9,11,21 s (11 sees 1? no: 11-10=1 inclusive → yes)
+    for i, t in enumerate([1, 9, 11, 21]):
+        rows.append({"event_id": i, "ts": t * 1_000_000, "user_id": 1, "v": 10 + i})
+    # user 2: equal-ts peers at t=15 (both include each other, RANGE semantics)
+    rows.append({"event_id": 10, "ts": 15_000_000, "user_id": 2, "v": 1})
+    rows.append({"event_id": 11, "ts": 15_000_000, "user_id": 2, "v": 2})
+    tbl = pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "v": pa.array([r["v"] for r in rows], pa.int64()),
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+    out = sliding_time_sum(ds, value_col="v", window_s=10)
+    got = {r["event_id"]: (r["w_sum"], r["w_n"]) for r in out.take_all()}
+    # brute-force reference
+    want = {}
+    for r in rows:
+        s = sum(q["v"] for q in rows
+                if q["user_id"] == r["user_id"]
+                and r["ts"] - 10_000_000 <= q["ts"] <= r["ts"])
+        n = sum(1 for q in rows
+                if q["user_id"] == r["user_id"]
+                and r["ts"] - 10_000_000 <= q["ts"] <= r["ts"])
+        want[r["event_id"]] = (s, n)
+    assert got == want
+    # the t=11 event (chunk 1) must see the t=1 and t=9 events from chunk 0
+    assert got[2] == (10 + 11 + 12, 3)
+    assert got[10] == (3, 2) and got[11] == (3, 2)
