@@ -726,6 +726,43 @@ SELECT term, n, rank FROM tc WHERE rank <= 20
 """
 
 
+def doc_lm_score(sf_dir: str):
+    """Corpus-trained bigram LM score (perplexity-filter analog): add-one
+    smoothed bigram likelihood in integer micro-units — train (two grouped
+    sums) + score (two bucketed joins) in one pipeline, nothing broadcast
+    or driver-side (stages/lm.py). Fixed-point ⇒ bit-exact vs the oracle."""
+    from code_graph_rag_ray.stages.lm import lm_score
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return lm_score(ds)
+
+
+DOC_LM_SCORE_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+  FROM tok WHERE len(ws) >= 2),
+big AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM idx),
+cb AS (SELECT w1, w2, count(*)::BIGINT AS c FROM big GROUP BY 1, 2),
+ch AS (SELECT w1, count(*)::BIGINT AS h FROM big GROUP BY 1),
+vv AS (SELECT count(DISTINCT w)::BIGINT AS v
+       FROM (SELECT unnest(ws) AS w FROM tok)),
+per AS (
+  SELECT b.doc_id, ((cb.c + 1) * 1000000) // (ch.h + vv.v) AS contrib
+  FROM big b
+  JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+  JOIN ch ON b.w1 = ch.w1
+  CROSS JOIN vv)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(contrib)::BIGINT AS lm_micro
+FROM per GROUP BY doc_id
+"""
+
+
 def doc_len_quantiles(sf_dir: str):
     """Exact per-language length percentiles (curation-cutoff profiling):
     two-phase (lang, n_chars) histogram, per-lang cume_dist pick matching
@@ -1911,6 +1948,7 @@ QUERIES = {
     "doc_repetition": doc_repetition,
     "doc_scrub_pii": doc_scrub_pii,
     "doc_len_quantiles": doc_len_quantiles,
+    "doc_lm_score": doc_lm_score,
     "events_hopping": events_hopping,
     "corpus_top_terms": corpus_top_terms,
     "doc_exact_dup_clusters": doc_exact_dup_clusters,
@@ -1974,6 +2012,7 @@ ORACLES = {
     "doc_repetition": DOC_REPETITION_SQL,
     "doc_scrub_pii": DOC_SCRUB_PII_SQL,
     "doc_len_quantiles": DOC_LEN_QUANTILES_SQL,
+    "doc_lm_score": DOC_LM_SCORE_SQL,
     "events_hopping": EVENTS_HOPPING_SQL,
     "corpus_top_terms": CORPUS_TOP_TERMS_SQL,
     "doc_exact_dup_clusters": DOC_EXACT_DUP_SQL,
