@@ -948,6 +948,66 @@ QUALIFY rank <= 10
 """
 
 
+def doc_kmeans(sf_dir: str):
+    """Fixed-point distributed k-means over the embeddings table (topic
+    bucketing / dedup sharding / curriculum mixing — the "organize the
+    corpus" operator). Integer-lattice Lloyd: assignment is a stateless
+    map_batches vs a broadcast k×dim int64 matrix, centroid update a
+    two-phase grouped sum — so every iteration is deterministic at any
+    parallelism and replayable bit-exactly by the unrolled SQL oracle
+    (see stages/clustering.py)."""
+    from code_graph_rag_ray.stages.clustering import kmeans_fixed_point
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_fixed_point(ds, k=8, iters=2, scale=1000)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, scale: int = 1000,
+                dim: int = 64) -> str:
+    """Unrolled integer Lloyd — the SAME quantize/argmin/floor-mean updates
+    the distributed stage runs. DuckDB round() is half-away-from-zero
+    (= pc.round half_towards_infinity); `//` truncates toward zero, so the
+    centroid mean uses floor() explicitly to match np.floor_divide."""
+    dist = (f"CAST(list_sum(list_transform(range(1, {dim} + 1), "
+            "j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))) AS BIGINT)")
+    head = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * {scale}) AS BIGINT)) AS qv
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
+  FROM q ORDER BY vec_id LIMIT {k})"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+a{i} AS (
+  SELECT q.vec_id, c.cluster, {dist} AS dist
+  FROM q CROSS JOIN c{i-1} c
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY dist, c.cluster) = 1),
+u{i} AS (
+  SELECT a.cluster, generate_subscripts(q.qv, 1) AS j, unnest(q.qv) AS v
+  FROM a{i} a JOIN q USING (vec_id)),
+c{i} AS (
+  SELECT cluster, list(s ORDER BY j) AS cv
+  FROM (SELECT cluster, j,
+               CAST(floor(sum(v)::DOUBLE / count(*)) AS BIGINT) AS s
+        FROM u{i} GROUP BY cluster, j)
+  GROUP BY cluster)"""
+        )
+    final = f"""
+SELECT q.vec_id, c.cluster, {dist} AS dist
+FROM q CROSS JOIN c{iters} c
+QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY dist, c.cluster) = 1"""
+    return head + "," + ",".join(steps) + final
+
+
+DOC_KMEANS_SQL = _kmeans_sql()
+
+
 # ---------------------------------------------------------------------------
 # pages / KG construction (flagship)
 # ---------------------------------------------------------------------------
@@ -1423,6 +1483,45 @@ sig AS (
 """
 
 DOC_SIMHASH_SQL = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sig"
+
+
+def doc_minhash_sig(sf_dir: str):
+    """Unnested MinHash signatures (64 perms) — the oracle-checked face of
+    the MinHash+LSH dedup family: DuckDB replays the exact universal-hash
+    min per permutation (stages/dedup.minhash_signature_rows)."""
+    from code_graph_rag_ray.stages.dedup import minhash_signature_rows
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_signature_rows(ds)
+
+
+def _minhash_sig_sql(num_perm: int = 64, seed: int = 7) -> str:
+    from code_graph_rag_ray.stages.dedup import MinHasher
+
+    h = MinHasher(num_perm, seed)
+    vals = ", ".join(
+        f"({p}, {int(a)}, {int(b)})" for p, (a, b) in enumerate(zip(h.a, h.b))
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8))::UBIGINT::BIGINT AS h
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3)
+  UNION ALL
+  SELECT d.doc_id, ('0x' || substr(md5(d.text), 1, 8))::UBIGINT::BIGINT AS h
+  FROM documents d JOIN toks USING (doc_id) WHERE len(toks.t) < 3
+),
+params(perm, a, b) AS (VALUES {vals})
+SELECT sh.doc_id, p.perm,
+       CAST(min((p.a::HUGEINT * sh.h + p.b) % 2305843009213693951) AS BIGINT) AS sig
+FROM sh CROSS JOIN params p
+GROUP BY sh.doc_id, p.perm
+"""
+
+
+DOC_MINHASH_SIG_SQL = _minhash_sig_sql()
 
 
 def doc_jaccard_pairs(sf_dir: str):
@@ -1977,6 +2076,8 @@ QUERIES = {
     "events_attribution": events_attribution,
     "events_session_assign": events_session_assign,
     "kg_fixture_pr": kg_fixture_pr,
+    "doc_minhash_sig": doc_minhash_sig,
+    "doc_kmeans": doc_kmeans,
     # rows-only (no SQL-expressible oracle; semantics pinned in tests/)
     "doc_minhash_pairs": doc_minhash_pairs,
     "doc_simhash": doc_simhash,
@@ -2032,6 +2133,8 @@ ORACLES = {
     "page_rank": PAGE_RANK_SQL,
     "page_degree": PAGE_DEGREE_SQL,
     "doc_top_by_lang": DOC_TOP_BY_LANG_SQL,
+    "doc_minhash_sig": DOC_MINHASH_SIG_SQL,
+    "doc_kmeans": DOC_KMEANS_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,
     "doc_simhash_pairs": DOC_SIMHASH_PAIRS_SQL,
     "page_manifest": PAGE_MANIFEST_SQL,

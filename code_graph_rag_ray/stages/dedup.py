@@ -448,3 +448,37 @@ def embedding_near_dup_pairs(
     )
     # same pair can collide in several tables; cosine is identical per pair
     return exact_dedup(pairs, keys=["a", "b"])
+
+
+def minhash_signature_rows(
+    ds: Dataset, *, num_perm: int = 64, shingle: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> Dataset:
+    """docs → (id, perm, sig) unnested MinHash signature rows.
+
+    The oracle-facing form of the MinHash family: md5-low32 shingles and
+    31-bit ``a`` keep every (a*x+b) product exact, so DuckDB can replay the
+    identical universal-hash min per permutation (HUGEINT product, mod
+    M61) — upgrading MinHash from rows-only/pytest-pinned to a bit-exact
+    oracle check. Signature values < 2^61 fit int64."""
+    hasher = MinHasher(num_perm)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, perms, sigs = [], [], []
+        prange = np.arange(num_perm, dtype=np.int32)
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            sig = hasher.signature(_token_hashes(t or "", shingle))
+            ids.extend([i] * num_perm)
+            perms.append(prange)
+            sigs.append(sig.astype(np.int64))
+        if not ids:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "perm": pa.array([], pa.int32()),
+                             "sig": pa.array([], pa.int64())})
+        return pa.table(
+            {id_col: pa.array(ids),
+             "perm": pa.array(np.concatenate(perms)),
+             "sig": pa.array(np.concatenate(sigs))}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
