@@ -433,6 +433,47 @@ def distinct_mktsegments(sf_dir: str):
 DISTINCT_MKTSEG_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
 
 
+def orders_bloom_building(sf_dir: str):
+    """Bloom semi-join: orders whose o_custkey hits a bloom built from the
+    BUILDING-segment customers — the shuffle-free membership pre-filter
+    (stages/bloom.py). m is deliberately small (4096) so the oracle also
+    replays the FALSE POSITIVES: DuckDB recomputes the identical md5 double
+    hashes and bit positions, proving the distributed bitmap fold is exact,
+    not just approximately right."""
+    import ray
+
+    from code_graph_rag_ray.stages.bloom import bloom_build, bloom_semi_join
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    )
+    bits = bloom_build(cust, "c_custkey", m_bits=4096, k=3, hash_fn="md5")
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return bloom_semi_join(orders, "o_custkey", ray.put(bits),
+                           m_bits=4096, k=3, hash_fn="md5")
+
+
+# the oracle rebuilds the exact bitmap: h1/h2 = first/second 4 md5 digest
+# bytes of the key string, positions (h1 + i*h2) % 4096 — a probe row
+# passes iff NONE of its k positions is missing from the build set
+ORDERS_BLOOM_SQL = """
+WITH i AS (SELECT unnest(range(3)) AS i),
+bpos AS (
+  SELECT DISTINCT
+     (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::UBIGINT
+      + i.i * ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))::UBIGINT)
+     % 4096 AS p
+  FROM customer CROSS JOIN i WHERE c_mktsegment = 'BUILDING')
+SELECT o_orderkey, o_custkey
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM i
+  WHERE (('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)), 1, 8))::UBIGINT
+         + i.i * ('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)), 9, 8))::UBIGINT)
+        % 4096 NOT IN (SELECT p FROM bpos))
+"""
+
+
 # ---------------------------------------------------------------------------
 # events (stream-shaped)
 # ---------------------------------------------------------------------------
@@ -2035,6 +2076,7 @@ QUERIES = {
     "nations_per_region": nations_per_region,
     "top10_customers": top10_customers,
     "distinct_mktsegments": distinct_mktsegments,
+    "orders_bloom_building": orders_bloom_building,
     "events_hourly": events_hourly,
     "events_sliding_hour": events_sliding_hour,
     "events_sessions": events_sessions,
@@ -2101,6 +2143,7 @@ ORACLES = {
     "nations_per_region": NATIONS_PER_REGION_SQL,
     "top10_customers": TOP10_CUSTOMERS_SQL,
     "distinct_mktsegments": DISTINCT_MKTSEG_SQL,
+    "orders_bloom_building": ORDERS_BLOOM_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sliding_hour": EVENTS_SLIDING_HOUR_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
