@@ -1435,6 +1435,25 @@ SELECT doc_id, lang, n_chars FROM (
 """
 
 
+def doc_global_rank(sf_dir: str):
+    """Global row_number over the corpus (curriculum ordering): rank every
+    document by n_chars DESC with doc_id as the unique tiebreak — the
+    two-pass range-bucket ranking stage (stages/ranking.py), where only
+    per-bucket counts ever reach the driver."""
+    from code_graph_rag_ray.stages.ranking import global_rank
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+    return global_rank(ds, "n_chars", tiebreak="doc_id", descending=True,
+                       num_buckets=16)
+
+
+DOC_GLOBAL_RANK_SQL = """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+FROM documents
+"""
+
+
 def page_degree(sf_dir: str):
     """Per-node out/in degree of the links_to graph — one union pass + one
     two-phase grouped sum (no join)."""
@@ -2108,6 +2127,7 @@ QUERIES = {
     "page_rank": page_rank,
     "page_degree": page_degree,
     "doc_top_by_lang": doc_top_by_lang,
+    "doc_global_rank": doc_global_rank,
     "page_manifest": page_manifest,
     "page_deps": page_deps,
     "ext_packages": ext_packages,
@@ -2176,6 +2196,7 @@ ORACLES = {
     "page_rank": PAGE_RANK_SQL,
     "page_degree": PAGE_DEGREE_SQL,
     "doc_top_by_lang": DOC_TOP_BY_LANG_SQL,
+    "doc_global_rank": DOC_GLOBAL_RANK_SQL,
     "doc_minhash_sig": DOC_MINHASH_SIG_SQL,
     "doc_kmeans": DOC_KMEANS_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,

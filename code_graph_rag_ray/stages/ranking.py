@@ -1,0 +1,112 @@
+"""Global ranking (distributed row_number) — order the whole corpus by a
+key without ever holding it in one place.
+
+Curriculum ordering, "keep the best N per corpus", and stable exports all
+need a total order ``ORDER BY key [DESC], tiebreak`` with a 1-based global
+rank. The classic way is a full sort plus a driver-side index — neither
+survives 100 TB. This is the two-pass range-bucket scheme every distributed
+sort uses, with only O(num_buckets) rows ever reaching the driver:
+
+1. **Sample** keys with a deterministic content-hash filter (no RNG) and
+   cut ``num_buckets`` range boundaries. Boundaries affect only balance —
+   the final ranks are a pure function of the data, so ANY boundary choice
+   yields identical output.
+2. **Bucket** each row by ``searchsorted(boundaries, key)`` — equal keys
+   always co-locate.
+3. **Count** rows per bucket two-phase (block partials → tiny grouped sum)
+   and prefix-sum the ≤ num_buckets counts into bucket offsets.
+4. **Rank** inside each bucket: ``groupby(bucket).map_groups`` sorts the
+   group by (key, tiebreak) and adds ``offset + arange``.
+
+The input pipeline executes twice (count pass + rank pass) — like any
+distributed sort, cheaper than materializing; feed it a checkpointed /
+parquet-backed dataset for expensive upstreams. A whale key co-locates its
+rows in one bucket — inherent to total-order semantics (same as SQL
+row_number); size num_buckets to the key distribution, not the corpus.
+
+Reference parity: the reference ranks retrieval candidates wholesale in
+one process (``evals/retrieval.py`` score sort); this is the corpus-scale
+equivalent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from code_graph_rag_ray.functions.hashing import stable_hash_array
+from code_graph_rag_ray.stages.relational import partial_groupby_sum
+
+
+def _sample_boundaries(
+    ds: Dataset, by: str, num_buckets: int, sample_mod: int
+) -> list:
+    """Deterministic key sample → ≤ num_buckets-1 sorted cut points."""
+
+    def pick(b: pa.Table) -> pa.Table:
+        mask = stable_hash_array(b[by]) % np.uint64(sample_mod) == 0
+        return b.select([by]).filter(pa.array(mask))
+
+    sample = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    keys = sorted(r[by] for r in sample)
+    if not keys:
+        return []
+    idx = np.linspace(0, len(keys) - 1, num_buckets + 1).astype(int)[1:-1]
+    return sorted(set(keys[i] for i in idx))
+
+
+def global_rank(
+    ds: Dataset,
+    by: str,
+    *,
+    tiebreak: str,
+    descending: bool = False,
+    num_buckets: int = 64,
+    out_col: str = "rank",
+    sample_mod: int = 64,
+) -> Dataset:
+    """Add ``out_col`` = 1-based global row_number over
+    ``ORDER BY by [DESC], tiebreak ASC``. ``tiebreak`` must be unique for
+    a deterministic total order (SQL row_number's requirement too)."""
+    bounds = _sample_boundaries(ds, by, num_buckets, sample_mod)
+    bounds_np = np.asarray(bounds) if bounds else None
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        if bounds_np is None:
+            bucket = np.zeros(len(b), np.int64)
+        else:
+            keys = b[by].to_numpy(zero_copy_only=False)
+            bucket = np.searchsorted(bounds_np, keys, side="right").astype(np.int64)
+        return b.append_column("__bucket", pa.array(bucket))
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    # pass 1: per-bucket totals (tiny — ≤ num_buckets rows reach the driver)
+    counts = partial_groupby_sum(
+        bucketed, ["__bucket"], {}, count_alias="n"
+    ).take_all()
+    counts.sort(key=lambda r: r["__bucket"], reverse=descending)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in counts:
+        offsets[r["__bucket"]] = acc
+        acc += r["n"]
+
+    order = "descending" if descending else "ascending"
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        off = offsets[g["__bucket"][0].as_py()]
+        idx = pc.sort_indices(
+            g, sort_keys=[(by, order), (tiebreak, "ascending")]
+        )
+        g = g.take(idx).drop_columns("__bucket")
+        return g.append_column(
+            out_col, pa.array(off + 1 + np.arange(len(g), dtype=np.int64))
+        )
+
+    # pass 2: rank inside each bucket (equal keys are co-located by step 2)
+    return bucketed.groupby("__bucket").map_groups(
+        rank_group, batch_format="pyarrow"
+    )

@@ -1,0 +1,51 @@
+"""Global ranking: exact row_number semantics at any block layout and any
+bucket count, descending and ascending, with whale (all-equal) keys."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from code_graph_rag_ray.stages.ranking import global_rank
+
+
+def _rows(keys):
+    return [{"id": i, "key": k} for i, k in enumerate(keys)]
+
+
+def _expected(keys, descending):
+    order = sorted(range(len(keys)),
+                   key=lambda i: (-keys[i] if descending else keys[i], i))
+    return {i: r + 1 for r, i in enumerate(order)}
+
+
+def _check(keys, *, descending, blocks, num_buckets):
+    ds = rd.from_arrow(pa.Table.from_pylist(_rows(keys))).repartition(blocks)
+    out = global_rank(ds, "key", tiebreak="id", descending=descending,
+                      num_buckets=num_buckets).take_all()
+    exp = _expected(keys, descending)
+    assert len(out) == len(keys)
+    for r in out:
+        assert r["rank"] == exp[r["id"]], (r, exp[r["id"]])
+
+
+def test_rank_matches_row_number_every_layout():
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 50, size=400).tolist()  # heavy ties
+    for blocks in (1, 9):
+        for nb in (1, 4, 32):
+            _check(keys, descending=True, blocks=blocks, num_buckets=nb)
+    _check(keys, descending=False, blocks=7, num_buckets=8)
+
+
+def test_rank_whale_key():
+    # one value dominates: ranks resolved purely by tiebreak, still exact
+    keys = [7] * 300 + [1, 99]
+    _check(keys, descending=True, blocks=11, num_buckets=16)
+
+
+def test_rank_float_keys():
+    rng = np.random.default_rng(5)
+    keys = rng.normal(size=257).tolist()
+    _check(keys, descending=False, blocks=5, num_buckets=8)
