@@ -645,6 +645,71 @@ GROUP BY doc_id, w
 """
 
 
+def events_user_hll(sf_dir: str):
+    """HyperLogLog registers for distinct users per event type
+    (stages/sketch.py): the mergeable bounded-memory count-distinct. The
+    oracle replays the register table bit-for-bit — md5-low64 hashes,
+    top-11-bit bucket, integer bit-smear rho — proving the two-phase
+    distributed max-fold is exact; the float estimate (tested in pytest)
+    is a driver-side function of these registers."""
+    from code_graph_rag_ray.stages.sketch import hll_registers
+
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+    return hll_registers(ds, "user_id", group_col="event_type", p=11)
+
+
+# rho via bit-smearing (never floor(log2): float rounding near 2^53 can
+# disagree across libms). popcount(w | w>>1 | ... | w>>32) = bit_length(w).
+EVENTS_USER_HLL_SQL = """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+  FROM events),
+b AS (
+  SELECT event_type, (h >> 53)::BIGINT AS bucket,
+         (h & 9007199254740991::UBIGINT) AS w
+  FROM h),
+s AS (SELECT event_type, bucket, w | (w >> 1) AS x FROM b),
+s2 AS (SELECT event_type, bucket, x | (x >> 2) AS x FROM s),
+s3 AS (SELECT event_type, bucket, x | (x >> 4) AS x FROM s2),
+s4 AS (SELECT event_type, bucket, x | (x >> 8) AS x FROM s3),
+s5 AS (SELECT event_type, bucket, x | (x >> 16) AS x FROM s4),
+s6 AS (SELECT event_type, bucket, x | (x >> 32) AS x FROM s5)
+SELECT event_type, bucket,
+       max(54 - bit_count(x))::BIGINT AS reg
+FROM s6 GROUP BY event_type, bucket
+"""
+
+
+def doc_cooccurrence(sf_dir: str):
+    """Entity co-occurrence edges with fixed-point lift (stages/cooccur.py):
+    the statistical web-text analog of the reference's co-located-entity
+    relationship pass. lift_fp = floor(c_ab·N·10^6 / (c_a·c_b)) — pure
+    integer, so DuckDB replays it bit-exactly."""
+    from code_graph_rag_ray.stages.cooccur import entity_cooccurrence
+
+    return entity_cooccurrence(doc_mentions(sf_dir))
+
+
+DOC_COOCCURRENCE_SQL = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, w AS e
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w IN {_ENT_SQL}),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM m),
+marg AS (SELECT e, count(*) AS c FROM m GROUP BY e),
+pc AS (
+  SELECT x.e AS a, y.e AS b, count(*) AS c_ab
+  FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.e < y.e
+  GROUP BY x.e, y.e)
+SELECT pc.a, pc.b, pc.c_ab,
+       (pc.c_ab * n.n * 1000000) // (ma.c * mb.c) AS lift_fp
+FROM pc CROSS JOIN n
+JOIN marg ma ON pc.a = ma.e
+JOIN marg mb ON pc.b = mb.e
+"""
+
+
 def doc_triples(sf_dir: str):
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(doc_triples_batch, batch_format="pyarrow")
@@ -1454,6 +1519,43 @@ FROM documents
 """
 
 
+def doc_components(sf_dir: str):
+    """Connected components (min-label propagation + pointer jumping,
+    stages/components.py) upgraded from pytest-pinned to oracle-checked:
+    a deterministic stride-50 edge set over contiguous doc_ids yields 50
+    ten-node chain components, and DuckDB's recursive-CTE transitive
+    closure recomputes the exact min-string label per component."""
+    from code_graph_rag_ray.stages.components import connected_components
+
+    ds = _pq(sf_dir, "documents", ["doc_id"])
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        src = ids[ids >= 50]
+        return pa.table(
+            {"src": pa.array([str(i) for i in src]),
+             "dst": pa.array([str(i - 50) for i in src])}
+        )
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+    return connected_components(edges, "src", "dst", max_iter=8)
+
+
+DOC_COMPONENTS_SQL = """
+WITH RECURSIVE
+e AS (
+  SELECT CAST(doc_id AS VARCHAR) AS src, CAST(doc_id - 50 AS VARCHAR) AS dst
+  FROM documents WHERE doc_id >= 50),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+n AS (SELECT DISTINCT src AS node FROM sym),
+r AS (
+  SELECT node, node AS reach FROM n
+  UNION
+  SELECT r.node, s.dst AS reach FROM r JOIN sym s ON r.reach = s.src)
+SELECT node, min(reach) AS component FROM r GROUP BY node
+"""
+
+
 def page_degree(sf_dir: str):
     """Per-node out/in degree of the links_to graph — one union pass + one
     two-phase grouped sum (no join)."""
@@ -2128,6 +2230,9 @@ QUERIES = {
     "page_degree": page_degree,
     "doc_top_by_lang": doc_top_by_lang,
     "doc_global_rank": doc_global_rank,
+    "doc_components": doc_components,
+    "doc_cooccurrence": doc_cooccurrence,
+    "events_user_hll": events_user_hll,
     "page_manifest": page_manifest,
     "page_deps": page_deps,
     "ext_packages": ext_packages,
@@ -2197,6 +2302,9 @@ ORACLES = {
     "page_degree": PAGE_DEGREE_SQL,
     "doc_top_by_lang": DOC_TOP_BY_LANG_SQL,
     "doc_global_rank": DOC_GLOBAL_RANK_SQL,
+    "doc_components": DOC_COMPONENTS_SQL,
+    "doc_cooccurrence": DOC_COOCCURRENCE_SQL,
+    "events_user_hll": EVENTS_USER_HLL_SQL,
     "doc_minhash_sig": DOC_MINHASH_SIG_SQL,
     "doc_kmeans": DOC_KMEANS_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,

@@ -1,0 +1,107 @@
+"""HyperLogLog distinct-count sketch — the mergeable "how many uniques"
+operator for corpus accounting (distinct users per event type, distinct
+hosts per shard) where an exact count-distinct would shuffle every key.
+
+Registers, not floats, are the distributed product: per (group, bucket)
+the max of rho(hash suffix), computed two-phase (block-local max → grouped
+max), so merges are associative/commutative and the register table is
+bit-exact at any parallelism. The float estimate is a driver-side
+``hll_estimate`` over the tiny register table. Hashes are md5-low64 — the
+SQL-recomputable family — and rho uses integer bit-smearing (never
+floor(log2(w)), whose float rounding can disagree across libms near 2^53).
+
+Reference parity: the reference counts uniques by materializing full sets
+in process memory (e.g. ``graph_updater.py`` seen-file sets); this is the
+bounded-memory sketch analog.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+
+def _md5_low64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    import hashlib
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5((v or "").encode()).digest()[:8], "big")
+            for v in arr.to_pylist()
+        ),
+        dtype=np.uint64,
+        count=len(arr),
+    )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x[:, None].copy().view(np.uint8), axis=1).sum(
+        axis=1
+    ).astype(np.int64)
+
+
+def _rho(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, rho): bucket = top p bits; rho = 1-based position of the
+    first set bit of the (64-p)-bit suffix (w == 0 → 64-p+1)."""
+    wbits = 64 - p
+    bucket = (h >> np.uint64(wbits)).astype(np.int64)
+    w = h & np.uint64((1 << wbits) - 1)
+    s = w.copy()
+    for sh in (1, 2, 4, 8, 16, 32):
+        s |= s >> np.uint64(sh)
+    rho = wbits + 1 - _popcount64(s)  # popcount(smeared) = bit_length(w)
+    return bucket, rho
+
+
+def hll_registers(
+    ds: Dataset, key_col: str, *, group_col: str, p: int = 11
+) -> Dataset:
+    """(group, key) rows → (group, bucket, reg) non-empty HLL registers."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        bucket, rho = _rho(_md5_low64(b[key_col]), p)
+        t = pa.table(
+            {group_col: b[group_col], "bucket": pa.array(bucket),
+             "reg": pa.array(rho)}
+        )
+        gb = pa.TableGroupBy(t, [group_col, "bucket"], use_threads=False)
+        out = gb.aggregate([("reg", "max")])
+        # map by name — pyarrow's key-column position varies by version
+        return pa.table({group_col: out[group_col], "bucket": out["bucket"],
+                         "reg": out["reg_max"]})
+
+    from ray.data.aggregate import Max
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "bucket"])
+        .aggregate(Max("reg", alias_name="reg"))
+    )
+
+
+def hll_estimate(registers: list[dict], *, p: int = 11,
+                 group_col: str | None = None) -> dict:
+    """Standard HLL estimate (with linear-counting small-range correction)
+    from register rows — driver-side, the register table is tiny (≤ 2^p
+    rows per group)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    groups: dict = {}
+    for r in registers:
+        g = r[group_col] if group_col else None
+        groups.setdefault(g, {})[r["bucket"]] = r["reg"]
+    out = {}
+    for g, regs in groups.items():
+        ssum = sum(2.0 ** -v for v in regs.values()) + (m - len(regs))
+        est = alpha * m * m / ssum
+        zeros = m - len(regs)
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        out[g] = est
+    return out

@@ -1,0 +1,56 @@
+"""HLL sketch: register table invariant to block layout (merge is an
+associative max-fold), estimate accuracy within HLL's theoretical error,
+and rho correctness against a scalar bit_length replay."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from code_graph_rag_ray.stages.sketch import hll_estimate, hll_registers
+
+
+def _ds(n_users, per_group, blocks=8):
+    rows = [
+        {"g": g, "key": f"user-{(i * 7919 + len(g) * 5) % n_users[g]}"}
+        for g in n_users
+        for i in range(per_group)
+    ]
+    return rd.from_arrow(pa.Table.from_pylist(rows)).repartition(blocks)
+
+
+def test_registers_layout_invariant_and_rho_exact():
+    truth = {"a": 70, "b": 350}
+    regs1 = hll_registers(_ds(truth, 1000, blocks=1), "key", group_col="g")
+    regs9 = hll_registers(_ds(truth, 1000, blocks=9), "key", group_col="g")
+    r1 = sorted((r["g"], r["bucket"], r["reg"]) for r in regs1.take_all())
+    r9 = sorted((r["g"], r["bucket"], r["reg"]) for r in regs9.take_all())
+    assert r1 == r9 and r1
+    # scalar replay: every register equals max rho over that bucket's keys
+    seen: dict = {}
+    for g, n in truth.items():
+        keys = {f"user-{(i * 7919 + len(g) * 5) % n}" for i in range(1000)}
+        for kk in keys:
+            h = int.from_bytes(hashlib.md5(kk.encode()).digest()[:8], "big")
+            b, w = h >> 53, h & ((1 << 53) - 1)
+            rho = 53 - w.bit_length() + 1
+            kkey = (g, b)
+            seen[kkey] = max(seen.get(kkey, 0), rho)
+    assert dict(((g, b), v) for g, b, v in r1) == seen
+
+
+def test_estimate_within_error_bound():
+    truth = {"small": 40, "mid": 900, "big": 20000}
+    rows = [{"g": g, "key": f"{g}/{i}"} for g, n in truth.items()
+            for i in range(n)]
+    # duplicate every row 3x — cardinality must ignore multiplicity
+    ds = rd.from_arrow(pa.Table.from_pylist(rows * 3)).repartition(12)
+    regs = hll_registers(ds, "key", group_col="g", p=11).take_all()
+    est = hll_estimate(regs, p=11, group_col="g")
+    for g, n in truth.items():
+        rel = abs(est[g] - n) / n
+        # 1.04/sqrt(2048) ≈ 2.3% std error; allow 4 sigma
+        assert rel < 0.10, (g, est[g], n)
