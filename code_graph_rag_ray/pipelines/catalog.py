@@ -433,6 +433,57 @@ def distinct_mktsegments(sf_dir: str):
 DISTINCT_MKTSEG_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
 
 
+def orders_rollup(sf_dir: str):
+    """Hierarchical subtotals (SQL ROLLUP) over orders: status →
+    status+priority → grand total. One two-phase pass over the input;
+    coarser levels re-aggregate the (tiny) finest output
+    (stages/reshape.py). Integer cents keep every level bit-exact."""
+    from code_graph_rag_ray.stages.reshape import rollup_sum
+
+    ds = _pq(sf_dir, "orders",
+             ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table(
+            {"o_orderstatus": b["o_orderstatus"],
+             "o_orderpriority": b["o_orderpriority"], "cents": c}
+        )
+
+    return rollup_sum(ds.map_batches(cents, batch_format="pyarrow"),
+                      ["o_orderstatus", "o_orderpriority"], "cents",
+                      out_col="total_cents")
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def doc_pivot_sources(sf_dir: str):
+    """Long → wide reshaping: per-lang character volume pivoted to one
+    column per source (stages/reshape.py pivot_sum) — a single two-phase
+    conditional aggregation, no per-column scans."""
+    from code_graph_rag_ray.stages.reshape import pivot_sum
+
+    ds = _pq(sf_dir, "documents", ["lang", "source", "n_chars"])
+    return pivot_sum(ds, "lang", "source", "n_chars",
+                     [f"src{i}" for i in range(20)])
+
+
+DOC_PIVOT_SOURCES_SQL = "SELECT lang, " + ", ".join(
+    f"coalesce(sum(CASE WHEN source = 'src{i}' THEN n_chars END), 0)"
+    f"::BIGINT AS src{i}"
+    for i in range(20)
+) + " FROM documents GROUP BY lang"
+
+
 def orders_bloom_building(sf_dir: str):
     """Bloom semi-join: orders whose o_custkey hits a bloom built from the
     BUILDING-segment customers — the shuffle-free membership pre-filter
@@ -2198,6 +2249,8 @@ QUERIES = {
     "top10_customers": top10_customers,
     "distinct_mktsegments": distinct_mktsegments,
     "orders_bloom_building": orders_bloom_building,
+    "orders_rollup": orders_rollup,
+    "doc_pivot_sources": doc_pivot_sources,
     "events_hourly": events_hourly,
     "events_sliding_hour": events_sliding_hour,
     "events_sessions": events_sessions,
@@ -2269,6 +2322,8 @@ ORACLES = {
     "top10_customers": TOP10_CUSTOMERS_SQL,
     "distinct_mktsegments": DISTINCT_MKTSEG_SQL,
     "orders_bloom_building": ORDERS_BLOOM_SQL,
+    "orders_rollup": ORDERS_ROLLUP_SQL,
+    "doc_pivot_sources": DOC_PIVOT_SOURCES_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sliding_hour": EVENTS_SLIDING_HOUR_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
