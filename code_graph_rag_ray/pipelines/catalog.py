@@ -732,6 +732,29 @@ FROM s6 GROUP BY event_type, bucket
 """
 
 
+def events_user_cms(sf_dir: str):
+    """Count-min sketch of per-user event frequencies (stages/sketch.py
+    cms_counts): mergeable counter matrix via one two-phase grouped sum —
+    the bounded-memory frequency screen. The oracle recomputes every
+    counter from the same md5 double hashes."""
+    from code_graph_rag_ray.stages.sketch import cms_counts
+
+    ds = _pq(sf_dir, "events", ["user_id"])
+    return cms_counts(ds, "user_id", depth=4, width=256)
+
+
+EVENTS_USER_CMS_SQL = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT AS h1,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::UBIGINT AS h2
+  FROM events),
+x AS (
+  SELECT d.d, ((h1 + d.d * h2) % 256)::BIGINT AS col
+  FROM h CROSS JOIN (SELECT unnest(range(4)) AS d) d)
+SELECT d, col, count(*)::BIGINT AS cnt FROM x GROUP BY d, col
+"""
+
+
 def doc_cooccurrence(sf_dir: str):
     """Entity co-occurrence edges with fixed-point lift (stages/cooccur.py):
     the statistical web-text analog of the reference's co-located-entity
@@ -2286,6 +2309,7 @@ QUERIES = {
     "doc_components": doc_components,
     "doc_cooccurrence": doc_cooccurrence,
     "events_user_hll": events_user_hll,
+    "events_user_cms": events_user_cms,
     "page_manifest": page_manifest,
     "page_deps": page_deps,
     "ext_packages": ext_packages,
@@ -2360,6 +2384,7 @@ ORACLES = {
     "doc_components": DOC_COMPONENTS_SQL,
     "doc_cooccurrence": DOC_COOCCURRENCE_SQL,
     "events_user_hll": EVENTS_USER_HLL_SQL,
+    "events_user_cms": EVENTS_USER_CMS_SQL,
     "doc_minhash_sig": DOC_MINHASH_SIG_SQL,
     "doc_kmeans": DOC_KMEANS_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,

@@ -85,6 +85,68 @@ def hll_registers(
     )
 
 
+def cms_counts(
+    ds: Dataset, key_col: str, *, depth: int = 4, width: int = 256,
+    weight_col: str | None = None,
+) -> Dataset:
+    """Count-min sketch: (d, col, cnt) counter matrix over a key column.
+
+    The mergeable frequency sketch (point queries / heavy-hitter screens
+    when the exact two-phase top-k is too wide): row d hashes the key with
+    double hashing (h1 + d·h2 mod width, md5 family — SQL-recomputable),
+    counters fold by SUM, so the matrix is a plain two-phase grouped sum —
+    bit-exact at any parallelism and merge order. ``weight_col`` counts
+    weighted occurrences (int64). Estimate = min over depths
+    (``cms_estimate``), an overestimate with the usual ε = e/width bound."""
+    from code_graph_rag_ray.stages.bloom import _h1_h2
+
+    def partial(b: pa.Table) -> pa.Table:
+        h1, h2 = _h1_h2(b[key_col], "md5")
+        if weight_col is not None:
+            wts = b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            wts = np.ones(len(b), np.int64)
+        ds_, cols, vals = [], [], []
+        for d in range(depth):
+            col = ((h1 + np.uint64(d) * h2) % np.uint64(width)).astype(np.int64)
+            ds_.append(np.full(len(col), d, np.int64))
+            cols.append(col)
+            vals.append(wts)
+        t = pa.table({"d": pa.array(np.concatenate(ds_)),
+                      "col": pa.array(np.concatenate(cols)),
+                      "cnt": pa.array(np.concatenate(vals))})
+        gb = pa.TableGroupBy(t, ["d", "col"], use_threads=False)
+        out = gb.aggregate([("cnt", "sum")])
+        return pa.table({"d": out["d"], "col": out["col"],
+                         "cnt": out["cnt_sum"]})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["d", "col"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def cms_estimate(counts: list[dict], keys: list[str], *, depth: int = 4,
+                 width: int = 256) -> dict:
+    """Point-frequency estimates (min over depths) from the sketch rows."""
+    import hashlib
+
+    table: dict = {}
+    for r in counts:
+        table[(r["d"], r["col"])] = r["cnt"]
+    out = {}
+    for kk in keys:
+        dig = hashlib.md5(kk.encode()).digest()
+        h1, h2 = int.from_bytes(dig[:4], "big"), int.from_bytes(dig[4:8], "big")
+        out[kk] = min(
+            table.get((d, (h1 + d * h2) % width), 0) for d in range(depth)
+        )
+    return out
+
+
 def hll_estimate(registers: list[dict], *, p: int = 11,
                  group_col: str | None = None) -> dict:
     """Standard HLL estimate (with linear-counting small-range correction)

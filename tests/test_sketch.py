@@ -54,3 +54,21 @@ def test_estimate_within_error_bound():
         rel = abs(est[g] - n) / n
         # 1.04/sqrt(2048) ≈ 2.3% std error; allow 4 sigma
         assert rel < 0.10, (g, est[g], n)
+
+
+def test_cms_overestimates_and_is_layout_invariant():
+    from code_graph_rag_ray.stages.sketch import cms_counts, cms_estimate
+
+    truth = {"hot": 500, "warm": 60, "cold": 3}
+    rows = [{"key": k} for k, n in truth.items() for _ in range(n)]
+    rows += [{"key": f"noise-{i}"} for i in range(200)]
+    a = cms_counts(rd.from_arrow(pa.Table.from_pylist(rows)).repartition(1),
+                   "key", depth=4, width=256).take_all()
+    b = cms_counts(rd.from_arrow(pa.Table.from_pylist(rows)).repartition(9),
+                   "key", depth=4, width=256).take_all()
+    assert sorted((r["d"], r["col"], r["cnt"]) for r in a) == \
+           sorted((r["d"], r["col"], r["cnt"]) for r in b)
+    est = cms_estimate(a, list(truth), depth=4, width=256)
+    for k, n in truth.items():
+        assert est[k] >= n                      # CMS never underestimates
+        assert est[k] <= n + len(rows) * 0.05   # e/width error bound (loose)
