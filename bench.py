@@ -161,7 +161,9 @@ def run_bench() -> dict:
                      "doc_quality", "events_hourly", "knn_brute",
                      "page_links", "page_links_internal", "doc_findings",
                      "doc_embeddings", "events_attribution",
-                     "events_session_assign"):
+                     "events_session_assign", "doc_global_rank",
+                     "doc_cooccurrence", "events_user_hll",
+                     "orders_bloom_building", "orders_rollup"):
             t0 = time.perf_counter()
             res = catalog.QUERIES[name](sf_dir)
             if hasattr(res, "count"):

@@ -1860,6 +1860,24 @@ WHERE bk < CASE lang WHEN 'en' THEN 2000 WHEN 'fr' THEN 10000 ELSE 5000 END
 """
 
 
+def doc_sample_weighted(sf_dir: str):
+    """Weight-proportional Bernoulli sample: keep each doc with
+    p = min(1, n_chars × 0.0005) — quality/length-weighted downsampling,
+    stateless and monotone in the weight (stages/sampling.py)."""
+    from code_graph_rag_ray.stages.sampling import weighted_sample
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(ds, id_col="doc_id", weight_col="n_chars",
+                           rate_per_unit=0.0005)
+
+
+DOC_SAMPLE_WEIGHTED_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000
+      < floor(least(n_chars * 0.0005, 1.0) * 10000 + 0.5)
+"""
+
+
 def events_attribution(sf_dir: str):
     """Click→view attribution: for every click, the same user's latest
     view at-or-before it — the distributed as-of join (time-chunked
@@ -2315,6 +2333,7 @@ QUERIES = {
     "ext_packages": ext_packages,
     "doc_split": doc_split,
     "doc_sample_stratified": doc_sample_stratified,
+    "doc_sample_weighted": doc_sample_weighted,
     "doc_split_leaks": doc_split_leaks,
     "doc_tfidf_topk": doc_tfidf_topk,
     "events_attribution": events_attribution,
@@ -2394,6 +2413,7 @@ ORACLES = {
     "ext_packages": EXT_PACKAGES_SQL,
     "doc_split": DOC_SPLIT_SQL,
     "doc_sample_stratified": DOC_SAMPLE_STRATIFIED_SQL,
+    "doc_sample_weighted": DOC_SAMPLE_WEIGHTED_SQL,
     "doc_split_leaks": DOC_SPLIT_LEAKS_SQL,
     "doc_tfidf_topk": DOC_TFIDF_TOPK_SQL,
     "doc_lang_pred": DOC_LANG_PRED_SQL,

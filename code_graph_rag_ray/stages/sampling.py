@@ -91,6 +91,37 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def weighted_sample(
+    ds: Dataset,
+    *,
+    id_col: str,
+    weight_col: str,
+    rate_per_unit: float,
+    buckets: int = _BUCKETS,
+) -> Dataset:
+    """Weight-proportional Bernoulli sampling: row kept with probability
+    min(1, weight × rate_per_unit) — quality-weighted corpus downsampling
+    (keep high-scoring docs more often) without any shuffle or RNG.
+
+    Kept iff md5_low32(id) % buckets < floor(min(1, w·rate) × buckets + .5)
+    (half-up — matches SQL ``floor(x + 0.5)``; numpy/Python ``round`` are
+    half-to-even and would diverge from the oracle on exact halves), so
+    the decision is a pure (id, weight) function: reproducible at any
+    layout, auditable in SQL, and monotone in the weight — raising a doc's
+    score can only move it INTO the sample, never out.
+    """
+
+    def keep(b: pa.Table) -> pa.Table:
+        bk = (md5_low32_array(b[id_col]) % np.uint32(buckets)).astype(np.int64)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        thr = np.floor(
+            np.minimum(w * rate_per_unit, 1.0) * buckets + 0.5
+        ).astype(np.int64)
+        return b.filter(pa.array(bk < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def cross_split_leaks(
     ds: Dataset,
     *,

@@ -103,3 +103,33 @@ def test_cross_split_leaks_planted():
     planted_ids = set(range(0, n, 4))
     exp_train = (assigned[assigned.doc_id.isin(planted_ids)].split == "train").sum()
     assert row.n_train == exp_train
+
+
+def test_weighted_sample_monotone_and_replayable():
+    import hashlib
+
+    from code_graph_rag_ray.stages.sampling import weighted_sample
+
+    rows = [{"doc_id": i, "w": float((i * 37) % 2500)} for i in range(600)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(7)
+    kept = {r["doc_id"]
+            for r in weighted_sample(ds, id_col="doc_id", weight_col="w",
+                                     rate_per_unit=0.0005).take_all()}
+    # scalar replay of the documented rule (half-up rounding)
+    import math
+    exp = set()
+    for r in rows:
+        bk = int.from_bytes(
+            hashlib.md5(str(r["doc_id"]).encode()).digest()[:4], "big") % 10000
+        thr = math.floor(min(r["w"] * 0.0005, 1.0) * 10000 + 0.5)
+        if bk < thr:
+            exp.add(r["doc_id"])
+    assert kept == exp
+    # p=1 rows (w >= 2000) are ALWAYS kept; w=0 rows never
+    assert all(r["doc_id"] in kept for r in rows if r["w"] >= 2000)
+    assert all(r["doc_id"] not in kept for r in rows if r["w"] == 0)
+    # monotone: doubling every weight only adds rows
+    kept2 = {r["doc_id"]
+             for r in weighted_sample(ds, id_col="doc_id", weight_col="w",
+                                      rate_per_unit=0.001).take_all()}
+    assert kept <= kept2
