@@ -732,6 +732,33 @@ FROM s6 GROUP BY event_type, bucket
 """
 
 
+def cooccur_triangles(sf_dir: str):
+    """Triangle listing over the entity co-occurrence graph — the
+    degree-ordered orientation algorithm (stages/graph_metrics.triangles):
+    wedge fan-out bounded O(m^1.5), edge closure via bucketed semi-join.
+    Oracle: the classic a<b<c three-way self-join."""
+    from code_graph_rag_ray.stages.cooccur import entity_cooccurrence
+    from code_graph_rag_ray.stages.graph_metrics import triangles
+
+    edges = entity_cooccurrence(doc_mentions(sf_dir)).select_columns(["a", "b"])
+    return triangles(edges)
+
+
+COOCCUR_TRIANGLES_SQL = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, w AS e
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w IN {_ENT_SQL}),
+e AS (
+  SELECT DISTINCT x.e AS a, y.e AS b
+  FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.e < y.e)
+SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
 def events_user_cms(sf_dir: str):
     """Count-min sketch of per-user event frequencies (stages/sketch.py
     cms_counts): mergeable counter matrix via one two-phase grouped sum —
@@ -2328,6 +2355,7 @@ QUERIES = {
     "doc_cooccurrence": doc_cooccurrence,
     "events_user_hll": events_user_hll,
     "events_user_cms": events_user_cms,
+    "cooccur_triangles": cooccur_triangles,
     "page_manifest": page_manifest,
     "page_deps": page_deps,
     "ext_packages": ext_packages,
@@ -2404,6 +2432,7 @@ ORACLES = {
     "doc_cooccurrence": DOC_COOCCURRENCE_SQL,
     "events_user_hll": EVENTS_USER_HLL_SQL,
     "events_user_cms": EVENTS_USER_CMS_SQL,
+    "cooccur_triangles": COOCCUR_TRIANGLES_SQL,
     "doc_minhash_sig": DOC_MINHASH_SIG_SQL,
     "doc_kmeans": DOC_KMEANS_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 from code_graph_rag_ray.stages.relational import bucketed_join, partial_groupby_sum
@@ -154,3 +155,92 @@ def degree_stats(edges: Dataset, *, src: str = "src", dst: str = "dst") -> Datas
 
     both = edges.map_batches(emit, batch_format="pyarrow")
     return partial_groupby_sum(both, ["node"], {"o": "out_deg", "i": "in_deg"})
+
+
+def triangles(edges: Dataset, *, a: str = "a", b: str = "b") -> Dataset:
+    """Triangle listing over an undirected edge table (rows canonical
+    ``a < b``, distinct) — the degree-ordered orientation algorithm, the
+    one that scales: orienting every edge from its lower-(degree, id)
+    endpoint bounds each node's out-degree by O(sqrt(m)), so total wedge
+    fan-out is O(m^1.5) instead of Σ deg² (a star graph's whale node emits
+    ZERO wedges instead of deg²).
+
+    Plan (all existing primitives): degree per node (one two-phase sum) →
+    degrees joined onto both endpoints (two bucketed cogroup joins) →
+    orient → wedges per center (groupby.map_groups, out-neighbors only) →
+    wedge (v, w) semi-joined against the canonical edge-key set (one more
+    bucketed join). Output one row per triangle, vertices sorted
+    (ta < tb < tc — matches the SQL a<b<c listing convention).
+
+    Reference parity: the reference surfaces graph-shape diagnostics from
+    Memgraph queries (`graph_service.py` summary Cypher); triangle counts /
+    clustering structure is the corpus-scale analog computed in-engine.
+    """
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    deg = degree_stats(edges, src=a, dst=b).map_batches(
+        lambda t: pa.table(
+            {"node": t["node"],
+             "deg": pc.add(t["out_deg"], t["in_deg"])}
+        ),
+        batch_format="pyarrow",
+    )
+    with_da = bucketed_join(edges, deg, on=a, right_on="node")
+    with_deg = bucketed_join(with_da, deg.map_batches(
+        lambda t: pa.table({"node": t["node"], "deg_b": t["deg"]}),
+        batch_format="pyarrow",
+    ), on=b, right_on="node")
+
+    def orient(t: pa.Table) -> pa.Table:
+        av = np.asarray(t[a].to_pandas(), dtype=object)
+        bv = np.asarray(t[b].to_pandas(), dtype=object)
+        da = t["deg"].to_numpy(zero_copy_only=False)
+        db = t["deg_b"].to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (av < bv))
+        src = np.where(a_first, av, bv)
+        dst = np.where(a_first, bv, av)
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string())})
+
+    oriented = with_deg.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(g: pa.Table) -> pa.Table:
+        outs = sorted(g["dst"].to_pylist())
+        k = len(outs)
+        if k < 2:
+            return pa.table({"center": pa.array([], pa.string()),
+                             "ekey": pa.array([], pa.string())})
+        ia, ib = np.triu_indices(k, 1)
+        arr = np.array(outs, dtype=object)
+        center = [g["src"][0].as_py()] * len(ia)
+        keys = [f"{x}|{y}" for x, y in zip(arr[ia], arr[ib])]
+        return pa.table({"center": pa.array(center, pa.string()),
+                         "ekey": pa.array(keys, pa.string())})
+
+    wedge_rows = oriented.groupby("src").map_groups(
+        wedges, batch_format="pyarrow"
+    )
+    ekeys = edges.map_batches(
+        lambda t: pa.table(
+            {"ekey": pc.binary_join_element_wise(
+                pc.cast(t[a], pa.string()), pc.cast(t[b], pa.string()), "|")}
+        ),
+        batch_format="pyarrow",
+    )
+    closed = bucketed_join(wedge_rows, ekeys, on="ekey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        tri = []
+        for c, ek in zip(t["center"].to_pylist(), t["ekey"].to_pylist()):
+            v, w = ek.split("|", 1)
+            tri.append(tuple(sorted((c, v, w))))
+        if not tri:
+            return pa.table({"ta": pa.array([], pa.string()),
+                             "tb": pa.array([], pa.string()),
+                             "tc": pa.array([], pa.string())})
+        ta, tb, tc = zip(*tri)
+        return pa.table({"ta": pa.array(ta, pa.string()),
+                         "tb": pa.array(tb, pa.string()),
+                         "tc": pa.array(tc, pa.string())})
+
+    return closed.map_batches(finish, batch_format="pyarrow")
