@@ -2083,6 +2083,26 @@ def knn_lsh_recall(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def knn_ivf_recall(sf_dir: str):
+    """Self-evaluating TRAINED-quantizer ANN probe: per-query recall of the
+    IVF top-10 (fixed-point k-means cells, n_probe=3 of 8) against the
+    exact brute-force top-10 — the kmeans→ANN composition end-to-end."""
+    from code_graph_rag_ray.stages.similarity import knn_brute_force, knn_ivf
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(ds.filter(expr="vec_id < 5").take_all(), key=lambda r: r["vec_id"])
+    queries = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
+    qids = [r["vec_id"] for r in qrows]
+    brute = knn_brute_force(ds, queries, qids, k=10).to_pandas()
+    approx = knn_ivf(ds, queries, qids, k=10, n_clusters=8, n_probe=3).to_pandas()
+    rows = []
+    for q in qids:
+        b = set(brute[brute.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        rows.append({"query_id": q, "recall": round(len(a & b) / len(b), 3)})
+    return pd.DataFrame(rows)
+
+
 def doc_embeddings(sf_dir: str):
     """Text-embedding stage (S8/T5 analog): documents → (doc_id, embedding)
     via the deterministic feature-hashing embedder actor pool. Rows-only
@@ -2377,6 +2397,7 @@ QUERIES = {
     "doc_embeddings": doc_embeddings,
     "embedding_dup_pairs": embedding_dup_pairs,
     "knn_lsh_recall": knn_lsh_recall,
+    "knn_ivf_recall": knn_ivf_recall,
     "doc_lang_pred": doc_lang_pred,
     "media_features": media_features,
     "events_debounce": events_debounce,

@@ -47,6 +47,25 @@ def _quantize(vecs: pa.Array | pa.ChunkedArray, scale: int) -> np.ndarray:
     return q.reshape(n, -1)
 
 
+def kmeans_train(
+    embeds: Dataset,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Run the Lloyd loop and return (cluster_ids, centroid_matrix) — the
+    trained coarse quantizer (int64 lattice), e.g. for IVF ANN routing
+    (stages/similarity.knn_ivf)."""
+    ds, cent_ids, cent = _kmeans_impl(
+        embeds, k=k, iters=iters, scale=scale, id_col=id_col, vec_col=vec_col
+    )
+    del ds
+    return cent_ids, cent
+
+
 def kmeans_fixed_point(
     embeds: Dataset,
     *,
@@ -62,6 +81,21 @@ def kmeans_fixed_point(
     (deterministic, content-derived — no RNG). ``cluster`` is the 0-based
     rank of the seed id. The returned assignment uses the FINAL centroids.
     """
+    ds, _, _ = _kmeans_impl(
+        embeds, k=k, iters=iters, scale=scale, id_col=id_col, vec_col=vec_col
+    )
+    return ds
+
+
+def _kmeans_impl(
+    embeds: Dataset,
+    *,
+    k: int,
+    iters: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[Dataset, np.ndarray, np.ndarray]:
     from code_graph_rag_ray.stages.relational import top_k
 
     # k seed rows via block-local pruning, never a full sort of the input
@@ -134,6 +168,7 @@ def kmeans_fixed_point(
             ]
         )
 
-    return embeds.map_batches(
+    assigned = embeds.map_batches(
         assign_factory(cent, cent_ids, "assign"), batch_format="pyarrow"
     )
+    return assigned, cent_ids, cent

@@ -167,3 +167,93 @@ def knn_lsh(
         return g
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def knn_ivf(
+    ds: Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    *,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    train_iters: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """IVF ANN: a TRAINED coarse quantizer instead of knn_lsh's random
+    hyperplanes — the trained path of the same trade. The fixed-point
+    k-means (stages/clustering.kmeans_train) learns ``n_clusters``
+    centroids; each query scans only its ``n_probe`` nearest cells.
+
+    One extra pass over the corpus per Lloyd iteration at TRAIN time; at
+    QUERY time each batch computes cluster membership against the broadcast
+    centroid matrix and scores only rows whose cell is probed — the same
+    partial-top-k merge as knn_brute_force. Recall grows with n_probe
+    (n_probe = n_clusters degenerates to brute force); measured against
+    brute in tests."""
+    import ray
+
+    from code_graph_rag_ray.functions.broadcast import get_broadcast
+    from code_graph_rag_ray.stages.clustering import _quantize, kmeans_train
+
+    cent_ids, cent = kmeans_train(
+        ds, k=n_clusters, iters=train_iters, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+    # per-query probe cells: n_probe nearest centroids (integer distances)
+    qq = _quantize(pa.array([list(map(float, q)) for q in queries]), scale)
+    d = ((qq[:, None, :].astype(np.int64) - cent[None, :, :]) ** 2).sum(axis=2)
+    probe_cells = [
+        set(cent_ids[np.argsort(d[i], kind="stable")[:n_probe]].tolist())
+        for i in range(len(queries))
+    ]
+    cell_queries: dict[int, list[int]] = {}
+    for qi, cells in enumerate(probe_cells):
+        for c in cells:
+            cell_queries.setdefault(int(c), []).append(qi)
+
+    qn = _normalize(queries.astype(np.float64))
+    ref = ray.put((qn, list(query_ids), cell_queries, cent_ids, cent))
+
+    def cell_scan(batch: pa.Table) -> pa.Table:
+        q, qids, cq, cids, cm = get_broadcast(ref)
+        vq = _quantize(batch[vec_col], scale)
+        dd = (
+            (vq[:, None, :].astype(np.int64) - cm[None, :, :]) ** 2
+        ).sum(axis=2)
+        cell = cids[np.argmin(dd, axis=1)]
+        vecs = _normalize(_to_matrix(batch[vec_col]).astype(np.float64))
+        ids = np.asarray(batch[id_col].to_pylist())
+        out_q, out_v, out_s = [], [], []
+        for c in np.unique(cell):
+            qis = cq.get(int(c))
+            if not qis:
+                continue
+            mask = cell == c
+            sub_ids = ids[mask]
+            sims = q[qis] @ vecs[mask].T
+            kk = min(k, sims.shape[1])
+            for row_i, qi in enumerate(qis):
+                row = sims[row_i]
+                order = np.lexsort((sub_ids, -row))[:kk]
+                out_q.extend([qids[qi]] * len(order))
+                out_v.extend(sub_ids[order].tolist())
+                out_s.extend(row[order].astype(float).tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q), id_col: pa.array(out_v),
+             "cosine": pa.array(out_s, pa.float64())}
+        )
+
+    partials = ds.map_batches(cell_scan, batch_format="pyarrow", batch_size=4096)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
