@@ -433,6 +433,30 @@ def distinct_mktsegments(sf_dir: str):
 DISTINCT_MKTSEG_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
 
 
+def orders_anti_building(sf_dir: str):
+    """Exact large-large ANTI join: orders whose customer is NOT in the
+    BUILDING segment — the bucketed cogroup existence join
+    (stages/relational.bucketed_join how='anti'); only the right key
+    column crosses the shuffle. Complements the probabilistic bloom
+    pre-filter with the exact path."""
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    ).select_columns(["c_custkey"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return bucketed_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                         how="anti")
+
+
+ORDERS_ANTI_BUILDING_SQL = """
+SELECT o_orderkey, o_custkey FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+"""
+
+
 def orders_rollup(sf_dir: str):
     """Hierarchical subtotals (SQL ROLLUP) over orders: status →
     status+priority → grand total. One two-phase pass over the input;
@@ -2337,6 +2361,7 @@ QUERIES = {
     "top10_customers": top10_customers,
     "distinct_mktsegments": distinct_mktsegments,
     "orders_bloom_building": orders_bloom_building,
+    "orders_anti_building": orders_anti_building,
     "orders_rollup": orders_rollup,
     "doc_pivot_sources": doc_pivot_sources,
     "events_hourly": events_hourly,
@@ -2414,6 +2439,7 @@ ORACLES = {
     "top10_customers": TOP10_CUSTOMERS_SQL,
     "distinct_mktsegments": DISTINCT_MKTSEG_SQL,
     "orders_bloom_building": ORDERS_BLOOM_SQL,
+    "orders_anti_building": ORDERS_ANTI_BUILDING_SQL,
     "orders_rollup": ORDERS_ROLLUP_SQL,
     "doc_pivot_sources": DOC_PIVOT_SOURCES_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,

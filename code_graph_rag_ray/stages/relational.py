@@ -200,6 +200,12 @@ def bucketed_join(
 
     Column collision: right-side columns that clash with left names get a
     ``_r`` suffix (except the join key, which is dropped from the right).
+
+    ``how="semi"`` / ``"anti"`` give EXACT large-large existence joins
+    (the decontamination shape when both sides outgrow a broadcast and a
+    bloom pre-filter isn't enough): only the right side's KEY column
+    crosses the shuffle, output is the left schema, anti keeps null-key
+    left rows (NOT EXISTS semantics).
     """
     if num_buckets is None:
         try:
@@ -221,10 +227,20 @@ def bucketed_join(
     rblob_schema = pa.schema(
         [("__key", pa.string())] + [(c, rschema.field(c).type) for c in rcols]
     )
-    out_cols = lcols + [rename_r[c] for c in rcols]
+    out_cols = lcols if how in ("semi", "anti") else (
+        lcols + [rename_r[c] for c in rcols]
+    )
+    if how in ("semi", "anti"):
+        # only the key column of the right side needs to cross the shuffle
+        rcols = []
+        rblob_schema = pa.schema([("__key", pa.string())])
 
     tagged = left.map_batches(
-        _pack_side(on, lcols, 0, num_buckets, drop_null_keys=(how == "inner")),
+        # null keys: never match (SQL), so they leave inner/semi before the
+        # shuffle; anti follows NOT EXISTS semantics — null-key rows are
+        # kept (a null key cannot be proven present on the right)
+        _pack_side(on, lcols, 0, num_buckets,
+                   drop_null_keys=(how in ("inner", "semi"))),
         batch_format="pyarrow",
     ).union(
         right.map_batches(
@@ -259,6 +275,11 @@ def bucketed_join(
         rf = _read_side(g.loc[g["__side"] == 1, "__blob"], rblob_schema).rename(
             columns=rename_r
         )
+        if how in ("semi", "anti"):
+            present = lf["__key"].isin(set(rf["__key"]))
+            # anti keeps null-key rows: null is never "present" on the right
+            keep = present if how == "semi" else ~present
+            return lf.loc[keep, out_cols]
         m = lf.merge(rf, on="__key", how=how)
         return m[out_cols]
 

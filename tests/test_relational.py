@@ -157,3 +157,27 @@ def test_grouped_top_k_ties_and_small_groups():
     assert by_g["whale"] == [(9, 9), (9, 19), (9, 29)]
     assert by_g["tiny"] == [(5, 900)]
     assert by_g["tie"] == [(1, 905), (1, 906), (1, 907)]
+
+
+def test_bucketed_semi_anti_with_null_keys():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "b", "c", None, "d"]),
+        "v": pa.array([1, 2, 3, 4, 5]),
+    })).repartition(3)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["b", "d", "zz", None]),
+        "other": pa.array([9, 9, 9, 9]),
+    })).repartition(2)
+
+    semi = bucketed_join(left, right, on="k", how="semi").take_all()
+    assert sorted(r["v"] for r in semi) == [2, 5]
+    assert set(semi[0].keys()) == {"k", "v"}  # left schema only
+
+    anti = bucketed_join(left, right, on="k", how="anti").take_all()
+    # NOT EXISTS: null-key left row is kept (null never matches)
+    assert sorted(r["v"] for r in anti) == [1, 3, 4]
