@@ -1929,6 +1929,35 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000
 """
 
 
+def doc_inverted_index(sf_dir: str):
+    """Inverted index over the corpus (stages/tfidf.inverted_index):
+    (term, exact df, first-32-ids posting list). Deterministic truncation
+    rule (smallest ids) makes the capped postings SQL-replayable while hot
+    terms stay O(blocks × cap) through the shuffle."""
+    from code_graph_rag_ray.stages.tfidf import inverted_index
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(ds, max_postings=32)
+
+
+DOC_INVERTED_INDEX_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+tf AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''),
+ranked AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM tf),
+d AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT d.term, d.df,
+       string_agg(CAST(r.doc_id AS VARCHAR), ',' ORDER BY r.doc_id) AS postings
+FROM ranked r JOIN d ON r.term = d.term
+WHERE r.rn <= 32
+GROUP BY d.term, d.df
+"""
+
+
 def events_attribution(sf_dir: str):
     """Click→view attribution: for every click, the same user's latest
     view at-or-before it — the distributed as-of join (time-chunked
@@ -2409,6 +2438,7 @@ QUERIES = {
     "doc_sample_weighted": doc_sample_weighted,
     "doc_split_leaks": doc_split_leaks,
     "doc_tfidf_topk": doc_tfidf_topk,
+    "doc_inverted_index": doc_inverted_index,
     "events_attribution": events_attribution,
     "events_session_assign": events_session_assign,
     "kg_fixture_pr": kg_fixture_pr,
@@ -2492,6 +2522,7 @@ ORACLES = {
     "doc_sample_weighted": DOC_SAMPLE_WEIGHTED_SQL,
     "doc_split_leaks": DOC_SPLIT_LEAKS_SQL,
     "doc_tfidf_topk": DOC_TFIDF_TOPK_SQL,
+    "doc_inverted_index": DOC_INVERTED_INDEX_SQL,
     "doc_lang_pred": DOC_LANG_PRED_SQL,
     "events_attribution": EVENTS_ATTRIBUTION_SQL,
     "events_session_assign": EVENTS_SESSION_ASSIGN_SQL,

@@ -117,3 +117,44 @@ def tfidf_topk(
     # doc-complete blocks in, doc-complete blocks out: the broadcast join
     # is a map_batches, so the per-doc rank never needs a shuffle
     return scored.map_batches(topk, batch_format="pandas", batch_size=None)
+
+
+def inverted_index(
+    docs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 32,
+) -> Dataset:
+    """Inverted index construction: (term, df, postings) with postings =
+    comma-joined FIRST ``max_postings`` doc ids ascending.
+
+    The retrieval-side product of the tf pipeline (the reference's
+    ``simple_name_lookup`` multimap made corpus-scale). The cap is the
+    scale decision, not a shortcut: a stopword's full posting list is
+    corpus-sized, so the list is truncated by a DETERMINISTIC rule
+    (smallest ids — SQL-replayable) while ``df`` stays the exact count.
+    Block-local per-group truncation (grouped_top_k) keeps a hot term's
+    shuffle at O(blocks × cap); df is the usual two-phase count; the two
+    vocab-keyed tables meet in a bucketed cogroup join, never the driver.
+    """
+    from code_graph_rag_ray.stages.relational import bucketed_join, grouped_top_k
+
+    tf = docs.map_batches(
+        lambda b: extract_tf_batch(b, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+    )
+    capped = grouped_top_k(tf, "term", id_col, max_postings, descending=False)
+
+    def concat(g: pa.Table) -> pa.Table:
+        ids = sorted(g[id_col].to_pylist())
+        return pa.table(
+            {"term": pa.array([g["term"][0].as_py()]),
+             "postings": pa.array([",".join(str(i) for i in ids)])}
+        )
+
+    postings = capped.groupby("term").map_groups(concat, batch_format="pyarrow")
+    df = document_frequency(tf, id_col=id_col)
+    return bucketed_join(postings, df, on="term").select_columns(
+        ["term", "df", "postings"]
+    )

@@ -64,3 +64,26 @@ def test_tfidf_topk_batch_size_invariant(ray_session):
     # per-doc unique term w{i}: df=1, tf=2 → rank 1 everywhere
     top = a[a["rank"] == 1]
     assert (top.term.to_numpy() == [f"w{i}" for i in range(30)]).all()
+
+
+def test_inverted_index_cap_and_exact_df():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.tfidf import inverted_index
+
+    rows = [{"doc_id": i, "text": "common alpha" if i < 40 else "rare beta"}
+            for i in range(50)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(6)
+    out = {r["term"]: r for r in inverted_index(ds, max_postings=8).take_all()}
+    # hot term: df exact, postings truncated to the 8 SMALLEST ids
+    assert out["common"]["df"] == 40
+    assert out["common"]["postings"] == ",".join(str(i) for i in range(8))
+    # cold-but-above-cap term: df exact, postings still capped at 8
+    assert out["rare"]["df"] == 10
+    assert out["rare"]["postings"] == ",".join(str(i) for i in range(40, 48))
+    # below-cap terms carry their FULL list: make one with df=3
+    rows2 = rows + [{"doc_id": 100 + j, "text": "tiny gamma"} for j in range(3)]
+    ds2 = rd.from_arrow(pa.Table.from_pylist(rows2)).repartition(4)
+    out2 = {r["term"]: r for r in inverted_index(ds2, max_postings=8).take_all()}
+    assert out2["gamma"]["df"] == 3 and out2["gamma"]["postings"] == "100,101,102"
