@@ -159,7 +159,11 @@ def q3_top_revenue_orders(sf_dir: str):
 
     orders = orders.map_batches(date_filter, batch_format="pyarrow")
     oc = bucketed_join(
-        orders, cust, on="o_custkey", right_on="c_custkey"
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("o_orderdate", pa.string())]
+        ),
     ).select_columns(["o_orderkey", "o_orderdate"])
 
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -625,6 +629,114 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def events_running_total(sf_dir: str):
+    """Per-user cumulative running total — the distributed unbounded
+    window function ``sum(v) OVER (PARTITION BY user ORDER BY ts)``.
+    Chunked two-phase: per-(key, time-chunk) totals → per-key exclusive
+    prefix over the SUMMARIES → one bucketed join hands each chunk its
+    carry-in; the local RANGE prefix runs inside the join's bucket blocks
+    (stages/windows.running_total_per_key). Integer cents → bit-exact."""
+    from code_graph_rag_ray.stages.windows import running_total_per_key
+
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": b["event_id"], "ts": b["ts"], "user_id": b["user_id"],
+             "value_c": _cents(b["value"])}
+        )
+
+    out = running_total_per_key(
+        ds.map_batches(to_cents, batch_format="pyarrow"), value_col="value_c"
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": b["event_id"], "user_id": b["user_id"],
+             "ts_us": b["ts_us"],
+             "run_total": pc.divide(pc.cast(b["run"], pa.float64()), 100.0)}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_RUNNING_TOTAL_SQL = """
+SELECT event_id, user_id,
+       CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+       sum(CAST(round(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts) / 100.0 AS run_total
+FROM events
+"""
+
+
+def events_user_mode(sf_dir: str):
+    """Grouped MODE (argmax): each user's most frequent event_type, ties
+    broken by smallest event_type — pure composition of existing
+    primitives: two-phase (user, type) counts (combiner before the
+    shuffle) → block-local per-group truncation (grouped_top_k, k=1), so
+    a whale user exchanges O(blocks) candidate rows, never its event
+    count."""
+    from code_graph_rag_ray.stages.relational import grouped_top_k, partial_groupby_sum
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+    counts = partial_groupby_sum(ds, ["user_id", "event_type"], {}, count_alias="n")
+    top = grouped_top_k(counts, "user_id", "n", 1, tiebreak="event_type")
+    return top.map_batches(
+        lambda b: pa.table(
+            {"user_id": b["user_id"], "mode_event": b["event_type"],
+             "n": pc.cast(b["n"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_USER_MODE_SQL = """
+SELECT user_id, event_type AS mode_event, n FROM (
+  SELECT user_id, event_type, count(*)::BIGINT AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rk
+  FROM events GROUP BY user_id, event_type)
+WHERE rk = 1
+"""
+
+
+def events_customer_outer(sf_dir: str):
+    """FULL OUTER join: per-user event counts ⟗ customer names on
+    user_id = c_custkey (partially overlapping key ranges, so both
+    unmatched sides are non-empty). Exercises bucketed_join(how="outer"):
+    both sides' unmatched rows survive with nulls, the right key is kept
+    for the coalesce, and null keys never match each other."""
+    from code_graph_rag_ray.stages.relational import bucketed_join, partial_groupby_sum
+
+    ev = _pq(sf_dir, "events", ["user_id"])
+    counts = partial_groupby_sum(ev, ["user_id"], {}, count_alias="n_events")
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = bucketed_join(
+        counts, cust, on="user_id", right_on="c_custkey", how="outer",
+        left_schema=pa.schema([("user_id", pa.int64()), ("n_events", pa.int64())]),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["user_id"].astype("Int64").fillna(df["c_custkey"].astype("Int64"))
+        return pd.DataFrame(
+            {"key": key.astype("int64"),
+             "n_events": df["n_events"].astype("Int64"),
+             "c_mktsegment": df["c_mktsegment"].astype("object").where(
+                 df["c_mktsegment"].notna(), None)}
+        )
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_CUSTOMER_OUTER_SQL = """
+SELECT COALESCE(e.user_id, c.c_custkey) AS key,
+       e.n_events, c.c_mktsegment
+FROM (SELECT user_id, count(*)::BIGINT AS n_events
+      FROM events GROUP BY user_id) e
+FULL OUTER JOIN customer c ON e.user_id = c.c_custkey
 """
 
 
@@ -2079,6 +2191,37 @@ SELECT doc_id, term, tf, df, rank FROM scored WHERE rank <= 5
 """
 
 
+def doc_dup_spans(sf_dir: str):
+    """Duplicated 8-token span detection (the ExactSubstr training-data
+    dedup analog, stages/dedup.dup_ngram_spans): window fingerprints
+    appearing in ≥2 distinct documents — the boilerplate/mirrored-paragraph
+    signal exact-doc and MinHash dedup both miss. md5-high-60-bit
+    fingerprints are int64-safe and DuckDB-replayable."""
+    from code_graph_rag_ray.stages.dedup import dup_ngram_spans
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return dup_ngram_spans(ds, w=8, min_docs=2)
+
+
+DOC_DUP_SPANS_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+), win AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(l[i : i + 7], ' ')), 1, 15))::UBIGINT::BIGINT AS fp
+  FROM tok, LATERAL (SELECT unnest(range(1, len(l) - 6)) AS i) r
+  WHERE len(l) >= 8
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM win
+)
+SELECT fp, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS min_doc
+FROM fps GROUP BY fp HAVING count(*) >= 2
+"""
+
+
 def doc_split_leaks(sf_dir: str):
     """Decontamination: 8-token-prefix fingerprints spanning ≥2 of the
     train/val/test splits — the rows a curation pipeline quarantines."""
@@ -2395,6 +2538,10 @@ QUERIES = {
     "doc_pivot_sources": doc_pivot_sources,
     "events_hourly": events_hourly,
     "events_sliding_hour": events_sliding_hour,
+    "events_running_total": events_running_total,
+    "events_user_mode": events_user_mode,
+    "doc_dup_spans": doc_dup_spans,
+    "events_customer_outer": events_customer_outer,
     "events_sessions": events_sessions,
     "doc_mentions": doc_mentions,
     "doc_triples": doc_triples,
@@ -2474,6 +2621,10 @@ ORACLES = {
     "doc_pivot_sources": DOC_PIVOT_SOURCES_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sliding_hour": EVENTS_SLIDING_HOUR_SQL,
+    "events_running_total": EVENTS_RUNNING_TOTAL_SQL,
+    "events_user_mode": EVENTS_USER_MODE_SQL,
+    "doc_dup_spans": DOC_DUP_SPANS_SQL,
+    "events_customer_outer": EVENTS_CUSTOMER_OUTER_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,

@@ -178,6 +178,7 @@ def derive_graph_outputs(
             internal,
             keys=["subj", "pred", "obj", "provenance_url"],
             sort_cols=["subj", "pred", "obj", "provenance_url", "pos"],
+            columns=["subj", "pred", "obj", "provenance_url", "pos"],
         )
     # The nodes branch runs the name-family CC loop, which executes eagerly
     # (bounded iteration with convergence checks) — skip it entirely for

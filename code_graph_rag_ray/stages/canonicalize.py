@@ -88,7 +88,10 @@ def prune_orphans(nodes: Dataset, edges: Dataset) -> Dataset:
         )
 
     refs = edges.map_batches(endpoints, batch_format="pyarrow")
-    joined = bucketed_join(nodes, refs, on="entity_id", how="left")
+    joined = bucketed_join(
+        nodes, refs, on="entity_id", how="left",
+        right_schema=pa.schema([("entity_id", pa.string()), ("__ref", pa.int8())]),
+    )
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         mask = (df["label"] != "ExternalEntity") | df["__ref"].notna()
@@ -166,7 +169,12 @@ def canonicalize_entities(
         )
     )
     base_counts = bucketed_join(
-        base, internal_counts, on="entity_id", how="left"
+        base, internal_counts, on="entity_id", how="left",
+        # internal_counts is a lazy groupby output — without the hint the
+        # join's driver-side name probe executes the mention-count shuffle
+        right_schema=pa.schema(
+            [("entity_id", pa.string()), ("n_mentions", pa.int64())]
+        ),
     )
 
     def finish_internal(df: pd.DataFrame) -> pd.DataFrame:
@@ -234,7 +242,20 @@ def canonicalize_entities(
             ),
             batch_format="pyarrow",
         )
-        nodes = bucketed_join(nodes, fam, on="entity_id", how="left")
+        # nodes is a lazy groupby.map_groups output (the variant rank) and
+        # fam rides on the CC loop — schema hints keep the join's probe
+        # from executing the whole node assembly / CC once for the names
+        nodes = bucketed_join(
+            nodes, fam, on="entity_id", how="left",
+            left_schema=pa.schema(
+                [("entity_id", pa.string()), ("name", pa.string()),
+                 ("n_mentions", pa.int64()), ("label", pa.string()),
+                 ("norm_name", pa.string())]
+            ),
+            right_schema=pa.schema(
+                [("entity_id", pa.string()), ("name_family", pa.string())]
+            ),
+        )
     else:
         nodes = nodes.map_batches(
             lambda b: b.append_column("name_family", pa.nulls(b.num_rows, pa.string())),

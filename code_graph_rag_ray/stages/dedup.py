@@ -185,7 +185,7 @@ def simhash_near_dup_pairs(
         .groupby(["band", "band_val"])
         .map_groups(pairs, batch_format="pandas")
     )
-    return exact_dedup(cand, keys=["a", "b"])
+    return exact_dedup(cand, keys=["a", "b"], columns=["a", "b", "hamming"])
 
 
 def jaccard(a: str, b: str, n: int = 3) -> float:
@@ -340,7 +340,10 @@ def minhash_near_dup_pairs(
     cand = _pairs_from_buckets(bucket_rows, ["band", "band_hash"], id_col, max_group=max_group)
     # dedup candidate pairs surfaced by multiple bands; pin the (small)
     # pair set so the emptiness probe below doesn't re-run the LSH pipeline
-    cand = exact_dedup(cand, keys=["a", "b"], sort_cols=["a", "b"]).materialize()
+    cand = exact_dedup(
+        cand, keys=["a", "b"], sort_cols=["a", "b"],
+        columns=["a", "b", "truncated"],
+    ).materialize()
     if cand.count() == 0:
         import ray.data as rd
 
@@ -354,7 +357,15 @@ def minhash_near_dup_pairs(
     with_a = bucketed_join(cand, texts, on="a", right_on=id_col)
     # second join brings the b-side text; the collision rename yields
     # ``<text_col>_r``
-    with_b = bucketed_join(with_a, texts, on="b", right_on=id_col)
+    # with_a is a lazy join output (groupby upstream): pass its schema so
+    # the second join's probe doesn't re-execute the first join
+    with_b = bucketed_join(
+        with_a, texts, on="b", right_on=id_col,
+        left_schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("truncated", pa.bool_()),
+             (text_col, pa.string())]
+        ),
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
         ta = batch[text_col].to_pylist()
@@ -447,7 +458,7 @@ def embedding_near_dup_pairs(
         .map_groups(verify, batch_format="pandas")
     )
     # same pair can collide in several tables; cosine is identical per pair
-    return exact_dedup(pairs, keys=["a", "b"])
+    return exact_dedup(pairs, keys=["a", "b"], columns=["a", "b", "cosine"])
 
 
 def minhash_signature_rows(
@@ -482,3 +493,62 @@ def minhash_signature_rows(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dup_ngram_spans(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    min_docs: int = 2,
+) -> Dataset:
+    """Corpus-wide duplicated w-token span detection — the distributed
+    n-gram-fingerprint analog of exact-substring training-data dedup
+    (Lee et al. 2021's suffix-array ExactSubstr, as approximated by the
+    big open curation pipelines): every w-token window of every document
+    is fingerprinted; a fingerprint appearing in ≥ ``min_docs`` DISTINCT
+    documents marks a repeated span (boilerplate, license blocks, mirrored
+    paragraphs) that exact-doc and MinHash dedup both miss.
+
+    Output: (fp, n_docs, min_doc) for qualifying fingerprints.
+
+    Scale shape: window fingerprinting is stateless per-doc batch work
+    (rows out ≈ tokens in — the known cost of the algorithm); per-doc
+    distinctness is FREE (a doc's windows are deduped inside its own
+    batch), so the single shuffle groups pre-reduced (fp, doc) incidence
+    rows. Fingerprints are md5-high-60-bit (int64-safe) so DuckDB replays
+    them exactly (``('0x' || substr(md5(s),1,15))::UBIGINT``); a
+    production run chasing throughput would swap in a rolling hash at the
+    cost of the SQL-auditable oracle.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    from code_graph_rag_ray.stages.tfidf import _TOKEN_SPLIT
+
+    def fps(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(b[text_col]), pattern=_TOKEN_SPLIT)
+        ids_out: list[int] = []
+        fp_out: list[int] = []
+        for i, lst in zip(b[id_col].to_pylist(), toks.to_pylist()):
+            tl = [t for t in lst if t]
+            if len(tl) < w:
+                continue
+            seen: set[int] = set()
+            for s in range(len(tl) - w + 1):
+                h = int(hashlib.md5(" ".join(tl[s : s + w]).encode()).hexdigest()[:15], 16)
+                seen.add(h)
+            ids_out.extend([i] * len(seen))
+            fp_out.extend(sorted(seen))
+        return pa.table(
+            {"fp": pa.array(fp_out, pa.int64()), id_col: pa.array(ids_out, pa.int64())}
+        )
+
+    rows = ds.map_batches(fps, batch_format="pyarrow")
+    agg = rows.groupby("fp").aggregate(
+        Count(alias_name="n_docs"), Min(id_col, alias_name="min_doc")
+    )
+    return agg.filter(expr=f"n_docs >= {min_docs}")

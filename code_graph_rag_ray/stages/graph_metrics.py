@@ -78,7 +78,12 @@ def pagerank(
     r0 = scale // n
 
     deg = partial_groupby_sum(edges.select_columns([src]), [src], {}, count_alias="deg")
-    wedges = bucketed_join(edges, deg, on=src).materialize()
+    # right_schema: deg is a lazy groupby output — the hint keeps the
+    # join's driver-side name probe from executing the grouped sum early
+    wedges = bucketed_join(
+        edges, deg, on=src,
+        right_schema=pa.schema([(src, pa.string()), ("deg", pa.int64())]),
+    ).materialize()
 
     ranks = nodes.map_batches(
         lambda b, v=r0: pa.table(
@@ -185,11 +190,20 @@ def triangles(edges: Dataset, *, a: str = "a", b: str = "b") -> Dataset:
         ),
         batch_format="pyarrow",
     )
-    with_da = bucketed_join(edges, deg, on=a, right_on="node")
+    # schema hints everywhere a side is a lazy groupby/join output: the
+    # driver-side name probe would otherwise execute that upstream once
+    deg_schema = pa.schema([("node", pa.string()), ("deg", pa.int64())])
+    edge_schema = pa.schema([(a, pa.string()), (b, pa.string())])
+    with_da = bucketed_join(edges, deg, on=a, right_on="node",
+                            left_schema=edge_schema, right_schema=deg_schema)
     with_deg = bucketed_join(with_da, deg.map_batches(
         lambda t: pa.table({"node": t["node"], "deg_b": t["deg"]}),
         batch_format="pyarrow",
-    ), on=b, right_on="node")
+    ), on=b, right_on="node",
+        left_schema=pa.schema(
+            [(a, pa.string()), (b, pa.string()), ("deg", pa.int64())]
+        ),
+        right_schema=pa.schema([("node", pa.string()), ("deg_b", pa.int64())]))
 
     def orient(t: pa.Table) -> pa.Table:
         av = np.asarray(t[a].to_pandas(), dtype=object)
@@ -227,7 +241,11 @@ def triangles(edges: Dataset, *, a: str = "a", b: str = "b") -> Dataset:
         ),
         batch_format="pyarrow",
     )
-    closed = bucketed_join(wedge_rows, ekeys, on="ekey")
+    closed = bucketed_join(
+        wedge_rows, ekeys, on="ekey",
+        left_schema=pa.schema([("center", pa.string()), ("ekey", pa.string())]),
+        right_schema=pa.schema([("ekey", pa.string())]),
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         tri = []

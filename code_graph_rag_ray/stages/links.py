@@ -113,7 +113,11 @@ def resolve_links(links: Dataset, corpus_urls: Dataset) -> dict:
         ),
         batch_format="pyarrow",
     )
-    joined = bucketed_join(links, marker, on="target", right_on="__t", how="left")
+    joined = bucketed_join(
+        links, marker, on="target", right_on="__t", how="left",
+        left_schema=pa.schema([("url", pa.string()), ("target", pa.string())]),
+        right_schema=pa.schema([("__t", pa.string()), ("__hit", pa.int8())]),
+    )
 
     def split_internal(df):
         hit = df[df["__hit"].notna()]

@@ -110,8 +110,20 @@ def lm_score(
     vocab = partial_groupby_sum(tf.select_columns(["term", "tf"]), ["term"], {"tf": "n"})
     v = vocab.count()
 
-    j = bucketed_join(big, cb, on="bkey")
-    j = bucketed_join(j, ch, on="w1")
+    # schema hints: cb/ch are lazy groupby outputs and j is a lazy join
+    # output — without hints each probe would execute that upstream once
+    j = bucketed_join(
+        big, cb, on="bkey",
+        right_schema=pa.schema([("bkey", pa.string()), ("cb", pa.int64())]),
+    )
+    j = bucketed_join(
+        j, ch, on="w1",
+        left_schema=pa.schema(
+            [(id_col, pa.int64()), ("w1", pa.string()), ("w2", pa.string()),
+             ("k", pa.int64()), ("bkey", pa.string()), ("cb", pa.int64())]
+        ),
+        right_schema=pa.schema([("w1", pa.string()), ("ch", pa.int64())]),
+    )
 
     def contrib(b: pa.Table, v=v, scale=scale) -> pa.Table:
         df = b.to_pandas() if isinstance(b, pa.Table) else b

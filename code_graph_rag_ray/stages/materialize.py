@@ -37,7 +37,12 @@ def dedup_batch_local(batch: pa.Table, keys: list[str]) -> pa.Table:
     return batch.take(pc.take(first["__i_min"], take))
 
 
-def exact_dedup(ds: Dataset, keys: list[str], sort_cols: list[str] | None = None) -> Dataset:
+def exact_dedup(
+    ds: Dataset,
+    keys: list[str],
+    sort_cols: list[str] | None = None,
+    columns: list[str] | None = None,
+) -> Dataset:
     """MERGE-equivalent exact dedup on ``keys``; deterministic winner.
 
     Two-phase and fully vectorized: batch-local Arrow dedup (combiner), then
@@ -49,12 +54,21 @@ def exact_dedup(ds: Dataset, keys: list[str], sort_cols: list[str] | None = None
 
     ``sort_cols`` is accepted for API compatibility (the deterministic
     winner is the per-column minimum regardless).
+
+    Pass ``columns`` (the full output column list) whenever ``ds`` has an
+    all-to-all upstream (groupby/sort): without it the driver-side
+    ``ds.schema()`` probe executes the whole upstream plan once just for
+    the names (limit-1 only truncates post-sort stages), doubling the cost
+    AND exercising the limit-cancellation path that crashes Ray 2.49's
+    reference counter (NOTES.md fact 22).
     """
     from ray.data.aggregate import Min
 
     del sort_cols
-    schema = ds.schema()
-    other = [c for c in schema.names if c not in keys]
+    if columns is None:
+        s = ds.schema(fetch_if_missing=False)  # free when the plan knows it
+        columns = list((s if s is not None else ds.schema()).names)
+    other = [c for c in columns if c not in keys]
 
     def partial_min(b: pa.Table) -> pa.Table:
         # batch-local combiner with the SAME per-column-min semantics as the

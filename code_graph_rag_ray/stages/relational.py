@@ -149,7 +149,9 @@ def _arrow_schema(ds: Dataset) -> pa.Schema:
     pandas format reports a PandasBlockSchema (numpy dtypes), which cannot
     parameterize Arrow empty tables. Object dtype maps to string (join keys
     and payloads here are scalars)."""
-    s = ds.schema()
+    s = ds.schema(fetch_if_missing=False)  # free when the plan already knows it
+    if s is None:
+        s = ds.schema()
     base = getattr(s, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base
@@ -174,6 +176,8 @@ def bucketed_join(
     num_buckets: int | None = None,
     how: str = "inner",
     coalesce: bool = True,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> Dataset:
     """Large-large equi-join as an explicit bucketed cogroup hash join.
 
@@ -217,9 +221,21 @@ def bucketed_join(
         num_buckets = max(32, 2 * ncpu)
 
     rkey = right_on or on
-    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    # ``how="outer"`` (FULL OUTER): unmatched rows of BOTH sides survive
+    # with nulls on the other side. The right key column is KEPT (as
+    # ``<rkey>`` or ``<rkey>_r``) so right-only rows still carry their key
+    # — coalesce(left_on, right_key) downstream. Null-key rows are
+    # unmatched by SQL semantics but PRESERVED on both sides.
+    # Schema hints matter when a side has an all-to-all upstream
+    # (groupby/sort): the ds.schema() probe otherwise EXECUTES that whole
+    # upstream once for the names (limit-1 truncates only post-sort
+    # stages) — 2× cost plus the limit-cancellation refcount crash
+    # (NOTES.md fact 22). Types only parameterize the one-side-absent
+    # empty-table fallback, so approximate types are harmless.
+    lschema = left_schema if left_schema is not None else _arrow_schema(left)
+    rschema = right_schema if right_schema is not None else _arrow_schema(right)
     lcols = list(lschema.names)
-    rcols = [c for c in rschema.names if c != rkey]
+    rcols = [c for c in rschema.names if c != rkey or how == "outer"]
     rename_r = {c: (c + "_r" if c in lcols else c) for c in rcols}
     lblob_schema = pa.schema(
         [("__key", pa.string())] + [(c, lschema.field(c).type) for c in lcols]
@@ -240,11 +256,12 @@ def bucketed_join(
         # shuffle; anti follows NOT EXISTS semantics — null-key rows are
         # kept (a null key cannot be proven present on the right)
         _pack_side(on, lcols, 0, num_buckets,
-                   drop_null_keys=(how in ("inner", "semi"))),
+                   drop_null_keys=(how in ("inner", "semi", "right"))),
         batch_format="pyarrow",
     ).union(
         right.map_batches(
-            _pack_side(rkey, rcols, 1, num_buckets, drop_null_keys=True),
+            _pack_side(rkey, rcols, 1, num_buckets,
+                       drop_null_keys=(how != "outer")),
             batch_format="pyarrow",
         )
     )
@@ -280,6 +297,22 @@ def bucketed_join(
             # anti keeps null-key rows: null is never "present" on the right
             keep = present if how == "semi" else ~present
             return lf.loc[keep, out_cols]
+        if how == "outer":
+            # pandas merge matches NaN==NaN; SQL says null never matches —
+            # split null-key rows out, merge the rest, re-append unmatched
+            ln, rn = lf["__key"].isna(), rf["__key"].isna()
+            m = lf[~ln].merge(rf[~rn], on="__key", how="outer")
+            m = pd.concat([m, lf[ln], rf[rn]], ignore_index=True)
+            # NOTES fact 15: unmatched rows upcast int→float64, and only in
+            # the groups that HAVE unmatched rows (per-group dtype drift →
+            # block schema mismatch at union). Unify every source-int
+            # column to nullable Int64 from the SOURCE dtypes, which are
+            # identical in every group.
+            for src in (lf, rf):
+                for c, dt in src.dtypes.items():
+                    if c in m.columns and pd.api.types.is_integer_dtype(dt):
+                        m[c] = m[c].astype("Int64")
+            return m[out_cols]
         m = lf.merge(rf, on="__key", how=how)
         return m[out_cols]
 
@@ -342,10 +375,14 @@ def partial_groupby_sum(
 
 
 def top_k(ds: Dataset, by: str, k: int, *, descending: bool = True) -> Dataset:
-    """Global top-k: per-batch local top-k (partial), then one small sort.
+    """Global top-k: per-batch local top-k (partial), coalesce the ≤
+    blocks×k survivors to ONE block, final exact top-k there.
 
-    Avoids a full distributed sort of the input — only k rows per block
-    reach the final stage."""
+    Avoids a full distributed sort of the input AND avoids
+    ``sort().limit(k)``: a LimitOperator early-cancels in-flight upstream
+    tasks, which both wastes the already-paid sort and races Ray 2.49's
+    reference counting (observed ``reference_count.cc:581`` check-failure
+    crash after a limit-truncated sort plan — NOTES.md fact 22)."""
 
     def local(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -354,7 +391,11 @@ def top_k(ds: Dataset, by: str, k: int, *, descending: bool = True) -> Dataset:
         idx = pc.sort_indices(b, sort_keys=[(by, order)])[: k]
         return b.take(idx)
 
-    return ds.map_batches(local, batch_format="pyarrow").sort(by, descending=descending).limit(k)
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local, batch_format="pyarrow", batch_size=None)
+    )
 
 
 def grouped_top_k(

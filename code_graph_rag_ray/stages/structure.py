@@ -66,4 +66,7 @@ def structure_edges(pages: Dataset, *, max_depth: int = 2) -> Dataset:
     raw = pages.map_batches(
         lambda b: structure_edges_batch(b, max_depth), batch_format="pyarrow"
     )
-    return exact_dedup(raw, keys=["parent", "child", "rel"])
+    return exact_dedup(
+        raw, keys=["parent", "child", "rel"],
+        columns=["parent", "child", "rel"],
+    )

@@ -155,6 +155,10 @@ def inverted_index(
 
     postings = capped.groupby("term").map_groups(concat, batch_format="pyarrow")
     df = document_frequency(tf, id_col=id_col)
-    return bucketed_join(postings, df, on="term").select_columns(
-        ["term", "df", "postings"]
-    )
+    # both sides are lazy groupby outputs — schema hints keep the join's
+    # driver-side probe from executing each upstream once just for names
+    return bucketed_join(
+        postings, df, on="term",
+        left_schema=pa.schema([("term", pa.string()), ("postings", pa.string())]),
+        right_schema=pa.schema([("term", pa.string()), ("df", pa.int64())]),
+    ).select_columns(["term", "df", "postings"])

@@ -366,3 +366,124 @@ def sliding_time_sum(
         .groupby("__chunk")
         .map_groups(answer, batch_format="pandas")
     )
+
+
+def running_total_per_key(
+    events: Dataset,
+    *,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value_c",
+    chunk_s: int = 86400,
+) -> Dataset:
+    """Per-key cumulative running total: for every event, the sum of
+    ``value_col`` over ALL of that key's events with ``ts' <= ts`` — SQL's
+    ``sum(v) OVER (PARTITION BY key ORDER BY ts)`` with its default RANGE
+    frame (equal-ts peers included), so the result is order-free and, with
+    integer values, bit-exact vs the oracle.
+
+    The unbounded-frame companion of :func:`sliding_time_sum`. An
+    unbounded window cannot use bounded context replication, so the carry
+    crosses time chunks as SUMMARIES instead (the asof-join carry
+    discipline): one grouped sum builds per-(key, chunk) totals (rows =
+    keys × chunks, never event-scale); a per-key exclusive prefix over
+    those totals gives each chunk its carry-in offset; one bucketed join
+    hands offsets back to the event rows; the local RANGE prefix is then
+    computed INSIDE the join's bucket blocks (hash(key|chunk) cogroups
+    arrive whole, so a ``batch_size=None`` map segments and cumsums
+    vectorized — no second event-scale shuffle). A whale key spreads over
+    its time chunks end to end.
+    """
+    from code_graph_rag_ray.stages.relational import bucketed_join, partial_groupby_sum
+
+    c_us = chunk_s * 1_000_000
+
+    def assign_chunk(b: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        chunk = np.floor_divide(epoch_us, c_us)
+        kc = pc.binary_join_element_wise(
+            pc.cast(b[key_col], pa.string()),
+            pa.array(chunk.astype("U"), pa.string()),
+            "|",
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                key_col: b[key_col],
+                "__chunk": pa.array(chunk, pa.int64()),
+                "__kc": kc,
+                "ts_us": pa.array(epoch_us, pa.int64()),
+                value_col: b[value_col],
+            }
+        )
+
+    assigned = events.map_batches(assign_chunk, batch_format="pyarrow")
+
+    totals = partial_groupby_sum(
+        assigned.select_columns([key_col, "__chunk", value_col]),
+        [key_col, "__chunk"],
+        {value_col: "__tot"},
+    )
+
+    def offsets_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__chunk", kind="mergesort").reset_index(drop=True)
+        tot = g["__tot"].to_numpy(np.int64)
+        off = np.cumsum(tot) - tot  # exclusive prefix: carry-in per chunk
+        return pd.DataFrame(
+            {
+                "__kc": g[key_col].astype(str) + "|" + g["__chunk"].astype(str),
+                "__off": off.astype(np.int64),
+            }
+        )
+
+    offsets = totals.groupby(key_col).map_groups(offsets_per_key, batch_format="pandas")
+
+    joined = bucketed_join(
+        assigned, offsets, on="__kc",
+        left_schema=pa.schema(
+            [(id_col, pa.int64()), (key_col, pa.int64()), ("__chunk", pa.int64()),
+             ("__kc", pa.string()), ("ts_us", pa.int64()), (value_col, pa.int64())]
+        ),
+        right_schema=pa.schema([("__kc", pa.string()), ("__off", pa.int64())]),
+    )
+
+    def local_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 key_col: pd.Series([], dtype="int64"),
+                 "ts_us": pd.Series([], dtype="int64"),
+                 value_col: pd.Series([], dtype="int64"),
+                 "run": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values(["__kc", "ts_us"], kind="mergesort").reset_index(drop=True)
+        kc = g["__kc"].to_numpy()
+        ts = g["ts_us"].to_numpy(np.int64)
+        v = g[value_col].to_numpy(np.int64)
+        n = len(g)
+        cs = np.cumsum(v)
+        # segment starts (per key|chunk group inside this bucket block)
+        new_seg = np.ones(n, bool)
+        new_seg[1:] = kc[1:] != kc[:-1]
+        starts = np.flatnonzero(new_seg)
+        lens = np.diff(np.r_[starts, n])
+        seg_base = np.repeat(np.r_[0, cs[starts[1:] - 1]], lens)
+        # RANGE peers: every row takes the cumsum at the LAST row of its
+        # (segment, ts) run
+        last = np.ones(n, bool)
+        last[:-1] = (ts[1:] != ts[:-1]) | new_seg[1:]
+        ends = np.flatnonzero(last)
+        run_lens = np.diff(np.r_[-1, ends])
+        local_run = np.repeat(cs[ends], run_lens) - seg_base
+        return pd.DataFrame(
+            {id_col: g[id_col].to_numpy(np.int64),
+             key_col: g[key_col].to_numpy(np.int64),
+             "ts_us": ts,
+             value_col: v,
+             "run": (local_run + g["__off"].to_numpy(np.int64)).astype(np.int64)}
+        )
+
+    return joined.map_batches(local_prefix, batch_format="pandas", batch_size=None)

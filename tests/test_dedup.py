@@ -145,3 +145,36 @@ def test_ngram_jaccard_pairs_consecutive_and_grouped():
     grouped = ngram_jaccard_pairs(ds, group_col="grp").to_pandas()
     # pair (2,3) crosses groups x|y → dropped; only (0,1) and (1,2) remain
     assert sorted(grouped.id_a) == [0, 1]
+
+
+def test_dup_ngram_spans_planted_boilerplate():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.dedup import dup_ngram_spans
+
+    boiler = "all rights reserved contact us for more information today now"
+    docs = [
+        (1, "alpha beta gamma delta " + boiler + " epsilon zeta"),
+        (2, "one two three four five " + boiler + " six seven"),
+        (3, "totally unrelated words nine ten eleven twelve thirteen fourteen"),
+        # doc 4 repeats the boilerplate TWICE — per-doc distinctness must
+        # count it once
+        (4, boiler + " filler filler " + boiler),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    })
+    out = dup_ngram_spans(rd.from_arrow(tbl).repartition(3), w=8).take_all()
+    assert out, "planted shared 10-token boilerplate must surface w=8 spans"
+    by_fp = {r["fp"]: r for r in out}
+    # every surfaced fingerprint names docs {1,2,4} at most; doc 3 never appears
+    for r in out:
+        assert 2 <= r["n_docs"] <= 3
+        assert r["min_doc"] == 1
+    # the 10-token boilerplate contains exactly 3 distinct 8-token windows,
+    # each shared by docs 1, 2 and 4
+    shared_all = [r for r in out if r["n_docs"] == 3]
+    assert len(shared_all) == 3
+    assert len(by_fp) == len(out)  # fingerprints unique in the output

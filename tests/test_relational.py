@@ -181,3 +181,33 @@ def test_bucketed_semi_anti_with_null_keys():
     anti = bucketed_join(left, right, on="k", how="anti").take_all()
     # NOT EXISTS: null-key left row is kept (null never matches)
     assert sorted(r["v"] for r in anti) == [1, 3, 4]
+
+
+def test_bucketed_join_outer_both_sides_and_null_keys():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, None], pa.int64()),
+        "lv": pa.array([10, 20, 30, 40], pa.int64()),
+    })).repartition(2)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3, 5, None], pa.int64()),
+        "rv": pa.array([200, 300, 500, 600], pa.int64()),
+    })).repartition(2)
+    out = bucketed_join(left, right, on="k", how="outer").to_pandas()
+    # matched: k=2, k=3; left-only: k=1 and the null-key left row;
+    # right-only: k=5 and the null-key right row (null never matches null)
+    assert len(out) == 6
+    matched = out[out["lv"].notna() & out["rv"].notna()]
+    assert sorted(matched["lv"].astype(int)) == [20, 30]
+    left_only = out[out["rv"].isna()]
+    assert sorted(left_only["lv"].astype(int)) == [10, 40]
+    right_only = out[out["lv"].isna()]
+    assert sorted(right_only["rv"].astype(int)) == [500, 600]
+    # right key survives (k_r) so right-only rows still carry their key
+    assert "k_r" in out.columns
+    k5 = out[out["rv"] == 500]
+    assert int(k5["k_r"].iloc[0]) == 5

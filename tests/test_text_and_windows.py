@@ -269,3 +269,42 @@ def test_sliding_time_sum_boundaries_and_peers():
     # the t=11 event (chunk 1) must see the t=1 and t=9 events from chunk 0
     assert got[2] == (10 + 11 + 12, 3)
     assert got[10] == (3, 2) and got[11] == (3, 2)
+
+
+def test_running_total_per_key_chunks_peers_and_whale():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.windows import running_total_per_key
+
+    rows = []
+    # user 1: events across 4 day-chunks (chunk_s=10 s here), incl. equal-ts
+    # peers inside one chunk and a chunk with several events
+    ts_list = [1, 2, 2, 9, 11, 25, 31, 31, 38]
+    for i, t in enumerate(ts_list):
+        rows.append({"event_id": i, "ts": t * 1_000_000, "user_id": 1, "v": i + 1})
+    # user 2: whale with 50 events spread over many chunks
+    for j in range(50):
+        rows.append(
+            {"event_id": 100 + j, "ts": j * 3_000_000, "user_id": 2, "v": 2 * j + 1}
+        )
+    tbl = pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "v": pa.array([r["v"] for r in rows], pa.int64()),
+    })
+    ds = rd.from_arrow(tbl).repartition(5)
+    out = running_total_per_key(ds, value_col="v", chunk_s=10)
+    got = {r["event_id"]: r["run"] for r in out.take_all()}
+    assert len(got) == len(rows)
+    # brute-force RANGE-frame reference: sum of all same-user v with ts' <= ts
+    for r in rows:
+        want = sum(
+            q["v"] for q in rows
+            if q["user_id"] == r["user_id"] and q["ts"] <= r["ts"]
+        )
+        assert got[r["event_id"]] == want, r
+    # equal-ts peers share the running value (RANGE, not ROWS, semantics)
+    assert got[1] == got[2] == 1 + 2 + 3
