@@ -494,6 +494,39 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def orders_cube(sf_dir: str):
+    """All-subsets subtotals (SQL CUBE) over orders: every grouping set of
+    {status, priority} incl. the priority-only marginal ROLLUP lacks.
+    The input is aggregated once; the 2^k−1 coarser sets re-aggregate the
+    tiny finest table (stages/reshape.py cube_sum)."""
+    from code_graph_rag_ray.stages.reshape import cube_sum
+
+    ds = _pq(sf_dir, "orders",
+             ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table(
+            {"o_orderstatus": b["o_orderstatus"],
+             "o_orderpriority": b["o_orderpriority"], "cents": c}
+        )
+
+    return cube_sum(ds.map_batches(cents, batch_format="pyarrow"),
+                    ["o_orderstatus", "o_orderpriority"], "cents",
+                    out_col="total_cents")
+
+
+ORDERS_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def doc_pivot_sources(sf_dir: str):
     """Long → wide reshaping: per-lang character volume pivoted to one
     column per source (stages/reshape.py pivot_sum) — a single two-phase
@@ -738,6 +771,79 @@ FROM (SELECT user_id, count(*)::BIGINT AS n_events
       FROM events GROUP BY user_id) e
 FULL OUTER JOIN customer c ON e.user_id = c.c_custkey
 """
+
+
+def events_type_distinct_users(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): distinct users per event_type — the
+    exact companion of the HLL sketch (events_user_hll). Two-phase:
+    batch-local (type, user) dedup shrinks the exchange by the local
+    duplication factor, ONE groupby dedups globally, then a combiner
+    count. The sketch answers the same question in O(registers); this
+    path is for when the answer must be exact."""
+    from code_graph_rag_ray.stages.materialize import exact_dedup
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+    pairs = exact_dedup(ds, keys=["event_type", "user_id"],
+                        columns=["event_type", "user_id"])
+    return partial_groupby_sum(pairs, ["event_type"], {}, count_alias="n_users")
+
+
+EVENTS_TYPE_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def events_salted_segment_counts(sf_dir: str):
+    """Whale-key-salted fact⋈dimension join: events ⋈ customer on
+    user_id = c_custkey with the head users salted across 8 sub-keys
+    (stages/skew.salted_join — hot LEFT rows split, matching right rows
+    replicated once per salt), then a two-phase segment count. The salt is
+    invisible in the result: the oracle is the plain inner join."""
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+    from code_graph_rag_ray.stages.skew import salted_join
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_type"])
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    # a deterministic "known-hot" set (in production: a prior heavy-hitter
+    # pass / count sample); correctness never depends on the choice
+    j = salted_join(ev, cust, on="user_id", right_on="c_custkey",
+                    hot_keys=[1, 2, 3, 5, 8], salt_factor=8)
+    return partial_groupby_sum(j, ["c_mktsegment"], {}, count_alias="n_events")
+
+
+EVENTS_SALTED_SEGMENT_COUNTS_SQL = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def doc_profile(sf_dir: str):
+    """Per-column table profiling over documents (stages/profile.py): row
+    count, null count, exact distinct count, lexicographic min/max — the
+    first pass a curation pipeline runs on a new data drop. One streaming
+    long-format pass with batch-local pre-reduction per branch; the final
+    assembly is O(columns) rows."""
+    from code_graph_rag_ray.stages.profile import profile_table
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    return profile_table(ds, ["doc_id", "lang", "source", "n_chars"])
+
+
+_PROFILE_COL_SQL = """
+SELECT '{c}' AS col, count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_s,
+       max(CAST({c} AS VARCHAR)) AS max_s
+FROM documents
+"""
+
+DOC_PROFILE_SQL = " UNION ALL ".join(
+    _PROFILE_COL_SQL.format(c=c) for c in ["doc_id", "lang", "source", "n_chars"]
+)
 
 
 def events_hopping(sf_dir: str):
@@ -2542,6 +2648,10 @@ QUERIES = {
     "events_user_mode": events_user_mode,
     "doc_dup_spans": doc_dup_spans,
     "events_customer_outer": events_customer_outer,
+    "events_type_distinct_users": events_type_distinct_users,
+    "orders_cube": orders_cube,
+    "events_salted_segment_counts": events_salted_segment_counts,
+    "doc_profile": doc_profile,
     "events_sessions": events_sessions,
     "doc_mentions": doc_mentions,
     "doc_triples": doc_triples,
@@ -2625,6 +2735,10 @@ ORACLES = {
     "events_user_mode": EVENTS_USER_MODE_SQL,
     "doc_dup_spans": DOC_DUP_SPANS_SQL,
     "events_customer_outer": EVENTS_CUSTOMER_OUTER_SQL,
+    "events_type_distinct_users": EVENTS_TYPE_DISTINCT_USERS_SQL,
+    "orders_cube": ORDERS_CUBE_SQL,
+    "events_salted_segment_counts": EVENTS_SALTED_SEGMENT_COUNTS_SQL,
+    "doc_profile": DOC_PROFILE_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,

@@ -91,6 +91,55 @@ def rollup_sum(
     )
 
 
+def cube_sum(
+    ds: Dataset, keys: list[str], value_col: str, *, out_col: str = "total"
+) -> Dataset:
+    """SUM(value) GROUP BY CUBE(keys): one row per SUBSET of ``keys``
+    (all 2^k grouping sets), absent keys NULL-filled — ROLLUP's
+    all-subsets sibling. Same scale story: the input is aggregated ONCE
+    into the finest level; every other grouping set re-aggregates the
+    finest output (group-cardinality-sized), so 2^k sets cost 2^k cheap
+    passes over the SMALL table, never over the data. Key columns must be
+    strings; values int64 (exactly re-aggregatable)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    finest = partial_groupby_sum(ds, keys, {value_col: out_col}).materialize()
+    levels = [
+        finest.map_batches(
+            lambda b: b.select(keys + [out_col]), batch_format="pyarrow"
+        )
+    ]
+    n = len(keys)
+    for mask in range(2**n - 2, -1, -1):  # every proper subset, incl. {}
+        kept = [k for i, k in enumerate(keys) if mask & (1 << i)]
+        dropped = [k for k in keys if k not in kept]
+        if kept:
+            sub = partial_groupby_sum(finest, kept, {out_col: out_col})
+
+            def fill(b: pa.Table, _kept=tuple(kept), _dropped=tuple(dropped)) -> pa.Table:
+                cols = {}
+                for k in keys:
+                    cols[k] = b[k] if k in _kept else pa.nulls(len(b), pa.string())
+                cols[out_col] = b[out_col]
+                return pa.table(cols)
+
+            levels.append(sub.map_batches(fill, batch_format="pyarrow"))
+        else:
+            total = finest.aggregate(Sum(out_col, alias_name=out_col))[out_col]
+            grand = pa.table(
+                {**{k: pa.nulls(1, pa.string()) for k in keys},
+                 out_col: pa.array([total])}
+            )
+            levels.append(rd.from_arrow(grand))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out.map_batches(
+        lambda b: b.select(keys + [out_col]), batch_format="pyarrow"
+    )
+
+
 def pivot_sum(
     ds: Dataset,
     index: str,

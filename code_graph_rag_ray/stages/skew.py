@@ -103,3 +103,92 @@ def salted_topk_per_key(
         return top[[key, item, "n", "rank"]]
 
     return partial.groupby(key).map_groups(merge_topk, batch_format="pandas")
+
+
+def salted_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    hot_keys: list,
+    salt_factor: int = 16,
+    num_buckets: int | None = None,
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
+) -> Dataset:
+    """Inner equi-join with whale-key salting — the skew escape hatch for
+    ``bucketed_join`` (whose hash buckets put ALL rows of one key in one
+    cogroup task: a wikipedia.org-scale key makes that task the straggler
+    or OOMs it).
+
+    Rows of the ``hot_keys`` on the probe (left) side are salted into
+    ``salt_factor`` sub-keys (round-robin — the join result is
+    salt-agnostic, every sub-key still meets the full right match set);
+    the matching build (right) rows are REPLICATED once per salt. Cold
+    keys pay nothing. Replication cost = |right hot rows| × salt_factor —
+    the standard trade: use it when the hot keys' LEFT volume dwarfs their
+    right match count (fact×dimension joins), with ``hot_keys`` found by a
+    cheap count sample or a prior heavy-hitter pass (stages/skew.global_topk).
+
+    Inner joins only: an unmatched salted left row would otherwise emit
+    ``salt_factor`` copies of its null-padded row under left/outer
+    semantics.
+    """
+    import pyarrow.compute as pc
+
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    rkey = right_on or on
+    hot = {str(k) for k in hot_keys}
+    sep = "\x1e"  # record separator: cannot appear in crc/int keys
+
+    hot_arr = pa.array(sorted(hot), pa.string())
+
+    def salt_left(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        key = pc.cast(b[on], pa.string())
+        is_hot = pc.is_in(key, value_set=hot_arr)
+        salts = (np.arange(b.num_rows) % salt_factor).astype("U")
+        salted = pc.binary_join_element_wise(key, pa.array(salts, pa.string()), sep)
+        out = pc.if_else(is_hot, salted, key)
+        return b.append_column("__sk", out)
+
+    def salt_right(b: pa.Table) -> pa.Table:
+        key = pc.cast(b[rkey], pa.string())
+        is_hot = pc.is_in(key, value_set=hot_arr)
+        cold_mask = pc.invert(is_hot)
+        cold = b.filter(cold_mask).append_column("__sk", key.filter(cold_mask))
+        hot_tbl = b.filter(is_hot)
+        reps = [cold]
+        hk = pc.cast(hot_tbl[rkey], pa.string())
+        for s in range(salt_factor):
+            reps.append(
+                hot_tbl.append_column(
+                    "__sk",
+                    pc.binary_join_element_wise(
+                        hk, pa.array([str(s)] * hot_tbl.num_rows, pa.string()), sep
+                    ),
+                )
+            )
+        return pa.concat_tables(reps)
+
+    ls = rs = None
+    if left_schema is not None:
+        ls = pa.schema(list(zip(left_schema.names, left_schema.types))
+                       + [("__sk", pa.string())])
+    if right_schema is not None:
+        rs = pa.schema(list(zip(right_schema.names, right_schema.types))
+                       + [("__sk", pa.string())])
+    joined = bucketed_join(
+        left.map_batches(salt_left, batch_format="pyarrow"),
+        right.map_batches(salt_right, batch_format="pyarrow"),
+        on="__sk", how="inner", num_buckets=num_buckets,
+        left_schema=ls, right_schema=rs,
+    )
+    drop = ["__sk"] + ([rkey + "_r"] if rkey == on else [rkey])
+    return joined.map_batches(
+        lambda b: b.drop_columns([c for c in drop if c in b.column_names]),
+        batch_format="pyarrow",
+    )

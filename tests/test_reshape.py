@@ -39,3 +39,21 @@ def test_pivot_fills_zero_and_ignores_unknown():
            pivot_sum(ds, "k1", "k2", "v", ["x", "y", "z"]).take_all()}
     assert out["a"]["x"] == 11 and out["a"]["y"] == 100 and out["a"]["z"] == 0
     assert out["b"]["x"] == 1000 and out["b"]["y"] == 0 and out["b"]["z"] == 10000
+
+
+def test_cube_all_grouping_sets_exact():
+    from code_graph_rag_ray.stages.reshape import cube_sum
+
+    for blocks in (1, 4):
+        ds = rd.from_arrow(pa.Table.from_pylist(ROWS)).repartition(blocks)
+        out = cube_sum(ds, ["k1", "k2"], "v").take_all()
+        got = {(r["k1"], r["k2"]): r["total"] for r in out}
+        assert got == {
+            ("a", "x"): 11, ("a", "y"): 100, ("b", "x"): 1000,
+            ("b", "z"): 10000,
+            ("a", None): 111, ("b", None): 11000,
+            # the k2-only marginals ROLLUP does not produce
+            (None, "x"): 1011, (None, "y"): 100, (None, "z"): 10000,
+            (None, None): 11111,
+        }
+        assert len(out) == 10

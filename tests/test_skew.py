@@ -61,3 +61,29 @@ def test_global_topk_exact_across_blocks():
     assert out.sort_values("rank").term.tolist() == df.term.tolist()
     assert out.sort_values("rank").n.tolist() == df.n.tolist()
     assert out["rank"].tolist() == list(range(1, 11))
+
+
+def test_salted_join_whale_key_matches_plain_join():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.relational import bucketed_join
+    from code_graph_rag_ray.stages.skew import salted_join
+
+    # whale key 7: 5000 left rows; cold keys 1..9: a handful each
+    lk = np.r_[np.full(5000, 7), np.arange(1, 10).repeat(3)].astype(np.int64)
+    lv = np.arange(len(lk), dtype=np.int64)
+    left = rd.from_arrow(pa.table({"k": lk, "lv": lv})).repartition(8)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(1, 10)) + [None], pa.int64()),
+        "rv": pa.array([x * 10 for x in range(1, 10)] + [999], pa.int64()),
+    })).repartition(2)
+
+    got = salted_join(left, right, on="k", hot_keys=[7], salt_factor=8).to_pandas()
+    want = bucketed_join(left, right, on="k", how="inner").to_pandas()
+    assert len(got) == len(want) == 5000 + 9 * 3
+    key_cols = ["k", "lv", "rv"]
+    a = got[key_cols].sort_values(key_cols).reset_index(drop=True)
+    b = want[key_cols].sort_values(key_cols).reset_index(drop=True)
+    assert a.equals(b)
