@@ -1908,6 +1908,43 @@ def page_degree(sf_dir: str):
     return degree_stats(internal, src="src_url", dst="dst_url")
 
 
+def page_bfs_hops(sf_dir: str):
+    """Multi-source frontier BFS over the links_to graph: minimum hop
+    distance from the lexicographically LARGEST page url (a leaf of the
+    doc_id//2 link tree — the min would be the self-looped root),
+    undirected, ≤ 6 hops (stages/graph_metrics.bfs_hops — per-round
+    message volume is the frontier's out-edges only, O(edges) total
+    across rounds). Oracle: DuckDB recursive CTE (bounded-depth closure,
+    min(d) per node)."""
+    from ray.data.aggregate import Max
+
+    from code_graph_rag_ray.stages.graph_metrics import bfs_hops
+
+    _pages, internal = _internal_link_graph(sf_dir)
+    internal = internal.materialize()  # consumed twice: seed scan + BFS
+    seed = internal.aggregate(Max("src_url", alias_name="m"))["m"]
+    return bfs_hops(internal, [seed], src="src_url", dst="dst_url",
+                    max_hops=6, undirected=True)
+
+
+PAGE_BFS_HOPS_SQL = """
+WITH RECURSIVE p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1
+  FROM documents),
+l AS (SELECT a.url AS src_url, a.t1 AS dst_url
+      FROM p a JOIN (SELECT url FROM p) b ON a.t1 = b.url),
+e AS (SELECT src_url AS a, dst_url AS b FROM l
+      UNION SELECT dst_url, src_url FROM l),
+r(node, d) AS (
+  SELECT (SELECT max(src_url) FROM l), 0
+  UNION
+  SELECT e.b, r.d + 1 FROM r JOIN e ON e.a = r.node WHERE r.d < 6
+)
+SELECT node, min(d)::BIGINT AS hops FROM r GROUP BY node
+"""
+
+
 PAGE_DEGREE_SQL = """
 WITH p AS (
   SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
@@ -2652,6 +2689,7 @@ QUERIES = {
     "orders_cube": orders_cube,
     "events_salted_segment_counts": events_salted_segment_counts,
     "doc_profile": doc_profile,
+    "page_bfs_hops": page_bfs_hops,
     "events_sessions": events_sessions,
     "doc_mentions": doc_mentions,
     "doc_triples": doc_triples,
@@ -2739,6 +2777,7 @@ ORACLES = {
     "orders_cube": ORDERS_CUBE_SQL,
     "events_salted_segment_counts": EVENTS_SALTED_SEGMENT_COUNTS_SQL,
     "doc_profile": DOC_PROFILE_SQL,
+    "page_bfs_hops": PAGE_BFS_HOPS_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,

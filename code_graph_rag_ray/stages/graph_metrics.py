@@ -262,3 +262,108 @@ def triangles(edges: Dataset, *, a: str = "a", b: str = "b") -> Dataset:
                          "tc": pa.array(tc, pa.string())})
 
     return closed.map_batches(finish, batch_format="pyarrow")
+
+
+def bfs_hops(
+    edges: Dataset,
+    seeds: list[str],
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+    undirected: bool = True,
+) -> Dataset:
+    """(node, hops): minimum hop distance from the seed set, bounded by
+    ``max_hops`` — distributed frontier BFS (multi-source, unit weights).
+
+    The frontier discipline is the scale decision: each round ships ONLY
+    the nodes settled in the previous round (their final distance IS the
+    round number under unit weights), never the whole distance table, so
+    total message volume across all rounds is O(edges) — a full
+    Bellman-Ford relaxation per round would be O(edges × rounds). Each
+    round is one bucketed cogroup (frontier ⋈ out-edges, the
+    components.py pattern — Dataset.join stays banned per NOTES.md fact 1)
+    plus a groupby-min fold into the running distance table; convergence =
+    an empty frontier.
+
+    Reference parity: the reference answers reachability questions with
+    Memgraph path queries (``graph_service.py`` traversal Cypher); this is
+    the corpus-scale in-engine equivalent over the link graph.
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from code_graph_rag_ray.functions.hashing import partition_ids
+
+    def keyed(b: pa.Table) -> pa.Table:
+        fwd = pa.table({"key": pc.cast(b[src], pa.string()),
+                        "nbr": pc.cast(b[dst], pa.string())})
+        if not undirected:
+            return fwd
+        rev = pa.table({"key": pc.cast(b[dst], pa.string()),
+                        "nbr": pc.cast(b[src], pa.string())})
+        return pa.concat_tables([fwd, rev])
+
+    def with_bucket(ds: Dataset, col: str) -> Dataset:
+        return ds.map_batches(
+            lambda b: b.append_column(
+                "bucket", pa.array(partition_ids(b[col], 32), pa.int32())
+            ),
+            batch_format="pyarrow",
+        )
+
+    adj = with_bucket(edges.map_batches(keyed, batch_format="pyarrow"), "key").materialize()
+
+    dist = rd.from_arrow(
+        pa.table({"node": pa.array(sorted(set(seeds)), pa.string()),
+                  "hops": pa.array([0] * len(set(seeds)), pa.int64())})
+    ).materialize()
+    frontier = dist
+
+    for r in range(max_hops):
+        f_rows = with_bucket(
+            frontier.map_batches(
+                lambda b: pa.table(
+                    {"key": b["node"], "nbr": pa.nulls(b.num_rows, pa.string()),
+                     "__f": pa.array(np.ones(b.num_rows, np.int8))}
+                ),
+                batch_format="pyarrow",
+            ),
+            "key",
+        )
+        e_rows = adj.map_batches(
+            lambda b: b.append_column("__f", pa.nulls(b.num_rows, pa.int8())),
+            batch_format="pyarrow",
+        )
+
+        def msgs_fn(g: pd.DataFrame, _d=r + 1) -> pd.DataFrame:
+            f = g[g["__f"].notna()][["key"]].drop_duplicates()
+            e = g[g["__f"].isna()][["key", "nbr"]]
+            m = e.merge(f, on="key")[["nbr"]].drop_duplicates()
+            return pd.DataFrame({"node": m["nbr"], "hops": _d})
+
+        msgs = (
+            e_rows.union(f_rows)
+            .groupby("bucket")
+            .map_groups(msgs_fn, batch_format="pandas")
+        )
+        # NOTES.md fact 23: EMPTY sorted partitions emit schema-less
+        # PANDAS blocks that BYPASS fused downstream maps — msgs cannot be
+        # normalized to Arrow. Make the union uniformly pandas instead
+        # (identity pandas map on dist); a single-type union with
+        # schema-less empties aggregates fine (the CC pipeline's shape).
+        dist_p = dist.map_batches(
+            lambda df: df, batch_format="pandas", batch_size=None
+        )
+        new_dist = (
+            dist_p.union(msgs)
+            .groupby("node")
+            .aggregate(Min("hops", alias_name="hops"))
+            .materialize()
+        )
+        frontier = new_dist.filter(expr=f"hops == {r + 1}").materialize()
+        dist = new_dist
+        if frontier.count() == 0:
+            break
+    return dist

@@ -79,3 +79,41 @@ def test_degree_stats():
             for r in degree_stats(e).take_all()}
     assert rows == {"a": (2, 2), "b": (1, 1), "c": (2, 2)}
     assert all(isinstance(v[0], (int, np.integer)) for v in rows.values())
+
+
+def test_bfs_hops_tree_layers_and_bound():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.graph_metrics import bfs_hops
+
+    # binary-heap tree edges i -> i//2 (i = 1..19), BFS from leaf n19
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([f"n{i}" for i in range(1, 20)], pa.string()),
+        "dst": pa.array([f"n{i//2}" for i in range(1, 20)], pa.string()),
+    })).repartition(3)
+    out = {r["node"]: int(r["hops"]) for r in
+           bfs_hops(edges, ["n19"], max_hops=6).take_all()}
+    # brute-force undirected BFS reference
+    import collections
+    adj = collections.defaultdict(set)
+    for i in range(1, 20):
+        adj[f"n{i}"].add(f"n{i//2}")
+        adj[f"n{i//2}"].add(f"n{i}")
+    want, frontier = {"n19": 0}, ["n19"]
+    for d in range(1, 7):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in want:
+                    want[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    assert out == want
+    assert max(out.values()) == 6  # bound reached, never exceeded
+    # multi-source: both leaves seed at 0; distances are the min over seeds
+    out2 = {r["node"]: int(r["hops"]) for r in
+            bfs_hops(edges, ["n19", "n15"], max_hops=3).take_all()}
+    assert out2["n19"] == 0 and out2["n15"] == 0
+    assert out2["n7"] == 1 and out2["n9"] == 1
+    assert all(d <= 3 for d in out2.values())
