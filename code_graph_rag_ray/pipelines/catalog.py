@@ -1001,6 +1001,103 @@ JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
+def cooccur_kcore(sf_dir: str):
+    """k-core (k=3) of the entity co-occurrence graph — iterative peeling
+    (stages/graph_metrics.k_core), 4 bounded rounds. Oracle parity by
+    construction: the SQL unrolls the SAME 4 peel rounds; at a fixed
+    point further rounds are identity on both sides, so early exit and
+    full unroll agree bit-for-bit."""
+    from code_graph_rag_ray.stages.cooccur import entity_cooccurrence
+    from code_graph_rag_ray.stages.graph_metrics import k_core
+
+    edges = entity_cooccurrence(doc_mentions(sf_dir)).select_columns(["a", "b"])
+    return k_core(edges, k=3, max_iter=4)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    parts = [
+        "s0 AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS (SELECT node, count(*)::BIGINT AS deg "
+            f"FROM s{i-1} GROUP BY node)"
+        )
+        parts.append(f"n{i} AS (SELECT node FROM d{i} WHERE deg >= {k})")
+        parts.append(
+            f"s{i} AS (SELECT s.node, s.nbr FROM s{i-1} s "
+            f"JOIN n{i} x ON s.node = x.node JOIN n{i} y ON s.nbr = y.node)"
+        )
+    d = rounds + 1
+    parts.append(
+        f"d{d} AS (SELECT node, count(*)::BIGINT AS deg "
+        f"FROM s{rounds} GROUP BY node)"
+    )
+    body = ",\n".join(parts)
+    return f",\n{body}\nSELECT node, deg FROM d{d} WHERE deg >= {k}"
+
+
+COOCCUR_KCORE_SQL = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, w AS e
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w IN {_ENT_SQL}),
+e AS (
+  SELECT DISTINCT x.e AS a, y.e AS b
+  FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.e < y.e){_kcore_sql(3, 4)}
+"""
+
+
+def events_value_variance(sf_dir: str):
+    """Grouped population variance via exact integer moments: one
+    two-phase pass accumulates (n, Σcents, Σcents²) per event_type; the
+    variance is formed from the moments on the group-cardinality-sized
+    output with ONE division — var = (n·Σv² − (Σv)²) / n², every operand
+    an exact integer (bounds: |Σv| ≤ 2^30, Σv² ≤ 2^47 at this scale, the
+    products fit int64/HUGEINT on both sides), so the single IEEE divide
+    is bit-identical to the oracle's."""
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        c = _cents(b["value"])
+        return pa.table(
+            {"event_type": b["event_type"], "v": c,
+             "v2": pc.multiply(c, c)}
+        )
+
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+
+    sums = partial_groupby_sum(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["event_type"], {"v": "sum_c", "v2": "sumsq_c"}, count_alias="n",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # python ints: the cross-moment products must not wrap int64
+        var = [
+            float(int(n) * int(s2) - int(s) * int(s)) / float(int(n) * int(n))
+            for n, s, s2 in zip(df["n"], df["sum_c"], df["sumsq_c"])
+        ]
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "n": df["n"].astype("int64"),
+             "var_cents2": var}
+        )
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_VALUE_VARIANCE_SQL = """
+WITH m AS (
+  SELECT event_type, count(*)::HUGEINT AS n,
+         sum(CAST(round(value * 100) AS BIGINT))::HUGEINT AS s,
+         sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))::HUGEINT AS s2
+  FROM events GROUP BY event_type)
+SELECT event_type, n::BIGINT AS n,
+       CAST(n * s2 - s * s AS DOUBLE) / CAST(n * n AS DOUBLE) AS var_cents2
+FROM m
+"""
+
+
 def events_user_cms(sf_dir: str):
     """Count-min sketch of per-user event frequencies (stages/sketch.py
     cms_counts): mergeable counter matrix via one two-phase grouped sum —
@@ -2365,6 +2462,31 @@ FROM fps GROUP BY fp HAVING count(*) >= 2
 """
 
 
+def doc_reservoir_per_lang(sf_dir: str):
+    """Deterministic exact-k per-stratum sample: each lang's 5 docs with
+    the smallest (md5_low32(doc_id), doc_id) rank
+    (stages/sampling.reservoir_per_key) — partitioning-independent and
+    SQL-replayable, where a true reservoir is arrival-order dependent.
+    Block-local per-group truncation keeps a whale stratum's exchange at
+    O(blocks × k)."""
+    from code_graph_rag_ray.stages.sampling import reservoir_per_key
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang"])
+    return reservoir_per_key(ds, key_col="lang", id_col="doc_id", k=5)
+
+
+DOC_RESERVOIR_PER_LANG_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT,
+                    doc_id) AS rk
+  FROM documents)
+WHERE rk <= 5
+"""
+
+
 def doc_split_leaks(sf_dir: str):
     """Decontamination: 8-token-prefix fingerprints spanning ≥2 of the
     train/val/test splits — the rows a curation pipeline quarantines."""
@@ -2690,6 +2812,9 @@ QUERIES = {
     "events_salted_segment_counts": events_salted_segment_counts,
     "doc_profile": doc_profile,
     "page_bfs_hops": page_bfs_hops,
+    "doc_reservoir_per_lang": doc_reservoir_per_lang,
+    "cooccur_kcore": cooccur_kcore,
+    "events_value_variance": events_value_variance,
     "events_sessions": events_sessions,
     "doc_mentions": doc_mentions,
     "doc_triples": doc_triples,
@@ -2778,6 +2903,9 @@ ORACLES = {
     "events_salted_segment_counts": EVENTS_SALTED_SEGMENT_COUNTS_SQL,
     "doc_profile": DOC_PROFILE_SQL,
     "page_bfs_hops": PAGE_BFS_HOPS_SQL,
+    "doc_reservoir_per_lang": DOC_RESERVOIR_PER_LANG_SQL,
+    "cooccur_kcore": COOCCUR_KCORE_SQL,
+    "events_value_variance": EVENTS_VALUE_VARIANCE_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,

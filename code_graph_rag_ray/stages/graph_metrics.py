@@ -367,3 +367,73 @@ def bfs_hops(
         if frontier.count() == 0:
             break
     return dist
+
+
+def k_core(
+    edges: Dataset,
+    *,
+    k: int = 2,
+    a: str = "a",
+    b: str = "b",
+    max_iter: int = 16,
+) -> Dataset:
+    """k-core decomposition membership: (node, deg) for every node of the
+    maximal subgraph where all degrees ≥ k — iterative peeling (remove
+    sub-k nodes, recompute, repeat to fixed point).
+
+    Each round is one two-phase degree count plus two bucketed SEMI joins
+    (edges ⋉ surviving nodes on each endpoint — only the key column
+    crosses the shuffle); the edge table shrinks monotonically, so later
+    rounds get cheaper. Peeling depth is data-dependent: rounds are capped
+    at ``max_iter`` with an early exit at the fixed point; an uncapped
+    pathological chain peels one layer per round (the standard bound), so
+    callers on adversarial graphs should raise the cap. Convergence is
+    checked on the SURVIVOR COUNT, which strictly decreases until fixed.
+
+    The density screen a link-graph curation pass runs to find the
+    boilerplate/link-farm core that degree thresholds alone miss.
+    """
+    from code_graph_rag_ray.stages.relational import bucketed_join, partial_groupby_sum
+
+    sym = _symmetrize_ab(edges, a, b).materialize()
+    cur = sym
+    prev_nodes = -1
+    for _ in range(max_iter):
+        deg = partial_groupby_sum(
+            cur.select_columns(["node"]), ["node"], {}, count_alias="deg"
+        )
+        keep = deg.filter(expr=f"deg >= {k}").materialize()
+        n_keep = keep.count()
+        if n_keep == 0:
+            return keep.select_columns(["node", "deg"])
+        if n_keep == prev_nodes:
+            return keep.select_columns(["node", "deg"])
+        prev_nodes = n_keep
+        keep_nodes = keep.select_columns(["node"])
+        cur = bucketed_join(
+            cur, keep_nodes, on="node", how="semi",
+            left_schema=pa.schema([("node", pa.string()), ("nbr", pa.string())]),
+            right_schema=pa.schema([("node", pa.string())]),
+        )
+        cur = bucketed_join(
+            cur, keep_nodes, on="nbr", right_on="node", how="semi",
+            left_schema=pa.schema([("node", pa.string()), ("nbr", pa.string())]),
+            right_schema=pa.schema([("node", pa.string())]),
+        ).materialize()
+    # cap reached: report degrees over the last peeled graph (a SUPERSET
+    # of the true core; log-visible via the deg column)
+    final = partial_groupby_sum(
+        cur.select_columns(["node"]), ["node"], {}, count_alias="deg"
+    )
+    return final.filter(expr=f"deg >= {k}")
+
+
+def _symmetrize_ab(edges: Dataset, a: str, b: str) -> Dataset:
+    def both(t: pa.Table) -> pa.Table:
+        fwd = pa.table({"node": pc.cast(t[a], pa.string()),
+                        "nbr": pc.cast(t[b], pa.string())})
+        rev = pa.table({"node": pc.cast(t[b], pa.string()),
+                        "nbr": pc.cast(t[a], pa.string())})
+        return pa.concat_tables([fwd, rev])
+
+    return edges.map_batches(both, batch_format="pyarrow")

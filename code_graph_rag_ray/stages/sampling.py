@@ -185,3 +185,35 @@ def cross_split_leaks(
         return b.filter(pc.greater(nz, 1))
 
     return counts.map_batches(leaks_only, batch_format="pyarrow")
+
+
+def reservoir_per_key(
+    ds: Dataset,
+    *,
+    key_col: str,
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> Dataset:
+    """Deterministic exact-k per-key sample — the distributed stand-in for
+    per-stratum reservoir sampling: keep each key's k rows with the
+    SMALLEST (md5_low32(id), id) rank. The md5 order is uniform-ish and
+    content-determined (same sample at any parallelism/partitioning, and
+    SQL-replayable via the usual md5-low32 expression), unlike a true
+    reservoir whose result depends on arrival order. Exact k per stratum,
+    where stratified_sample gives a per-row keep PROBABILITY.
+
+    Scale shape = grouped_top_k: each block truncates to k rows per key
+    locally, so a whale stratum exchanges O(blocks × k) rows.
+    """
+    from code_graph_rag_ray.stages.relational import grouped_top_k
+
+    def add_rank(b: pa.Table) -> pa.Table:
+        h = md5_low32_array(b[id_col]).astype(np.int64)
+        return b.append_column("__h", pa.array(h, pa.int64()))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    out = grouped_top_k(ranked, key_col, "__h", k, descending=False,
+                        tiebreak=id_col)
+    return out.map_batches(
+        lambda b: b.drop_columns(["__h"]), batch_format="pyarrow"
+    )

@@ -117,3 +117,32 @@ def test_bfs_hops_tree_layers_and_bound():
     assert out2["n19"] == 0 and out2["n15"] == 0
     assert out2["n7"] == 1 and out2["n9"] == 1
     assert all(d <= 3 for d in out2.values())
+
+
+def test_k_core_peels_tails_and_keeps_clique():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.graph_metrics import k_core
+
+    # K4 clique (a..d) with a pendant path d-e-f and a star hub g->h,i,j
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("e", "f"),
+             ("g", "h"), ("g", "i"), ("g", "j")]
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.string()),
+        "b": pa.array([p[1] for p in pairs], pa.string()),
+    })).repartition(3)
+
+    core3 = {r["node"]: int(r["deg"]) for r in k_core(edges, k=3).take_all()}
+    # 3-core = the K4 clique alone (peeling must cascade: e survives the
+    # first degree count? no — deg(e)=2 < 3; then d drops to 3 ✓)
+    assert core3 == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    core2 = {r["node"] for r in k_core(edges, k=2).take_all()}
+    # 2-core: path tail f (deg 1) peels, then e (deg 1) peels, then d's
+    # degree is still 3; star g,h,i,j all peel (leaves first, then hub)
+    assert core2 == {"a", "b", "c", "d"}
+
+    core5 = k_core(edges, k=5).take_all()
+    assert core5 == []
