@@ -163,7 +163,9 @@ def run_bench() -> dict:
                      "doc_embeddings", "events_attribution",
                      "events_session_assign", "doc_global_rank",
                      "doc_cooccurrence", "events_user_hll",
-                     "orders_bloom_building", "orders_rollup"):
+                     "orders_bloom_building", "orders_rollup",
+                     "events_running_total", "doc_dup_spans",
+                     "page_bfs_hops", "events_salted_segment_counts"):
             t0 = time.perf_counter()
             res = catalog.QUERIES[name](sf_dir)
             if hasattr(res, "count"):
