@@ -2638,6 +2638,28 @@ FROM h"""
 DOC_LANG_PRED_SQL = _lang_pred_sql()
 
 
+def media_frames(sf_dir: str):
+    """Video frame sampling (stages/multimodal.sample_frames): actor-pool
+    stage, one row per sampled frame at a fixed stride capped at 16
+    evenly-spaced picks per video — the sampling POLICY is real and
+    deterministic; the frame decode kernel is the stubbed fake (rows-only
+    query; the policy is pinned by pytest)."""
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.multimodal import make_fake_media_table, sample_frames
+
+    del sf_dir  # media corpus is generated deterministically (seeded)
+    ds = rd.from_arrow(make_fake_media_table(256))
+    out = sample_frames(ds, every_ms=1000, max_frames=16)
+    return out.map_batches(
+        lambda b: pa.table(
+            {"media_id": b["media_id"], "frame_idx": b["frame_idx"],
+             "ts_ms": b["ts_ms"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def media_features(sf_dir: str):
     """Multimodal plumbing: deterministic fake media corpus → actor-pool
     decode → feature rows (decode kernels are stubbed; see
@@ -2815,6 +2837,7 @@ QUERIES = {
     "doc_reservoir_per_lang": doc_reservoir_per_lang,
     "cooccur_kcore": cooccur_kcore,
     "events_value_variance": events_value_variance,
+    "media_frames": media_frames,
     "events_sessions": events_sessions,
     "doc_mentions": doc_mentions,
     "doc_triples": doc_triples,

@@ -106,3 +106,91 @@ def make_fake_media_table(n: int = 64, seed: int = 5) -> pa.Table:
             }
         )
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage for video rows — one row per sampled
+    frame: (media_id, frame_idx, ts_ms, frame_feature).
+
+    Sampling policy is REAL and deterministic: frames at a fixed
+    ``every_ms`` stride across ``duration_ms``, capped at ``max_frames``
+    evenly-spaced picks (the standard pretraining-corpus discipline — a
+    3-hour video must not emit 10^5 rows). Frame decode is the stubbed
+    kernel (``decoder="fake"`` derives a per-(payload, ts) feature;
+    ``decoder="pyav"`` raises until the lib exists). Non-video rows pass
+    through with zero output rows, so the stage composes with mixed-kind
+    media tables without a pre-filter.
+    """
+
+    def __init__(self, decoder: str = "fake", every_ms: int = 1000,
+                 max_frames: int = 16, feature_dim: int = 8):
+        self.every_ms = every_ms
+        self.max_frames = max_frames
+        self.feature_dim = feature_dim
+        if decoder == "fake":
+            self.decode = self._fake_frame
+        elif decoder == "pyav":  # pragma: no cover - lib not in container
+            try:
+                import av  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "PyAV not available in this environment; use decoder='fake'"
+                ) from e
+            raise NotImplementedError("real frame decode not wired yet")
+        else:
+            raise ValueError(f"unknown decoder {decoder!r}")
+
+    def _fake_frame(self, payload: bytes, ts_ms: int) -> np.ndarray:
+        import zlib
+
+        seed = zlib.crc32((payload or b"") + ts_ms.to_bytes(8, "big"))
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal(self.feature_dim).astype(np.float32)
+
+    def sample_times(self, duration_ms: int) -> list[int]:
+        if duration_ms <= 0:
+            return []
+        ts = list(range(0, duration_ms, self.every_ms))
+        if len(ts) <= self.max_frames:
+            return ts
+        # evenly-spaced subset, endpoints kept — deterministic
+        idx = np.linspace(0, len(ts) - 1, self.max_frames).round().astype(int)
+        return [ts[i] for i in dict.fromkeys(idx)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, f_idx, f_ts, feats = [], [], [], []
+        for mid, kind, payload, dur in zip(
+            batch["media_id"].to_pylist(), batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(), batch["duration_ms"].to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            for j, t in enumerate(self.sample_times(int(dur or 0))):
+                ids.append(mid)
+                f_idx.append(j)
+                f_ts.append(t)
+                feats.append(self.decode(payload, t).tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "frame_idx": pa.array(f_idx, pa.int32()),
+                "ts_ms": pa.array(f_ts, pa.int32()),
+                "frame_feature": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+def sample_frames(ds: Dataset, *, decoder: str = "fake", every_ms: int = 1000,
+                  max_frames: int = 16, concurrency: int = 2,
+                  batch_size: int = 16) -> Dataset:
+    """Video rows → frame rows. Smaller batches than image decode (each
+    input row fans out up to ``max_frames`` rows and a real decoder holds
+    codec state); payload dropped at the stage boundary."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_args=(decoder, every_ms, max_frames),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -308,3 +308,36 @@ def test_running_total_per_key_chunks_peers_and_whale():
         assert got[r["event_id"]] == want, r
     # equal-ts peers share the running value (RANGE, not ROWS, semantics)
     assert got[1] == got[2] == 1 + 2 + 3
+
+
+def test_frame_sampler_policy_and_determinism():
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.multimodal import (
+        FrameSampler,
+        make_fake_media_table,
+        sample_frames,
+    )
+
+    tbl = make_fake_media_table(48, seed=9)
+    ds = rd.from_arrow(tbl).repartition(4)
+    out = sample_frames(ds, every_ms=1000, max_frames=16).to_pandas()
+    vids = {r["media_id"]: int(r["duration_ms"])
+            for r in tbl.to_pylist() if r["kind"] == "video"}
+    # only video rows emit frames; every video with duration > 0 appears
+    assert set(out["media_id"]) == {m for m, d in vids.items() if d > 0}
+    per = out.groupby("media_id")
+    for mid, g in per:
+        dur = vids[mid]
+        expect = FrameSampler(every_ms=1000, max_frames=16).sample_times(dur)
+        assert list(g.sort_values("frame_idx")["ts_ms"]) == expect
+        assert len(g) <= 16
+        assert all(0 <= t < dur for t in g["ts_ms"])
+    # deterministic across runs/partitionings
+    out2 = sample_frames(rd.from_arrow(tbl).repartition(7),
+                         every_ms=1000, max_frames=16).to_pandas()
+    a = out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    b = out2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert a[["media_id", "frame_idx", "ts_ms"]].equals(
+        b[["media_id", "frame_idx", "ts_ms"]])
+    assert a["frame_feature"].map(tuple).equals(b["frame_feature"].map(tuple))
