@@ -1211,6 +1211,71 @@ FROM t
 """
 
 
+def doc_curation_funnel(sf_dir: str):
+    """End-to-end curation funnel report: per-stage survivor counts for
+    the canonical training-data chain total → lang filter → quality
+    threshold → exact dedup. One flags pass derives (lang_ok, q_ok, md5)
+    per doc; the three filter counts fold in a SINGLE aggregate pass and
+    the dedup stage counts distinct md5 among survivors (one dedup
+    shuffle) — two passes over the cheap flags map, nothing pinned.
+    Quality compares the 6-decimal ROUNDED score on both sides so the
+    threshold cannot flip on a 1-ulp Arrow/DuckDB double difference."""
+    from ray.data.aggregate import Sum
+
+    from code_graph_rag_ray.functions.hashing import md5_hex_array
+    from code_graph_rag_ray.stages.materialize import exact_dedup
+    from code_graph_rag_ray.stages.text_analysis import quality_batch
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)
+        qv = [round(v, 6) for v in q["quality"].to_pylist()]
+        lang_ok = pc.equal(b["lang"], "en")
+        q_ok = pa.array([v >= 0.5 for v in qv], pa.bool_())
+        lq = pc.and_(lang_ok, q_ok)
+        return pa.table(
+            {"m": md5_hex_array(b["text"]),
+             "one": pa.array(np.ones(b.num_rows, np.int64)),
+             "l": pc.cast(lang_ok, pa.int64()),
+             "lq_i": pc.cast(lq, pa.int64()),
+             "lq": lq}
+        )
+
+    f = ds.map_batches(flags, batch_format="pyarrow")
+    sums = f.aggregate(Sum("one", alias_name="total"),
+                       Sum("l", alias_name="lang_en"),
+                       Sum("lq_i", alias_name="quality"))
+    survivors = f.filter(expr="lq == True").select_columns(["m"])
+    n_dedup = exact_dedup(survivors, keys=["m"], columns=["m"]).count()
+    return pa.table(
+        {"stage": pa.array(["total", "lang_en", "quality", "exact_dedup"],
+                           pa.string()),
+         "n_docs": pa.array(
+             [int(sums["total"]), int(sums["lang_en"]), int(sums["quality"]),
+              int(n_dedup)], pa.int64())}
+    )
+
+
+DOC_CURATION_FUNNEL_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+  FROM documents
+), f AS (
+  SELECT doc_id, lang, md5(text) AS m,
+         round(least(1.0, greatest(n, 1) / 50.0)
+               * (1.0 - abs(len(list_filter(toks, w -> list_contains({{_STOP}}, w))) / greatest(n, 1) - 0.2)), 6) AS q
+  FROM t
+)
+SELECT 'total' AS stage, count(*)::BIGINT AS n_docs FROM f
+UNION ALL SELECT 'lang_en', count(*)::BIGINT FROM f WHERE lang = 'en'
+UNION ALL SELECT 'quality', count(*)::BIGINT FROM f WHERE lang = 'en' AND q >= 0.5
+UNION ALL SELECT 'exact_dedup', count(DISTINCT m)::BIGINT
+  FROM f WHERE lang = 'en' AND q >= 0.5
+""".replace("{_STOP}", _STOP_SQL_LIST)
+
+
 def doc_repetition(sf_dir: str):
     """Gopher-style repetition quality: per-doc duplicate-word / top-1-gram
     fractions + the corpus-filter flag, all in one shuffle-free vectorized
@@ -2838,6 +2903,7 @@ QUERIES = {
     "cooccur_kcore": cooccur_kcore,
     "events_value_variance": events_value_variance,
     "media_frames": media_frames,
+    "doc_curation_funnel": doc_curation_funnel,
     "events_sessions": events_sessions,
     "doc_mentions": doc_mentions,
     "doc_triples": doc_triples,
@@ -2929,6 +2995,7 @@ ORACLES = {
     "doc_reservoir_per_lang": DOC_RESERVOIR_PER_LANG_SQL,
     "cooccur_kcore": COOCCUR_KCORE_SQL,
     "events_value_variance": EVENTS_VALUE_VARIANCE_SQL,
+    "doc_curation_funnel": DOC_CURATION_FUNNEL_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
