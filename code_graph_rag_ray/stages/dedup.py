@@ -534,7 +534,7 @@ def dup_ngram_spans(
         ids_out: list[int] = []
         fp_out: list[int] = []
         for i, lst in zip(b[id_col].to_pylist(), toks.to_pylist()):
-            tl = [t for t in lst if t]
+            tl = [t for t in (lst or []) if t]  # null text → no windows
             if len(tl) < w:
                 continue
             seen: set[int] = set()

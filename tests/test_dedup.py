@@ -178,3 +178,17 @@ def test_dup_ngram_spans_planted_boilerplate():
     shared_all = [r for r in out if r["n_docs"] == 3]
     assert len(shared_all) == 3
     assert len(by_fp) == len(out)  # fingerprints unique in the output
+
+
+def test_dup_ngram_spans_null_and_short_texts():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.dedup import dup_ngram_spans
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([None, "too short", "also short"], pa.string()),
+    })
+    out = dup_ngram_spans(rd.from_arrow(tbl).repartition(2), w=8).take_all()
+    assert out == []  # no window reaches w tokens; null text never raises
