@@ -1374,6 +1374,46 @@ FROM per GROUP BY doc_id
 """
 
 
+def doc_len_quantiles_cont(sf_dir: str):
+    """Interpolated per-language length percentiles (percentile_cont
+    semantics, stages/quantiles.grouped_quantiles_cont): p = q·(n−1) over
+    the sorted rows, linear interpolation between the two neighbor rows.
+    Oracle replays the identical expression with window SQL (NOT
+    quantile_cont, whose internal op order is unspecified) so the
+    multiply-add is bit-identical."""
+    from code_graph_rag_ray.stages.quantiles import grouped_quantiles_cont
+
+    ds = _pq(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_quantiles_cont(
+        ds, key="lang", value_col="n_chars", qs={"p50": 0.5, "p90": 0.9}
+    )
+
+
+DOC_LEN_QUANTILES_CONT_SQL = """
+WITH s AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS i,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents),
+g AS (SELECT lang, max(n)::BIGINT AS n,
+             -- ::DOUBLE: a bare 0.9 literal is DECIMAL in DuckDB, whose
+             -- exact decimal frac diverges 1 ulp from the engine's float64
+             0.5::DOUBLE * (max(n) - 1) AS p50x,
+             0.9::DOUBLE * (max(n) - 1) AS p90x
+      FROM s GROUP BY lang)
+SELECT g.lang, g.n,
+       lo50.v + (g.p50x - floor(g.p50x)) * (hi50.v - lo50.v) AS p50,
+       lo90.v + (g.p90x - floor(g.p90x)) * (hi90.v - lo90.v) AS p90
+FROM g
+JOIN s lo50 ON lo50.lang = g.lang AND lo50.i = CAST(floor(g.p50x) AS BIGINT)
+JOIN s hi50 ON hi50.lang = g.lang
+  AND hi50.i = least(CAST(floor(g.p50x) AS BIGINT) + 1, g.n - 1)
+JOIN s lo90 ON lo90.lang = g.lang AND lo90.i = CAST(floor(g.p90x) AS BIGINT)
+JOIN s hi90 ON hi90.lang = g.lang
+  AND hi90.i = least(CAST(floor(g.p90x) AS BIGINT) + 1, g.n - 1)
+"""
+
+
 def doc_len_quantiles(sf_dir: str):
     """Exact per-language length percentiles (curation-cutoff profiling):
     two-phase (lang, n_chars) histogram, per-lang cume_dist pick matching
@@ -2904,6 +2944,7 @@ QUERIES = {
     "events_value_variance": events_value_variance,
     "media_frames": media_frames,
     "doc_curation_funnel": doc_curation_funnel,
+    "doc_len_quantiles_cont": doc_len_quantiles_cont,
     "events_sessions": events_sessions,
     "doc_mentions": doc_mentions,
     "doc_triples": doc_triples,
@@ -2996,6 +3037,7 @@ ORACLES = {
     "cooccur_kcore": COOCCUR_KCORE_SQL,
     "events_value_variance": EVENTS_VALUE_VARIANCE_SQL,
     "doc_curation_funnel": DOC_CURATION_FUNNEL_SQL,
+    "doc_len_quantiles_cont": DOC_LEN_QUANTILES_CONT_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,

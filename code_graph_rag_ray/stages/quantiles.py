@@ -65,3 +65,51 @@ def grouped_quantiles(
         return pd.DataFrame(out)
 
     return hist.groupby(key).map_groups(pick, batch_format="pandas")
+
+
+def grouped_quantiles_cont(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    qs: dict[str, float],
+) -> Dataset:
+    """Per-``key`` INTERPOLATED quantiles (``percentile_cont`` semantics):
+    position p = q·(n−1) over the sorted rows, result =
+    v[⌊p⌋] + (p − ⌊p⌋)·(v[⌊p⌋+1] − v[⌊p⌋]).
+
+    Same two-phase value-count-histogram shape as
+    :func:`grouped_quantiles` (a hot value exchanges O(blocks) rows); the
+    per-key pick walks cumulative counts to the two neighbor ROW indices
+    and interpolates. The oracle does NOT use the engine-internal
+    ``quantile_cont`` (whose interpolation op order is unspecified) — it
+    replays this exact expression with window SQL, so the single
+    multiply-add is bit-identical on both sides.
+    """
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+
+    hist = partial_groupby_sum(
+        ds.select_columns([key, value_col]), [key, value_col], {}, count_alias="cnt"
+    )
+
+    aliases = list(qs)
+    probs = np.array([qs[a] for a in aliases], dtype=np.float64)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col, kind="mergesort")
+        vals = g[value_col].to_numpy().astype(np.float64)
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        out = {key: [g[key].iloc[0]], "n": np.array([n], dtype=np.int64)}
+        for j, alias in enumerate(aliases):
+            p = probs[j] * np.float64(n - 1)
+            lo = np.floor(p)
+            hi = min(int(lo) + 1, n - 1)
+            # value at sorted row index r = first histogram bucket with
+            # cum >= r+1 (well-defined under duplicate values)
+            vlo = vals[np.searchsorted(cum, int(lo) + 1, side="left")]
+            vhi = vals[np.searchsorted(cum, hi + 1, side="left")]
+            out[alias] = np.array([vlo + (p - lo) * (vhi - vlo)], np.float64)
+        return pd.DataFrame(out)
+
+    return hist.groupby(key).map_groups(pick, batch_format="pandas")
