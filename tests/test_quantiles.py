@@ -61,3 +61,26 @@ def test_quantiles_skewed_histogram():
     df = pd.DataFrame({"g": [0] * 1000, "v": [3] * 990 + list(range(10))})
     df["v"] = df["v"].astype(np.int64)
     _compare(df)
+
+
+def test_grouped_quantiles_cont_matches_numpy_linear():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.quantiles import grouped_quantiles_cont
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for g, n in (("a", 37), ("b", 8), ("c", 1)):
+        for v in rng.integers(0, 500, size=n):
+            rows.append({"g": g, "v": int(v)})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = {r["g"]: r for r in grouped_quantiles_cont(
+        ds, key="g", value_col="v", qs={"p50": 0.5, "p90": 0.9}).take_all()}
+    for g in ("a", "b", "c"):
+        vals = np.array([r["v"] for r in rows if r["g"] == g], np.float64)
+        # numpy 'linear' method IS the percentile_cont rule
+        assert out[g]["p50"] == np.percentile(vals, 50, method="linear")
+        assert out[g]["p90"] == np.percentile(vals, 90, method="linear")
+        assert out[g]["n"] == len(vals)
