@@ -171,8 +171,8 @@ def bucketed_join(
     left: Dataset,
     right: Dataset,
     *,
-    on: str,
-    right_on: str | None = None,
+    on: str | list[str],
+    right_on: str | list[str] | None = None,
     num_buckets: int | None = None,
     how: str = "inner",
     coalesce: bool = True,
@@ -180,6 +180,12 @@ def bucketed_join(
     right_schema: pa.Schema | None = None,
 ) -> Dataset:
     """Large-large equi-join as an explicit bucketed cogroup hash join.
+
+    ``on`` / ``right_on`` may be LISTS for composite keys: a derived
+    ``\\x1f``-joined string key is minted on both sides before the
+    shuffle (null if ANY part is null — SQL composite-equality
+    semantics) and dropped from the output; the individual right key
+    columns then ride as ordinary payload (``_r``-suffixed on collision).
 
     Each side's batches are packed into per-bucket Arrow-IPC blobs
     (:func:`_pack_side`); the union is grouped by bucket and each group
@@ -219,6 +225,41 @@ def bucketed_join(
         except Exception:  # pragma: no cover - no cluster yet
             ncpu = 16
         num_buckets = max(32, 2 * ncpu)
+
+    if isinstance(on, list):
+        lkeys = on
+        rkeys = right_on if right_on is not None else on
+        assert isinstance(rkeys, list) and len(rkeys) == len(lkeys)
+
+        def mint(keys: list[str]):
+            def add(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                # null-if-any-null: emulate with a validity mask, since
+                # binary_join propagates nulls already
+                jk = pc.binary_join_element_wise(
+                    *[pc.cast(b[k], pa.string()) for k in keys], "\x1f"
+                )
+                return b.append_column("__jk", jk)
+
+            return add
+
+        ls = rs = None
+        if left_schema is not None:
+            ls = pa.schema(list(zip(left_schema.names, left_schema.types))
+                           + [("__jk", pa.string())])
+        if right_schema is not None:
+            rs = pa.schema(list(zip(right_schema.names, right_schema.types))
+                           + [("__jk", pa.string())])
+        out = bucketed_join(
+            left.map_batches(mint(lkeys), batch_format="pyarrow"),
+            right.map_batches(mint(rkeys), batch_format="pyarrow"),
+            on="__jk", num_buckets=num_buckets, how=how, coalesce=coalesce,
+            left_schema=ls, right_schema=rs,
+        )
+        return out.map_batches(
+            lambda b: b.drop_columns([c for c in ("__jk",) if c in b.column_names]),
+            batch_format="pyarrow",
+        )
 
     rkey = right_on or on
     # ``how="outer"`` (FULL OUTER): unmatched rows of BOTH sides survive

@@ -211,3 +211,30 @@ def test_bucketed_join_outer_both_sides_and_null_keys():
     assert "k_r" in out.columns
     k5 = out[out["rv"] == 500]
     assert int(k5["k_r"].iloc[0]) == 5
+
+
+def test_bucketed_join_composite_keys():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    left = rd.from_arrow(pa.table({
+        "a": pa.array([1, 1, 2, 2, None], pa.int64()),
+        "b": pa.array(["x", "y", "x", None, "x"], pa.string()),
+        "lv": pa.array([10, 20, 30, 40, 50], pa.int64()),
+    })).repartition(2)
+    right = rd.from_arrow(pa.table({
+        "a": pa.array([1, 2, 1], pa.int64()),
+        "b": pa.array(["x", "x", "z"], pa.string()),
+        "rv": pa.array([100, 200, 300], pa.int64()),
+    })).repartition(2)
+    out = bucketed_join(left, right, on=["a", "b"]).to_pandas()
+    # matches: (1,x) and (2,x); null-part keys never match
+    got = sorted(zip(out["lv"].astype(int), out["rv"].astype(int)))
+    assert got == [(10, 100), (30, 200)]
+    # right key columns survive as payload (renamed on collision)
+    assert "a_r" in out.columns and "b_r" in out.columns
+    # semi over composite keys
+    semi = bucketed_join(left, right, on=["a", "b"], how="semi").to_pandas()
+    assert sorted(semi["lv"].astype(int)) == [10, 30]
