@@ -2456,6 +2456,50 @@ FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
 """
 
 
+def events_attribution_recent(sf_dir: str):
+    """Toleranced attribution: same as-of join but a view older than 1h
+    does NOT attribute (asof_join_chunked tolerance_s — staleness window
+    applied at match time inside the cogroups; the carry machinery is
+    untouched). Oracle: plain ASOF join with the stale matches nulled."""
+    from code_graph_rag_ray.stages.asof import asof_join_chunked
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def side(t: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], t)).drop_columns(["event_type"])
+        return f
+
+    clicks = ev.map_batches(side("click"), batch_format="pyarrow")
+    views = ev.map_batches(side("view"), batch_format="pyarrow")
+    out = asof_join_chunked(
+        clicks, views, by="user_id", on="ts",
+        right_cols=["event_id"], suffix="_view", chunk_s=21600,
+        tolerance_s=3600,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"], "ts": b["ts"],
+            "ts_view": pc.fill_null(pc.cast(b["ts_view"], pa.int64()), -1),
+            "event_id_view": pc.fill_null(pc.cast(b["event_id_view"], pa.int64()), -1),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_ATTRIBUTION_RECENT_SQL = """
+WITH c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+     v AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view')
+SELECT c.user_id, c.event_id, epoch_us(c.ts) AS ts,
+       COALESCE(CASE WHEN epoch_us(c.ts) - epoch_us(v.ts) <= 3600000000
+                     THEN epoch_us(v.ts) END, -1) AS ts_view,
+       COALESCE(CASE WHEN epoch_us(c.ts) - epoch_us(v.ts) <= 3600000000
+                     THEN v.event_id END, -1) AS event_id_view
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
 def events_session_assign(sf_dir: str):
     """Event→session assignment: the distributed RANGE join
     (stages/rangejoin.py) maps every event into its containing session
@@ -2945,6 +2989,7 @@ QUERIES = {
     "media_frames": media_frames,
     "doc_curation_funnel": doc_curation_funnel,
     "doc_len_quantiles_cont": doc_len_quantiles_cont,
+    "events_attribution_recent": events_attribution_recent,
     "events_sessions": events_sessions,
     "doc_mentions": doc_mentions,
     "doc_triples": doc_triples,
@@ -3038,6 +3083,7 @@ ORACLES = {
     "events_value_variance": EVENTS_VALUE_VARIANCE_SQL,
     "doc_curation_funnel": DOC_CURATION_FUNNEL_SQL,
     "doc_len_quantiles_cont": DOC_LEN_QUANTILES_CONT_SQL,
+    "events_attribution_recent": EVENTS_ATTRIBUTION_RECENT_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,

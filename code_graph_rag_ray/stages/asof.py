@@ -55,8 +55,15 @@ def asof_join_chunked(
     chunk_s: int = 86400,
     suffix: str = "_r",
     num_buckets: int | None = None,
+    tolerance_s: int | None = None,
 ) -> Dataset:
-    """Left as-of join: latest right row per key with ts ≤ left ts."""
+    """Left as-of join: latest right row per key with ts ≤ left ts.
+
+    ``tolerance_s`` bounds staleness: a preceding right row older than
+    the window yields NO match (nulls) — pandas ``merge_asof(tolerance)``
+    semantics, applied at match time inside each cogroup, so the carry
+    machinery is unaffected (carries hold real timestamps and simply
+    fail the window test when too old)."""
     if num_buckets is None:
         try:
             import ray
@@ -273,6 +280,8 @@ def asof_join_chunked(
             out = pd.merge_asof(
                 lf, rr, on="__ts_us", by="__key",
                 direction="backward", allow_exact_matches=True,
+                tolerance=(tolerance_s * 1_000_000
+                           if tolerance_s is not None else None),
             )
         out = out.rename(columns={"__ts_us": on, f"__rts{suffix}": f"{on}{suffix}"})
         # unify nullable dtypes across groups: a group whose lefts all

@@ -91,3 +91,36 @@ def test_asof_exact_ts_match_counts():
         rd.from_pandas(L), rd.from_pandas(R), by="user", on="ts", chunk_s=3600
     ).to_pandas()
     assert out.rid_r.tolist() == [9]
+
+
+def test_asof_tolerance_rejects_stale_carry():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.asof import asof_join_chunked
+
+    # right rows at t=0s and t=100s; lefts at 50s, 103s, 250s; chunk=60s
+    # so the t=100 right reaches the 250s left only via the carry — and the
+    # 5s tolerance must reject it there while accepting the 103s left
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array([50_000_000, 103_000_000, 250_000_000], pa.int64()),
+        "lid": pa.array([1, 2, 3], pa.int64()),
+    })).repartition(2)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([0, 100_000_000], pa.int64()),
+        "rv": pa.array([10, 20], pa.int64()),
+    })).repartition(2)
+    out = asof_join_chunked(
+        left, right, by="k", on="ts", right_cols=["rv"], chunk_s=60,
+        tolerance_s=5,
+    ).to_pandas().set_index("lid")
+    assert pd.isna(out.loc[1, "rv_r"])          # t=0 right is 50s stale
+    assert out.loc[2, "rv_r"] == 20             # 3s fresh → match
+    assert pd.isna(out.loc[3, "rv_r"])          # carry is 150s stale → reject
+    # without tolerance the same carry DOES match
+    out2 = asof_join_chunked(
+        left, right, by="k", on="ts", right_cols=["rv"], chunk_s=60,
+    ).to_pandas().set_index("lid")
+    assert out2.loc[3, "rv_r"] == 20
