@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 
@@ -178,8 +179,18 @@ def bucketed_join(
     coalesce: bool = True,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    bloom_prefilter: bool = False,
+    bloom_bits: int = 1 << 22,
 ) -> Dataset:
     """Large-large equi-join as an explicit bucketed cogroup hash join.
+
+    ``bloom_prefilter=True`` (inner/semi only) folds the right keys into
+    an m-bit bloom bitmap first and drops non-hitting LEFT rows BEFORE
+    the shuffle — when the build side is selective, the probe side's
+    exchange shrinks by its miss rate at the cost of one broadcast bitmap
+    (no false drops, so the result is identical). The right side is
+    pinned (materialize) so the bloom fold does not execute it twice;
+    use when right is the smaller side, as in fact⋈dimension joins.
 
     ``on`` / ``right_on`` may be LISTS for composite keys: a derived
     ``\\x1f``-joined string key is minted on both sides before the
@@ -262,6 +273,29 @@ def bucketed_join(
         )
 
     rkey = right_on or on
+    if bloom_prefilter and how in ("inner", "semi"):
+        import ray as _ray
+
+        from code_graph_rag_ray.functions.broadcast import get_broadcast
+        from code_graph_rag_ray.stages.bloom import bloom_build, bloom_contains
+
+        right = right.materialize()  # the bloom fold must not re-execute it
+        rk = right.map_batches(
+            lambda b: pa.table({"__k": pc.cast(b[rkey], pa.string())}),
+            batch_format="pyarrow",
+        )
+        bits_ref = _ray.put(bloom_build(rk, "__k", m_bits=bloom_bits))
+        mb = bloom_bits
+
+        def lfilter(b: pa.Table) -> pa.Table:
+            key = pc.cast(b[on], pa.string())
+            mask = bloom_contains(get_broadcast(bits_ref), key, m_bits=mb, k=3)
+            # null keys may land either way here — inner/semi drop them
+            # at pack time regardless
+            return b.filter(pa.array(mask))
+
+        left = left.map_batches(lfilter, batch_format="pyarrow")
+
     # ``how="outer"`` (FULL OUTER): unmatched rows of BOTH sides survive
     # with nulls on the other side. The right key column is KEPT (as
     # ``<rkey>`` or ``<rkey>_r``) so right-only rows still carry their key

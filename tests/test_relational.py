@@ -238,3 +238,28 @@ def test_bucketed_join_composite_keys():
     # semi over composite keys
     semi = bucketed_join(left, right, on=["a", "b"], how="semi").to_pandas()
     assert sorted(semi["lv"].astype(int)) == [10, 30]
+
+
+def test_bucketed_join_bloom_prefilter_identical_results():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(1000)), pa.int64()),
+        "lv": pa.array(list(range(1000)), pa.int64()),
+    })).repartition(4)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([5, 17, 400, 999], pa.int64()),
+        "rv": pa.array([1, 2, 3, 4], pa.int64()),
+    })).repartition(2)
+    plain = bucketed_join(left, right, on="k").to_pandas()
+    pref = bucketed_join(left, right, on="k", bloom_prefilter=True).to_pandas()
+    cols = ["k", "lv", "rv"]
+    a = plain[cols].sort_values(cols).reset_index(drop=True)
+    b = pref[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b) and len(a) == 4
+    semi = bucketed_join(left, right, on="k", how="semi",
+                         bloom_prefilter=True).to_pandas()
+    assert sorted(semi["k"].astype(int)) == [5, 17, 400, 999]
