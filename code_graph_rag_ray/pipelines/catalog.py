@@ -705,6 +705,45 @@ FROM events
 """
 
 
+def events_lag(sf_dir: str):
+    """Per-user LAG window function (stages/windows.lag_per_key):
+    previous event's value under ORDER BY (ts, event_id) — deterministic
+    under equal timestamps. Cross-chunk state is ONE boundary row per
+    (key, chunk), two-phase-picked so the exchange is O(keys × chunks).
+    Misses carry -1 (dtype-stable sentinel). Integer cents → bit-exact."""
+    from code_graph_rag_ray.stages.windows import lag_per_key
+
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": b["event_id"], "ts": b["ts"], "user_id": b["user_id"],
+             "value_c": _cents(b["value"])}
+        )
+
+    out = lag_per_key(ds.map_batches(to_cents, batch_format="pyarrow"),
+                      value_col="value_c")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": b["event_id"], "user_id": b["user_id"],
+             "ts_us": b["ts_us"],
+             "prev_value": pc.divide(pc.cast(b["prev"], pa.float64()), 100.0)}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_LAG_SQL = """
+SELECT event_id, user_id,
+       CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+       COALESCE(lag(CAST(round(value * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                -1) / 100.0 AS prev_value
+FROM events
+"""
+
+
 def events_user_mode(sf_dir: str):
     """Grouped MODE (argmax): each user's most frequent event_type, ties
     broken by smallest event_type — pure composition of existing
@@ -2990,6 +3029,7 @@ QUERIES = {
     "doc_curation_funnel": doc_curation_funnel,
     "doc_len_quantiles_cont": doc_len_quantiles_cont,
     "events_attribution_recent": events_attribution_recent,
+    "events_lag": events_lag,
     "events_sessions": events_sessions,
     "doc_mentions": doc_mentions,
     "doc_triples": doc_triples,
@@ -3084,6 +3124,7 @@ ORACLES = {
     "doc_curation_funnel": DOC_CURATION_FUNNEL_SQL,
     "doc_len_quantiles_cont": DOC_LEN_QUANTILES_CONT_SQL,
     "events_attribution_recent": EVENTS_ATTRIBUTION_RECENT_SQL,
+    "events_lag": EVENTS_LAG_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,

@@ -487,3 +487,151 @@ def running_total_per_key(
         )
 
     return joined.map_batches(local_prefix, batch_format="pandas", batch_size=None)
+
+
+def lag_per_key(
+    events: Dataset,
+    *,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value_c",
+    chunk_s: int = 86400,
+) -> Dataset:
+    """Per-key LAG: for every event, the previous event's value under
+    ``ORDER BY ts, id`` within the key (SQL ``lag(v) OVER (PARTITION BY
+    key ORDER BY ts, id)``); the id tiebreak makes equal-ts order — and
+    therefore the result — deterministic. Output ``prev`` is -1 for each
+    key's first row (sentinel, dtype-stable like events_attribution).
+
+    Chunked like :func:`running_total_per_key`, but the cross-chunk state
+    is one BOUNDARY ROW per (key, chunk): a two-phase pick keeps each
+    chunk's last (ts, id) row (batch-local pick first, so the exchange is
+    O(keys × chunks)); a per-key pass over those summaries assigns each
+    chunk its predecessor's boundary row; one bucketed join hands the
+    carry back; the local lag then runs inside the join's bucket blocks.
+    A whale key spreads over its time chunks end to end.
+    """
+    from ray.data.aggregate import Max
+
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    c_us = chunk_s * 1_000_000
+
+    def assign_chunk(b: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        chunk = np.floor_divide(epoch_us, c_us)
+        kc = pc.binary_join_element_wise(
+            pc.cast(b[key_col], pa.string()),
+            pa.array(chunk.astype("U"), pa.string()),
+            "|",
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                key_col: b[key_col],
+                "__chunk": pa.array(chunk, pa.int64()),
+                "__kc": kc,
+                "ts_us": pa.array(epoch_us, pa.int64()),
+                value_col: b[value_col],
+            }
+        )
+
+    assigned = events.map_batches(assign_chunk, batch_format="pyarrow")
+
+    def local_last(b: pa.Table) -> pa.Table:
+        # batch-local: keep each (key, chunk)'s max-(ts, id) row
+        if b.num_rows == 0:
+            return pa.table(
+                {key_col: pa.array([], pa.int64()),
+                 "__chunk": pa.array([], pa.int64()),
+                 "__ord": pa.array([], pa.int64()),
+                 "__id": pa.array([], pa.int64()),
+                 "__bv": pa.array([], pa.int64())}
+            )
+        idx = pc.sort_indices(
+            b, sort_keys=[(key_col, "ascending"), ("__chunk", "ascending"),
+                          ("ts_us", "ascending"), (id_col, "ascending")]
+        )
+        s = b.take(idx)
+        keys = s[key_col].to_numpy(zero_copy_only=False)
+        chunks = s["__chunk"].to_numpy(zero_copy_only=False)
+        last = np.ones(s.num_rows, bool)
+        last[:-1] = (keys[1:] != keys[:-1]) | (chunks[1:] != chunks[:-1])
+        f = s.filter(pa.array(last))
+        return pa.table(
+            {key_col: f[key_col], "__chunk": f["__chunk"],
+             "__ord": f["ts_us"], "__id": f[id_col], "__bv": f[value_col]}
+        )
+
+    partial_last = assigned.map_batches(local_last, batch_format="pyarrow")
+
+    def pick_last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__ord", "__id"], kind="mergesort")
+        return g.tail(1)
+
+    bounds = partial_last.groupby([key_col, "__chunk"]).map_groups(
+        pick_last, batch_format="pandas"
+    )
+
+    def carries_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__chunk", kind="mergesort").reset_index(drop=True)
+        if len(g) < 2:
+            return pd.DataFrame({"__kc": pd.Series([], dtype="object"),
+                                 "__cts": pd.Series([], dtype="int64"),
+                                 "__cid": pd.Series([], dtype="int64"),
+                                 "__cv": pd.Series([], dtype="int64")})
+        # chunk i receives the boundary row of the key's previous chunk
+        return pd.DataFrame(
+            {"__kc": (g[key_col].astype(str) + "|" + g["__chunk"].astype(str)).iloc[1:].to_numpy(),
+             "__cts": g["__ord"].iloc[:-1].to_numpy(np.int64),
+             "__cid": g["__id"].iloc[:-1].to_numpy(np.int64),
+             "__cv": g["__bv"].iloc[:-1].to_numpy(np.int64)}
+        )
+
+    carries = bounds.groupby(key_col).map_groups(carries_per_key, batch_format="pandas")
+
+    joined = bucketed_join(
+        assigned, carries, on="__kc", how="left",
+        left_schema=pa.schema(
+            [(id_col, pa.int64()), (key_col, pa.int64()), ("__chunk", pa.int64()),
+             ("__kc", pa.string()), ("ts_us", pa.int64()), (value_col, pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("__kc", pa.string()), ("__cts", pa.int64()),
+             ("__cid", pa.int64()), ("__cv", pa.int64())]
+        ),
+    )
+
+    def local_lag(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 key_col: pd.Series([], dtype="int64"),
+                 "ts_us": pd.Series([], dtype="int64"),
+                 value_col: pd.Series([], dtype="int64"),
+                 "prev": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values(["__kc", "ts_us", id_col], kind="mergesort").reset_index(drop=True)
+        kc = g["__kc"].to_numpy()
+        v = g[value_col].to_numpy(np.int64)
+        prev = np.empty(len(g), np.int64)
+        prev[1:] = v[:-1]
+        new_seg = np.ones(len(g), bool)
+        new_seg[1:] = kc[1:] != kc[:-1]
+        # carry (__cv) is per-__kc constant; -1 when the key starts here
+        cv = g["__cv"].to_numpy()
+        first_prev = np.where(np.isnan(cv.astype(np.float64)), -1,
+                              np.nan_to_num(cv.astype(np.float64))).astype(np.int64)
+        prev[new_seg] = first_prev[new_seg]
+        return pd.DataFrame(
+            {id_col: g[id_col].to_numpy(np.int64),
+             key_col: g[key_col].to_numpy(np.int64),
+             "ts_us": g["ts_us"].to_numpy(np.int64),
+             value_col: v,
+             "prev": prev}
+        )
+
+    return joined.map_batches(local_lag, batch_format="pandas", batch_size=None)

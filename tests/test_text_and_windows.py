@@ -341,3 +341,38 @@ def test_frame_sampler_policy_and_determinism():
     assert a[["media_id", "frame_idx", "ts_ms"]].equals(
         b[["media_id", "frame_idx", "ts_ms"]])
     assert a["frame_feature"].map(tuple).equals(b["frame_feature"].map(tuple))
+
+
+def test_lag_per_key_cross_chunk_and_ties():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.windows import lag_per_key
+
+    rows = []
+    # user 1: events spanning chunks (chunk_s=10), incl. an EMPTY middle
+    # chunk (t jumps 9 -> 35) and equal-ts peers disambiguated by id
+    for i, t in enumerate([1, 5, 5, 9, 35, 47]):
+        rows.append({"event_id": i, "ts": t * 1_000_000, "user_id": 1, "v": 10 + i})
+    # user 2: single event (prev = -1)
+    rows.append({"event_id": 100, "ts": 3_000_000, "user_id": 2, "v": 7})
+    tbl = pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "v": pa.array([r["v"] for r in rows], pa.int64()),
+    })
+    out = {r["event_id"]: r["prev"] for r in
+           lag_per_key(rd.from_arrow(tbl).repartition(4),
+                       value_col="v", chunk_s=10).take_all()}
+    # brute-force lag reference ordered by (ts, id)
+    ordered = sorted([r for r in rows if r["user_id"] == 1],
+                     key=lambda r: (r["ts"], r["event_id"]))
+    want = {ordered[0]["event_id"]: -1}
+    for prev, cur in zip(ordered, ordered[1:]):
+        want[cur["event_id"]] = prev["v"]
+    want[100] = -1
+    assert out == want
+    # the cross-empty-chunk carry: event 4 (t=35) must see event 3 (t=9)
+    assert out[4] == 13
