@@ -2096,6 +2096,42 @@ def doc_global_rank(sf_dir: str):
                        num_buckets=16)
 
 
+def doc_ntile_deciles(sf_dir: str):
+    """NTILE(10) curriculum bucketing: deciles by n_chars DESC — pure
+    composition: global_rank (two-pass range-bucket row_number) + the
+    closed-form ntile arithmetic ((rank−1)·n ÷ total + 1) in a map, so
+    the decile assignment costs nothing beyond the rank. The count is
+    one cheap aggregate of per-block counts."""
+    from code_graph_rag_ray.stages.ranking import global_rank
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+    total = ds.count()
+    ranked = global_rank(ds, "n_chars", tiebreak="doc_id", descending=True,
+                         num_buckets=16)
+
+    def ntile(b: pa.Table, n=10, tot=total) -> pa.Table:
+        r = b["rank"].to_numpy(zero_copy_only=False)
+        # SQL NTILE: first (tot % n) tiles get ceil(tot/n) rows
+        q, rem = divmod(tot, n)
+        big = rem * (q + 1)
+        t = np.where(r <= big, (r - 1) // (q + 1) + 1,
+                     rem + (r - big - 1) // max(q, 1) + 1)
+        return pa.table({"doc_id": b["doc_id"], "n_chars": b["n_chars"],
+                         "rank": b["rank"],
+                         "decile": pa.array(t.astype(np.int64))})
+
+    return ranked.map_batches(ntile, batch_format="pyarrow")
+
+
+DOC_NTILE_DECILES_SQL = """
+SELECT doc_id, n_chars,
+       row_number() OVER w AS rank,
+       ntile(10) OVER w AS decile
+FROM documents
+WINDOW w AS (ORDER BY n_chars DESC, doc_id)
+"""
+
+
 DOC_GLOBAL_RANK_SQL = """
 SELECT doc_id, n_chars,
        row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
@@ -3030,6 +3066,7 @@ QUERIES = {
     "doc_len_quantiles_cont": doc_len_quantiles_cont,
     "events_attribution_recent": events_attribution_recent,
     "events_lag": events_lag,
+    "doc_ntile_deciles": doc_ntile_deciles,
     "events_sessions": events_sessions,
     "doc_mentions": doc_mentions,
     "doc_triples": doc_triples,
@@ -3125,6 +3162,7 @@ ORACLES = {
     "doc_len_quantiles_cont": DOC_LEN_QUANTILES_CONT_SQL,
     "events_attribution_recent": EVENTS_ATTRIBUTION_RECENT_SQL,
     "events_lag": EVENTS_LAG_SQL,
+    "doc_ntile_deciles": DOC_NTILE_DECILES_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
