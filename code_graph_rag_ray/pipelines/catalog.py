@@ -744,6 +744,45 @@ FROM events
 """
 
 
+def events_lead(sf_dir: str):
+    """Per-user LEAD (stages/windows.lag_per_key(direction="lead")): the
+    NEXT event's value under the same deterministic (ts, id) order — the
+    lag machinery with every step mirrored (first boundary row per chunk,
+    carry from the successor chunk). -1 sentinel for each key's last
+    row."""
+    from code_graph_rag_ray.stages.windows import lag_per_key
+
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": b["event_id"], "ts": b["ts"], "user_id": b["user_id"],
+             "value_c": _cents(b["value"])}
+        )
+
+    out = lag_per_key(ds.map_batches(to_cents, batch_format="pyarrow"),
+                      value_col="value_c", direction="lead")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": b["event_id"], "user_id": b["user_id"],
+             "ts_us": b["ts_us"],
+             "next_value": pc.divide(pc.cast(b["next"], pa.float64()), 100.0)}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_LEAD_SQL = """
+SELECT event_id, user_id,
+       CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+       COALESCE(lead(CAST(round(value * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                -1) / 100.0 AS next_value
+FROM events
+"""
+
+
 def events_user_mode(sf_dir: str):
     """Grouped MODE (argmax): each user's most frequent event_type, ties
     broken by smallest event_type — pure composition of existing
@@ -3067,6 +3106,7 @@ QUERIES = {
     "events_attribution_recent": events_attribution_recent,
     "events_lag": events_lag,
     "doc_ntile_deciles": doc_ntile_deciles,
+    "events_lead": events_lead,
     "events_sessions": events_sessions,
     "doc_mentions": doc_mentions,
     "doc_triples": doc_triples,
@@ -3163,6 +3203,7 @@ ORACLES = {
     "events_attribution_recent": EVENTS_ATTRIBUTION_RECENT_SQL,
     "events_lag": EVENTS_LAG_SQL,
     "doc_ntile_deciles": DOC_NTILE_DECILES_SQL,
+    "events_lead": EVENTS_LEAD_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,

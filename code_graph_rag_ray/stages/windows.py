@@ -497,6 +497,7 @@ def lag_per_key(
     key_col: str = "user_id",
     value_col: str = "value_c",
     chunk_s: int = 86400,
+    direction: str = "lag",
 ) -> Dataset:
     """Per-key LAG: for every event, the previous event's value under
     ``ORDER BY ts, id`` within the key (SQL ``lag(v) OVER (PARTITION BY
@@ -511,7 +512,14 @@ def lag_per_key(
     chunk its predecessor's boundary row; one bucketed join hands the
     carry back; the local lag then runs inside the join's bucket blocks.
     A whale key spreads over its time chunks end to end.
+
+    ``direction="lead"`` flips every step (first boundary row per chunk,
+    carry from the NEXT chunk, next-value local fold; output column
+    ``next``) — SQL ``lead()`` under the same deterministic order.
     """
+    assert direction in ("lag", "lead")
+    lead = direction == "lead"
+    out_name = "next" if lead else "prev"
     from ray.data.aggregate import Max
 
     from code_graph_rag_ray.stages.relational import bucketed_join
@@ -558,9 +566,12 @@ def lag_per_key(
         s = b.take(idx)
         keys = s[key_col].to_numpy(zero_copy_only=False)
         chunks = s["__chunk"].to_numpy(zero_copy_only=False)
-        last = np.ones(s.num_rows, bool)
-        last[:-1] = (keys[1:] != keys[:-1]) | (chunks[1:] != chunks[:-1])
-        f = s.filter(pa.array(last))
+        sel = np.ones(s.num_rows, bool)
+        if lead:  # FIRST (min ts, id) row of each (key, chunk) run
+            sel[1:] = (keys[1:] != keys[:-1]) | (chunks[1:] != chunks[:-1])
+        else:  # LAST row of each run
+            sel[:-1] = (keys[1:] != keys[:-1]) | (chunks[1:] != chunks[:-1])
+        f = s.filter(pa.array(sel))
         return pa.table(
             {key_col: f[key_col], "__chunk": f["__chunk"],
              "__ord": f["ts_us"], "__id": f[id_col], "__bv": f[value_col]}
@@ -570,7 +581,7 @@ def lag_per_key(
 
     def pick_last(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["__ord", "__id"], kind="mergesort")
-        return g.tail(1)
+        return g.head(1) if lead else g.tail(1)
 
     bounds = partial_last.groupby([key_col, "__chunk"]).map_groups(
         pick_last, batch_format="pandas"
@@ -583,12 +594,16 @@ def lag_per_key(
                                  "__cts": pd.Series([], dtype="int64"),
                                  "__cid": pd.Series([], dtype="int64"),
                                  "__cv": pd.Series([], dtype="int64")})
-        # chunk i receives the boundary row of the key's previous chunk
+        # chunk i receives its predecessor's boundary row (successor's
+        # for lead)
+        kc_all = g[key_col].astype(str) + "|" + g["__chunk"].astype(str)
+        kc_side = kc_all.iloc[:-1] if lead else kc_all.iloc[1:]
+        val_slice = slice(1, None) if lead else slice(None, -1)
         return pd.DataFrame(
-            {"__kc": (g[key_col].astype(str) + "|" + g["__chunk"].astype(str)).iloc[1:].to_numpy(),
-             "__cts": g["__ord"].iloc[:-1].to_numpy(np.int64),
-             "__cid": g["__id"].iloc[:-1].to_numpy(np.int64),
-             "__cv": g["__bv"].iloc[:-1].to_numpy(np.int64)}
+            {"__kc": kc_side.to_numpy(),
+             "__cts": g["__ord"].iloc[val_slice].to_numpy(np.int64),
+             "__cid": g["__id"].iloc[val_slice].to_numpy(np.int64),
+             "__cv": g["__bv"].iloc[val_slice].to_numpy(np.int64)}
         )
 
     carries = bounds.groupby(key_col).map_groups(carries_per_key, batch_format="pandas")
@@ -612,26 +627,31 @@ def lag_per_key(
                  key_col: pd.Series([], dtype="int64"),
                  "ts_us": pd.Series([], dtype="int64"),
                  value_col: pd.Series([], dtype="int64"),
-                 "prev": pd.Series([], dtype="int64")}
+                 out_name: pd.Series([], dtype="int64")}
             )
         g = g.sort_values(["__kc", "ts_us", id_col], kind="mergesort").reset_index(drop=True)
         kc = g["__kc"].to_numpy()
         v = g[value_col].to_numpy(np.int64)
-        prev = np.empty(len(g), np.int64)
-        prev[1:] = v[:-1]
-        new_seg = np.ones(len(g), bool)
-        new_seg[1:] = kc[1:] != kc[:-1]
-        # carry (__cv) is per-__kc constant; -1 when the key starts here
+        nbr = np.empty(len(g), np.int64)
+        edge = np.ones(len(g), bool)  # rows that take the carry
+        if lead:
+            nbr[:-1] = v[1:]
+            edge[:-1] = kc[1:] != kc[:-1]  # last row of each segment
+        else:
+            nbr[1:] = v[:-1]
+            edge[1:] = kc[1:] != kc[:-1]   # first row of each segment
+            edge[0] = True
+        # carry (__cv) is per-__kc constant; -1 when absent (key edge)
         cv = g["__cv"].to_numpy()
-        first_prev = np.where(np.isnan(cv.astype(np.float64)), -1,
-                              np.nan_to_num(cv.astype(np.float64))).astype(np.int64)
-        prev[new_seg] = first_prev[new_seg]
+        carry = np.where(np.isnan(cv.astype(np.float64)), -1,
+                         np.nan_to_num(cv.astype(np.float64))).astype(np.int64)
+        nbr[edge] = carry[edge]
         return pd.DataFrame(
             {id_col: g[id_col].to_numpy(np.int64),
              key_col: g[key_col].to_numpy(np.int64),
              "ts_us": g["ts_us"].to_numpy(np.int64),
              value_col: v,
-             "prev": prev}
+             out_name: nbr}
         )
 
     return joined.map_batches(local_lag, batch_format="pandas", batch_size=None)

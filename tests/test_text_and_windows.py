@@ -376,3 +376,33 @@ def test_lag_per_key_cross_chunk_and_ties():
     assert out == want
     # the cross-empty-chunk carry: event 4 (t=35) must see event 3 (t=9)
     assert out[4] == 13
+
+
+def test_lead_per_key_mirrors_lag():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.windows import lag_per_key
+
+    rows = []
+    for i, t in enumerate([1, 5, 5, 9, 35, 47]):
+        rows.append({"event_id": i, "ts": t * 1_000_000, "user_id": 1, "v": 10 + i})
+    rows.append({"event_id": 100, "ts": 3_000_000, "user_id": 2, "v": 7})
+    tbl = pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "v": pa.array([r["v"] for r in rows], pa.int64()),
+    })
+    out = {r["event_id"]: r["next"] for r in
+           lag_per_key(rd.from_arrow(tbl).repartition(4), value_col="v",
+                       chunk_s=10, direction="lead").take_all()}
+    ordered = sorted([r for r in rows if r["user_id"] == 1],
+                     key=lambda r: (r["ts"], r["event_id"]))
+    want = {ordered[-1]["event_id"]: -1}
+    for cur, nxt in zip(ordered, ordered[1:]):
+        want[cur["event_id"]] = nxt["v"]
+    want[100] = -1
+    assert out == want
+    # cross-empty-chunk lead: event 3 (t=9) must see event 4 (t=35)
+    assert out[3] == 14
