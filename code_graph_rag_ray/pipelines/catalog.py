@@ -2750,6 +2750,53 @@ WHERE rk <= 5
 """
 
 
+def doc_snapshot_diff(sf_dir: str):
+    """Change-data capture between two corpus snapshots
+    (stages/diff.snapshot_diff): old = documents; new = a deterministic
+    next snapshot (every 10th doc removed, every 7th's text amended,
+    every 13th re-added under a shifted id). Both sides reduce to
+    (key, md5 fingerprint) before ONE full-outer cogroup join — the
+    payload never crosses the shuffle; output is the delta only."""
+    from code_graph_rag_ray.stages.diff import snapshot_diff
+
+    old = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def make_new(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = b.filter(pa.array(ids % 10 != 0))
+        kids = keep["doc_id"].to_numpy(zero_copy_only=False)
+        text = pc.if_else(pa.array(kids % 7 == 0),
+                          pc.binary_join_element_wise(keep["text"], " v2", ""),
+                          keep["text"])
+        base = pa.table({"doc_id": keep["doc_id"], "text": text})
+        adds = b.filter(pa.array(ids % 13 == 0))
+        added = pa.table(
+            {"doc_id": pc.add(adds["doc_id"], 100000), "text": adds["text"]}
+        )
+        return pa.concat_tables([base, added])
+
+    new = old.map_batches(make_new, batch_format="pyarrow")
+    return snapshot_diff(old, new, key="doc_id", compare_cols=["text"])
+
+
+DOC_SNAPSHOT_DIFF_SQL = """
+WITH o AS (SELECT doc_id, text FROM documents),
+n AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 13 = 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN md5(o.text) <> md5(n.text) THEN 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE (o.doc_id IS NULL) OR (n.doc_id IS NULL) OR md5(o.text) <> md5(n.text)
+"""
+
+
 def doc_split_leaks(sf_dir: str):
     """Decontamination: 8-token-prefix fingerprints spanning ≥2 of the
     train/val/test splits — the rows a curation pipeline quarantines."""
@@ -3107,6 +3154,7 @@ QUERIES = {
     "events_lag": events_lag,
     "doc_ntile_deciles": doc_ntile_deciles,
     "events_lead": events_lead,
+    "doc_snapshot_diff": doc_snapshot_diff,
     "events_sessions": events_sessions,
     "doc_mentions": doc_mentions,
     "doc_triples": doc_triples,
@@ -3204,6 +3252,7 @@ ORACLES = {
     "events_lag": EVENTS_LAG_SQL,
     "doc_ntile_deciles": DOC_NTILE_DECILES_SQL,
     "events_lead": EVENTS_LEAD_SQL,
+    "doc_snapshot_diff": DOC_SNAPSHOT_DIFF_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
