@@ -520,8 +520,6 @@ def lag_per_key(
     assert direction in ("lag", "lead")
     lead = direction == "lead"
     out_name = "next" if lead else "prev"
-    from ray.data.aggregate import Max
-
     from code_graph_rag_ray.stages.relational import bucketed_join
 
     c_us = chunk_s * 1_000_000
