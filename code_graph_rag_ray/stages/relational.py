@@ -266,6 +266,7 @@ def bucketed_join(
             right.map_batches(mint(rkeys), batch_format="pyarrow"),
             on="__jk", num_buckets=num_buckets, how=how, coalesce=coalesce,
             left_schema=ls, right_schema=rs,
+            bloom_prefilter=bloom_prefilter, bloom_bits=bloom_bits,
         )
         return out.map_batches(
             lambda b: b.drop_columns([c for c in ("__jk",) if c in b.column_names]),
