@@ -2970,6 +2970,28 @@ def media_frames(sf_dir: str):
     )
 
 
+def media_thumbs(sf_dir: str):
+    """Image resize (stages/multimodal.resize_images): aspect-preserving
+    fit inside 64×64, never upscaled — the dimension policy is real and
+    pinned by pytest; the pixel kernel is the stubbed fake (rows-only)."""
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.multimodal import make_fake_media_table, resize_images
+
+    del sf_dir
+    ds = rd.from_arrow(make_fake_media_table(256))
+    out = resize_images(ds, max_side=64)
+    return out.map_batches(
+        lambda b: pa.table(
+            {"media_id": b["media_id"], "in_w": b["in_w"], "in_h": b["in_h"],
+             "out_w": b["out_w"], "out_h": b["out_h"],
+             "thumb_bytes": pa.array(
+                 [len(t or b"") for t in b["thumb"].to_pylist()], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def media_features(sf_dir: str):
     """Multimodal plumbing: deterministic fake media corpus → actor-pool
     decode → feature rows (decode kernels are stubbed; see
@@ -3155,6 +3177,7 @@ QUERIES = {
     "doc_ntile_deciles": doc_ntile_deciles,
     "events_lead": events_lead,
     "doc_snapshot_diff": doc_snapshot_diff,
+    "media_thumbs": media_thumbs,
     "events_sessions": events_sessions,
     "doc_mentions": doc_mentions,
     "doc_triples": doc_triples,

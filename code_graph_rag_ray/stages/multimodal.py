@@ -194,3 +194,82 @@ def sample_frames(ds: Dataset, *, decoder: str = "fake", every_ms: int = 1000,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class ImageResizer:
+    """Actor-pool image-resize stage: one row per image with
+    (media_id, in_w, in_h, out_w, out_h, thumb) — the dimension POLICY is
+    real (aspect-preserving fit inside ``max_side`` × ``max_side``, never
+    upscaled, floor'd like every mainstream thumbnailer); the pixel kernel
+    is the stubbed fake (payload-seeded deterministic bytes of exactly
+    out_w × out_h). ``decoder="pil"`` stays import-gated. Non-image rows
+    emit zero rows.
+    """
+
+    def __init__(self, decoder: str = "fake", max_side: int = 64):
+        self.max_side = max_side
+        if decoder == "fake":
+            self.resize = self._fake_resize
+        elif decoder == "pil":  # pragma: no cover - lib not in container
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "PIL not available in this environment; use decoder='fake'"
+                ) from e
+            raise NotImplementedError("real image resize not wired yet")
+        else:
+            raise ValueError(f"unknown decoder {decoder!r}")
+
+    def target_size(self, w: int, h: int) -> tuple[int, int]:
+        if w <= 0 or h <= 0:
+            return (0, 0)
+        if max(w, h) <= self.max_side:
+            return (w, h)  # never upscale
+        if w >= h:
+            return (self.max_side, max(1, (h * self.max_side) // w))
+        return (max(1, (w * self.max_side) // h), self.max_side)
+
+    def _fake_resize(self, payload: bytes, ow: int, oh: int) -> bytes:
+        import zlib
+
+        seed = zlib.crc32((payload or b"") + ow.to_bytes(4, "big") + oh.to_bytes(4, "big"))
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=ow * oh, dtype=np.uint8).tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, iw, ih, ow_l, oh_l, thumbs = [], [], [], [], [], []
+        for mid, kind, payload, w, h in zip(
+            batch["media_id"].to_pylist(), batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(), batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            ow, oh = self.target_size(int(w or 0), int(h or 0))
+            ids.append(mid)
+            iw.append(int(w or 0))
+            ih.append(int(h or 0))
+            ow_l.append(ow)
+            oh_l.append(oh)
+            thumbs.append(self.resize(payload, ow, oh) if ow and oh else b"")
+        return pa.table(
+            {"media_id": pa.array(ids, pa.string()),
+             "in_w": pa.array(iw, pa.int32()), "in_h": pa.array(ih, pa.int32()),
+             "out_w": pa.array(ow_l, pa.int32()), "out_h": pa.array(oh_l, pa.int32()),
+             "thumb": pa.array(thumbs, pa.binary())}
+        )
+
+
+def resize_images(ds: Dataset, *, decoder: str = "fake", max_side: int = 64,
+                  concurrency: int = 2, batch_size: int = 32) -> Dataset:
+    """Image rows → thumbnail rows (wide-binary-row discipline: small
+    batches, payload dropped at the stage boundary)."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_args=(decoder, max_side),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -406,3 +406,30 @@ def test_lead_per_key_mirrors_lag():
     assert out == want
     # cross-empty-chunk lead: event 3 (t=9) must see event 4 (t=35)
     assert out[3] == 14
+
+
+def test_image_resizer_policy_and_thumb_size():
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.multimodal import (
+        ImageResizer,
+        make_fake_media_table,
+        resize_images,
+    )
+
+    r = ImageResizer(max_side=64)
+    assert r.target_size(1920, 1080) == (64, 36)
+    assert r.target_size(1080, 1920) == (36, 64)
+    assert r.target_size(50, 40) == (50, 40)      # never upscale
+    assert r.target_size(10000, 3) == (64, 1)     # extreme aspect floors to 1
+    assert r.target_size(0, 100) == (0, 0)
+
+    tbl = make_fake_media_table(48, seed=11)
+    out = resize_images(rd.from_arrow(tbl).repartition(4), max_side=64).to_pandas()
+    imgs = {r["media_id"]: r for r in tbl.to_pylist() if r["kind"] == "image"}
+    assert set(out["media_id"]) == set(imgs)
+    for _, row in out.iterrows():
+        w, h = imgs[row["media_id"]]["width"], imgs[row["media_id"]]["height"]
+        assert (row["out_w"], row["out_h"]) == ImageResizer(max_side=64).target_size(w, h)
+        assert len(row["thumb"]) == row["out_w"] * row["out_h"]
+        assert max(row["out_w"], row["out_h"]) <= 64
