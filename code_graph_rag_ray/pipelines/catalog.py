@@ -1935,7 +1935,9 @@ def page_extract_text(sf_dir: str):
 
 PAGE_EXTRACT_TEXT_SQL = """
 SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
-       'doc ' || doc_id || chr(10) || text || chr(10) || 'ref ref' AS text
+       'doc ' || doc_id || chr(10) || text || chr(10)
+         || (CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'see' END)
+         || ' ref' AS text
 FROM documents
 """
 
@@ -2035,6 +2037,40 @@ u AS (
   UNION ALL
   SELECT t2_site AS site FROM p)
 SELECT site, count(*) AS n_links FROM u GROUP BY site
+"""
+
+
+def page_anchor_summary(sf_dir: str):
+    """Inbound anchor-text aggregation per internal link target (the J8
+    endpoint-linking signal: how the rest of the corpus names a page).
+    Semi-join keeps internal targets, then ONE combiner-first (dst, anchor)
+    count shuffle; top_anchor tie-break is (count DESC, anchor ASC) so the
+    result is deterministic at any parallelism."""
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+    from code_graph_rag_ray.stages.links import anchor_summary, extract_links
+
+    pages = pages_from_documents(sf_dir)
+    links = extract_links(pages, with_anchor=True)
+    return anchor_summary(links, pages.select_columns(["url"]))
+
+
+PAGE_ANCHOR_SUMMARY_SQL = """
+WITH p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1,
+         CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'see' END AS anchor
+  FROM documents),
+internal AS (
+  SELECT a.url AS src_url, a.t1 AS dst_url, a.anchor
+  FROM p a JOIN (SELECT url FROM p) b ON a.t1 = b.url),
+c AS (
+  SELECT dst_url, anchor, count(*) AS n
+  FROM internal GROUP BY dst_url, anchor)
+SELECT dst_url,
+       CAST(sum(n) AS BIGINT) AS n_links,
+       count(*) AS n_anchors,
+       (array_agg(anchor ORDER BY n DESC, anchor ASC))[1] AS top_anchor
+FROM c GROUP BY dst_url
 """
 
 
@@ -3204,6 +3240,7 @@ QUERIES = {
     "page_links": page_links,
     "page_links_internal": page_links_internal,
     "page_ext_sites": page_ext_sites,
+    "page_anchor_summary": page_anchor_summary,
     "page_rank": page_rank,
     "page_degree": page_degree,
     "doc_top_by_lang": doc_top_by_lang,
@@ -3303,6 +3340,7 @@ ORACLES = {
     "page_links": PAGE_LINKS_SQL,
     "page_links_internal": PAGE_LINKS_INTERNAL_SQL,
     "page_ext_sites": PAGE_EXT_SITES_SQL,
+    "page_anchor_summary": PAGE_ANCHOR_SUMMARY_SQL,
     "page_rank": PAGE_RANK_SQL,
     "page_degree": PAGE_DEGREE_SQL,
     "doc_top_by_lang": DOC_TOP_BY_LANG_SQL,

@@ -286,7 +286,9 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
                     if rng.random() < 0.25:
                         href = f"https://{HEAD_HOST}/page/{int(rng.integers(n_pages)):06d}"
                         emit(s_alias, f'<a href="{href}">{s_alias}</a>')
-                        link_rows.append({"url": url, "target": href})
+                        link_rows.append(
+                            {"url": url, "target": href, "anchor": s_alias}
+                        )
                     else:
                         emit(s_alias)
                     if not builtin_subj:
@@ -380,7 +382,8 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
     )
     expected_links = pa.Table.from_pylist(
         link_rows,
-        schema=pa.schema([("url", pa.string()), ("target", pa.string())]),
+        schema=pa.schema([("url", pa.string()), ("target", pa.string()),
+                          ("anchor", pa.string())]),
     )
     return PagesFixture(
         pages, expected_text, expected_mentions, expected_triples, alias_tbl,
@@ -411,8 +414,10 @@ def _docs_to_pages_batch(batch: pa.Table) -> pa.Table:
 
     Deterministic wrap with closed-form oracles:
 
-    - ``extract_text(html) == 'doc <id>\\n' + text + '\\nref ref'`` (DuckDB:
-      ``'doc ' || doc_id || chr(10) || text || chr(10) || 'ref ref'``),
+    - ``extract_text(html) == 'doc <id>\\n' + text + '\\n<a1> ref'`` where
+      ``a1 = 'ref' if doc_id % 2 == 0 else 'see'`` (DuckDB: ``'doc ' ||
+      doc_id || chr(10) || text || chr(10) || CASE WHEN doc_id % 2 = 0 THEN
+      'ref' ELSE 'see' END || ' ref'``),
     - two planted ``<a href>`` targets per page (M8-href/J8 exercise):
       an INTERNAL candidate ``https://<source>.example.org/doc/<doc_id//2>``
       — a real page url iff document ``doc_id//2`` shares this document's
@@ -445,6 +450,12 @@ def _docs_to_pages_batch(batch: pa.Table) -> pa.Table:
     gen11 = pa.array((ids % 11).astype(str), pa.string())
     lib4 = pa.array((ids % 4).astype(str), pa.string())
     lib6 = pa.array((ids % 6).astype(str), pa.string())
+    # internal-link anchor text alternates by SOURCE doc parity, so an
+    # internal target (doc_id//2) can receive two distinct inbound anchors
+    # (from docs 2d and 2d+1) — makes the anchor aggregation oracle
+    # discriminating. Both words are lowercase non-vocab, so the KG/mention
+    # oracles are untouched.
+    anchor1 = pa.array(np.where(ids % 2 == 0, "ref", "see"), pa.string())
     html = pc.binary_join_element_wise(
         pa.array(["<html><head><title>doc "] * n), doc_id,
         pa.array(['</title><meta name="generator" content="gen-'] * n), gen5,
@@ -456,7 +467,8 @@ def _docs_to_pages_batch(batch: pa.Table) -> pa.Table:
         pa.array(['"></head><body><p>'] * n), batch["text"],
         pa.array(['</p><p><a href="https://'] * n), batch["source"],
         pa.array([".example.org/doc/"] * n), half_id,
-        pa.array(['">ref</a> <a href="https://ext-'] * n), ext_n,
+        pa.array(['">'] * n), anchor1,
+        pa.array(['</a> <a href="https://ext-'] * n), ext_n,
         pa.array(['.example.net/">ref</a></p></body></html>'] * n), "",
     )
     base = 1_700_000_000_000_000

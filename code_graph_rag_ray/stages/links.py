@@ -67,21 +67,65 @@ def extract_hrefs(html: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarra
     return pc.take(targets, pa.array(sel, pa.int64())), row_idx[sel]
 
 
-def extract_links_batch(batch: pa.Table) -> pa.Table:
-    """pages(url, html, …) → (url, target) link rows.
+def extract_hrefs_anchors(
+    html: pa.Array | pa.ChunkedArray,
+) -> tuple[pa.Array, pa.Array, np.ndarray]:
+    """Like :func:`extract_hrefs` but also captures each link's ANCHOR TEXT.
+
+    The anchor is the text between the tag close (``>`` after the href's
+    closing quote, skipping any further attributes) and the first ``<`` —
+    nested markup inside the anchor degrades to its leading text run, and a
+    link whose anchor cannot be parsed keeps the link with an EMPTY anchor
+    (the link itself is still ground truth; only the label is missing).
+    """
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    html = pc.fill_null(html, "")
+    parts = pc.split_pattern(html, pattern='href="')
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = pc.list_flatten(parts)
+    offsets = np.asarray(parts.offsets, dtype=np.int64)
+    counts = np.diff(offsets)
+    if len(flat) == 0:
+        empty = pa.array([], pa.string())
+        return empty, empty, np.empty(0, dtype=np.int64)
+    row_idx_all = np.repeat(np.arange(len(counts)), counts)
+    pos_in_row = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], counts)
+    keep = np.flatnonzero(pos_in_row > 0)
+    cand = pc.take(flat, pa.array(keep, pa.int64()))
+    row_idx = row_idx_all[keep]
+    m = pc.extract_regex(cand, pattern='^(?P<t>[^"]*)"')
+    targets = pc.struct_field(m, "t")
+    ma = pc.extract_regex(cand, pattern='^[^"]*"[^>]*>(?P<a>[^<]*)')
+    anchors = pc.fill_null(pc.struct_field(ma, "a"), "")
+    valid = pc.is_valid(targets).to_numpy(zero_copy_only=False)
+    sel = pa.array(np.flatnonzero(valid), pa.int64())
+    return pc.take(targets, sel), pc.take(anchors, sel), row_idx[valid]
+
+
+def extract_links_batch(batch: pa.Table, *, with_anchor: bool = False) -> pa.Table:
+    """pages(url, html, …) → (url, target[, anchor]) link rows.
 
     Runs BEFORE extract_text in the pipeline order (the html column is
     dropped by extract_text; hrefs only exist in the raw markup). One bad
     row degrades to zero links, never a task failure.
     """
     decoded, _errs = decode_html_binary(batch["html"])
+    if with_anchor:
+        targets, anchors, row_idx = extract_hrefs_anchors(decoded)
+        urls = pc.take(batch["url"], pa.array(row_idx, pa.int64()))
+        return pa.table({"url": urls, "target": targets, "anchor": anchors})
     targets, row_idx = extract_hrefs(decoded)
     urls = pc.take(batch["url"], pa.array(row_idx, pa.int64()))
     return pa.table({"url": urls, "target": targets})
 
 
-def extract_links(pages: Dataset) -> Dataset:
-    return pages.map_batches(extract_links_batch, batch_format="pyarrow")
+def extract_links(pages: Dataset, *, with_anchor: bool = False) -> Dataset:
+    import functools
+
+    fn = functools.partial(extract_links_batch, with_anchor=with_anchor)
+    return pages.map_batches(fn, batch_format="pyarrow")
 
 
 def _host_of(targets: pa.Array | pa.ChunkedArray) -> pa.Array:
@@ -143,3 +187,59 @@ def resolve_links(links: Dataset, corpus_urls: Dataset) -> dict:
         .aggregate(Sum("n", alias_name="n_links"))
     )
     return {"internal": internal, "external": external}
+
+
+def anchor_summary(links: Dataset, corpus_urls: Dataset) -> Dataset:
+    """Inbound anchor-text aggregation per internal link target.
+
+    The classic web-graph signal (how the REST of the corpus names a page —
+    the analog of the reference aggregating call-sites per resolved
+    function, ``graph_updater.py:1023-1047``): for every link target that is
+    a real corpus page, aggregate its inbound links into
+
+    - ``n_links``  — inbound link count,
+    - ``n_anchors`` — distinct anchor strings,
+    - ``top_anchor`` — the most frequent anchor (ties → lexicographically
+      smallest, so the result is deterministic and oracle-exact).
+
+    Scale shape: one bucketed SEMI join keeps only internal targets (both
+    sides corpus-scale, never a broadcast), then ONE combiner-first
+    ``(dst, anchor)`` count shuffle; the final per-dst pass groups the
+    already-tiny count table (rows = distinct anchors per dst, not inbound
+    degree), so a whale target (everyone links to the same page) exchanges
+    O(blocks × anchors), never its in-degree.
+    """
+    import pandas as pd
+
+    from code_graph_rag_ray.stages.relational import bucketed_join, partial_groupby_sum
+
+    internal = bucketed_join(
+        links,
+        corpus_urls,
+        on="target",
+        right_on="url",
+        how="semi",
+        left_schema=pa.schema(
+            [("url", pa.string()), ("target", pa.string()), ("anchor", pa.string())]
+        ),
+        right_schema=pa.schema([("url", pa.string())]),
+    )
+    counts = partial_groupby_sum(
+        internal.select_columns(["target", "anchor"]),
+        ["target", "anchor"],
+        {},
+        count_alias="n",
+    )
+
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "anchor"], ascending=[False, True], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "dst_url": [g["target"].iloc[0]],
+                "n_links": [int(g["n"].sum())],
+                "n_anchors": [len(g)],
+                "top_anchor": [g["anchor"].iloc[0]],
+            }
+        )
+
+    return counts.groupby("target").map_groups(summarize, batch_format="pandas")

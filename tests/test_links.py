@@ -34,6 +34,72 @@ def test_extract_hrefs_vectorized_edge_cases():
     assert rows.tolist() == [0, 0, 5]
 
 
+def test_extract_hrefs_anchors_edge_cases():
+    from code_graph_rag_ray.stages.links import extract_hrefs_anchors
+
+    html = pa.array(
+        [
+            '<a href="https://x/1">one</a> <a href="https://x/2" class="c">two</a>',
+            '<a href="https://x/3"><b>bold</b> tail</a>',  # nested → empty lead run
+            '<a href="https://y/unterminated',  # dropped entirely
+            '<a href="https://x/4">',  # anchor never closed → to first '<' / end
+            None,
+        ]
+    )
+    targets, anchors, rows = extract_hrefs_anchors(html)
+    assert targets.to_pylist() == [
+        "https://x/1", "https://x/2", "https://x/3", "https://x/4",
+    ]
+    assert anchors.to_pylist() == ["one", "two", "", ""]
+    assert rows.tolist() == [0, 0, 1, 3]
+
+
+def test_extract_links_anchor_matches_fixture(pages_fixture):
+    fx, fx_dir = pages_fixture
+    pages = rd.read_parquet(f"{fx_dir}/pages.parquet")
+    got = extract_links(pages, with_anchor=True).to_pandas()
+    got_set = set(map(tuple, got.itertuples(index=False)))
+    exp_set = {
+        (r["url"], r["target"], r["anchor"])
+        for r in fx.expected_links.to_pylist()
+    }
+    assert got_set == exp_set
+    assert len({a for _, _, a in exp_set}) > 3  # anchors are data-dependent
+
+
+def test_anchor_summary_matches_python_recompute(pages_fixture):
+    from code_graph_rag_ray.stages.links import anchor_summary
+
+    fx, fx_dir = pages_fixture
+    pages = rd.read_parquet(f"{fx_dir}/pages.parquet")
+    links = extract_links(pages, with_anchor=True)
+    got = anchor_summary(links, pages.select_columns(["url"])).to_pandas()
+
+    corpus = {r["url"] for r in fx.pages.select(["url"]).to_pylist()}
+    counts: dict[str, dict[str, int]] = {}
+    for r in fx.expected_links.to_pylist():
+        if r["target"] in corpus:
+            counts.setdefault(r["target"], {})
+            counts[r["target"]][r["anchor"]] = (
+                counts[r["target"]].get(r["anchor"], 0) + 1
+            )
+    exp = {
+        dst: (
+            sum(c.values()),
+            len(c),
+            min(c, key=lambda a: (-c[a], a)),
+        )
+        for dst, c in counts.items()
+    }
+    got_map = {
+        r.dst_url: (int(r.n_links), int(r.n_anchors), r.top_anchor)
+        for r in got.itertuples(index=False)
+    }
+    assert got_map == exp
+    # the fixture actually exercises multi-anchor targets + the tie-break
+    assert any(v[1] > 1 for v in exp.values())
+
+
 def test_extract_links_matches_fixture(pages_fixture):
     fx, fx_dir = pages_fixture
     pages = rd.read_parquet(f"{fx_dir}/pages.parquet")
