@@ -140,6 +140,12 @@ def resume_materialize(
             if int(name.split("=")[1]) not in done:
                 shutil.rmtree(pdir)
 
+    if len(done) >= num_partitions:
+        # fully resumed: every partition (including zero-row ones — the
+        # manifest records those too) is complete, so the upstream pipeline
+        # never executes at all.
+        return partition_manifest(out_dir, expected=num_partitions)
+
     parted = add_partition_column(ds, key, num_partitions)
     if done:
         import pyarrow.compute as pc
@@ -156,23 +162,24 @@ def resume_materialize(
     def sort_group(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(sort_by, kind="mergesort")
 
-    # materialize ONCE: .count() on the lazy dataset would execute the full
-    # upstream pipeline, then write_parquet would execute it AGAIN — 2× the
-    # cost of the flagship terminal stage (observed). The materialized
-    # blocks serve both the emptiness check and the write.
-    remaining = (
-        parted.groupby("part").map_groups(sort_group, batch_format="pandas").materialize()
-    )
-    if remaining.count() > 0:
-        remaining.write_parquet(out_dir, partition_cols=["part"])
-    return partition_manifest(out_dir)
+    # stream straight into the partitioned write — ONE execution of the
+    # upstream pipeline, no terminal materialize (an all-empty remainder
+    # writes nothing, which Ray handles fine).
+    parted.groupby("part").map_groups(
+        sort_group, batch_format="pandas"
+    ).write_parquet(out_dir, partition_cols=["part"])
+    return partition_manifest(out_dir, expected=num_partitions)
 
 
-def partition_manifest(out_dir: str) -> dict:
+def partition_manifest(out_dir: str, *, expected: int | None = None) -> dict:
     """Row counts per hive partition directory under a materialized output.
 
     Written next to the data so a rerun can skip finished partitions
-    (per-partition lineage, north-star requirement)."""
+    (per-partition lineage, north-star requirement). With ``expected=N``
+    (call it only after a SUCCESSFUL full write), hash partitions that got
+    zero rows — hence no directory — are recorded as complete with count 0,
+    so a rerun skips them instead of re-executing the whole pipeline to
+    rediscover their emptiness."""
     import pyarrow.parquet as pq
 
     parts: dict[str, int] = {}
@@ -185,6 +192,9 @@ def partition_manifest(out_dir: str) -> dict:
             if f.endswith(".parquet"):
                 n += pq.read_metadata(os.path.join(pdir, f)).num_rows
         parts[name] = n
+    if expected is not None:
+        for k in range(expected):
+            parts.setdefault(f"part={k}", 0)
     manifest = {"partitions": parts, "rows": int(sum(parts.values()))}
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)

@@ -57,8 +57,7 @@ def test_resume_skips_completed_and_rewrites_partial(tmp_path):
 
     # simulate a crash: drop one partition from the manifest (it becomes
     # "partial") and delete another partition's data but keep its manifest
-    parts = sorted(man["partitions"])
-    partial = parts[0]
+    partial = min(p for p, c in man["partitions"].items() if c > 0)
     man2 = {"partitions": {p: c for p, c in man["partitions"].items() if p != partial}}
     with open(os.path.join(out, MANIFEST), "w") as f:
         json.dump(man2, f)
@@ -72,6 +71,24 @@ def test_resume_skips_completed_and_rewrites_partial(tmp_path):
     man3 = resume_materialize(_edges(), out, key="subj", sort_by=["subj", "obj"], num_partitions=8)
     assert _read_all(out) == clean  # resume == clean, no dup rows
     assert man3["rows"] == 400
+
+
+def test_full_resume_executes_nothing(tmp_path):
+    """A complete manifest (incl. zero-row partitions) short-circuits the
+    rerun BEFORE the upstream pipeline executes at all."""
+    out = str(tmp_path / "g")
+    resume_materialize(_edges(), out, key="subj", sort_by=["subj", "obj"],
+                       num_partitions=8)
+    clean = _read_all(out)
+
+    def boom(b: pa.Table) -> pa.Table:
+        raise RuntimeError("upstream must not execute on full resume")
+
+    poisoned = _edges().map_batches(boom, batch_format="pyarrow")
+    man = resume_materialize(poisoned, out, key="subj", sort_by=["subj", "obj"],
+                             num_partitions=8)
+    assert man["rows"] == 400
+    assert _read_all(out) == clean
 
 
 def test_partition_manifest_counts(tmp_path):
