@@ -1981,11 +1981,15 @@ PAGE_LINKS_SQL = """
 WITH p AS (
   SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
          'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1,
-         'https://ext-' || (doc_id % 7) || '.example.net/' AS t2
+         'https://ext-' || (doc_id % 7) || '.example.net/' AS t2,
+         'HTTPS://' || upper(source) || '.Example.ORG:443/doc/'
+           || (doc_id // 3) || '?utm_source=feed#s' AS t3
   FROM documents)
 SELECT url, t1 AS target FROM p
 UNION ALL
 SELECT url, t2 AS target FROM p
+UNION ALL
+SELECT url, t3 AS target FROM p
 """
 
 
@@ -2035,8 +2039,46 @@ u AS (
   FROM p a LEFT JOIN (SELECT url FROM p) b ON a.t1 = b.url
   WHERE b.url IS NULL
   UNION ALL
-  SELECT t2_site AS site FROM p)
+  SELECT t2_site AS site FROM p
+  UNION ALL
+  -- the messy-spelled third link NEVER matches raw (case/port/params), so
+  -- its lowercased host:port lands on the anti side
+  SELECT source || '.example.org:443' AS site FROM documents)
 SELECT site, count(*) AS n_links FROM u GROUP BY site
+"""
+
+
+def page_links_normalized(sf_dir: str):
+    """J8 with NORMALIZED join keys (the reference canonicalizes request /
+    endpoint URLs before its equi-join, graph_updater.py:1023-1047): raw
+    targets are canonicalized (lowercase scheme+host, default port,
+    fragment, utm params — functions/urls.py) and THEN semi-joined against
+    the corpus url set, so messy-spelled links resolve where raw joining
+    misses them."""
+    from code_graph_rag_ray.functions.urls import normalize_urls
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+    from code_graph_rag_ray.stages.links import extract_links, resolve_links
+
+    pages = pages_from_documents(sf_dir)
+    links = extract_links(pages)
+
+    def canon(b: pa.Table) -> pa.Table:
+        return pa.table({"url": b["url"], "target": normalize_urls(b["target"])})
+
+    normalized = links.map_batches(canon, batch_format="pyarrow")
+    return resolve_links(normalized, pages.select_columns(["url"]))["internal"]
+
+
+PAGE_LINKS_NORMALIZED_SQL = """
+WITH p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1,
+         'https://' || source || '.example.org/doc/' || (doc_id // 3) AS t3n
+  FROM documents),
+c AS (SELECT url FROM p)
+SELECT a.url AS src_url, a.t AS dst_url
+FROM (SELECT url, t1 AS t FROM p UNION ALL SELECT url, t3n AS t FROM p) a
+JOIN c b ON a.t = b.url
 """
 
 
@@ -3240,6 +3282,7 @@ QUERIES = {
     "page_links": page_links,
     "page_links_internal": page_links_internal,
     "page_ext_sites": page_ext_sites,
+    "page_links_normalized": page_links_normalized,
     "page_anchor_summary": page_anchor_summary,
     "page_rank": page_rank,
     "page_degree": page_degree,
@@ -3340,6 +3383,7 @@ ORACLES = {
     "page_links": PAGE_LINKS_SQL,
     "page_links_internal": PAGE_LINKS_INTERNAL_SQL,
     "page_ext_sites": PAGE_EXT_SITES_SQL,
+    "page_links_normalized": PAGE_LINKS_NORMALIZED_SQL,
     "page_anchor_summary": PAGE_ANCHOR_SUMMARY_SQL,
     "page_rank": PAGE_RANK_SQL,
     "page_degree": PAGE_DEGREE_SQL,

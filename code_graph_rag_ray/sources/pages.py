@@ -418,12 +418,15 @@ def _docs_to_pages_batch(batch: pa.Table) -> pa.Table:
       ``a1 = 'ref' if doc_id % 2 == 0 else 'see'`` (DuckDB: ``'doc ' ||
       doc_id || chr(10) || text || chr(10) || CASE WHEN doc_id % 2 = 0 THEN
       'ref' ELSE 'see' END || ' ref'``),
-    - two planted ``<a href>`` targets per page (M8-href/J8 exercise):
+    - three planted ``<a href>`` targets per page (M8-href/J8 exercise):
       an INTERNAL candidate ``https://<source>.example.org/doc/<doc_id//2>``
       — a real page url iff document ``doc_id//2`` shares this document's
       source (data-dependent, so the semi-join is non-trivial and
-      SQL-checkable) — and an always-EXTERNAL site link
-      ``https://ext-<doc_id%7>.example.net/``,
+      SQL-checkable) — an always-EXTERNAL site link
+      ``https://ext-<doc_id%7>.example.net/``, and a MESSY-spelled internal
+      candidate ``HTTPS://<SOURCE>.Example.ORG:443/doc/<doc_id//3>
+      ?utm_source=feed#s`` with an empty anchor that only resolves after
+      URL canonicalization (the normalized-join exercise),
     - three planted ``<meta name=... content=...>`` head declarations (the
       dependency-manifest analog, S7): ``generator`` =
       ``gen-<doc_id%5> 1.<doc_id%3>.<doc_id%11>``, ``language`` = the
@@ -456,6 +459,14 @@ def _docs_to_pages_batch(batch: pa.Table) -> pa.Table:
     # discriminating. Both words are lowercase non-vocab, so the KG/mention
     # oracles are untouched.
     anchor1 = pa.array(np.where(ids % 2 == 0, "ref", "see"), pa.string())
+    # third link: a MESSY spelling of a real-shaped corpus url (uppercase
+    # scheme/host, default :443 port, utm param, fragment) with an EMPTY
+    # anchor (`<a href=..></a>` contributes only tag-stripped spaces, so
+    # extract_text byte identity is untouched). Raw resolution never matches
+    # it; normalized resolution matches iff doc (doc_id//3) shares this
+    # document's source — the page_links_normalized oracle.
+    upper_src = pc.utf8_upper(batch["source"])
+    third_id = pa.array((ids // 3).astype(str), pa.string())
     html = pc.binary_join_element_wise(
         pa.array(["<html><head><title>doc "] * n), doc_id,
         pa.array(['</title><meta name="generator" content="gen-'] * n), gen5,
@@ -469,7 +480,9 @@ def _docs_to_pages_batch(batch: pa.Table) -> pa.Table:
         pa.array([".example.org/doc/"] * n), half_id,
         pa.array(['">'] * n), anchor1,
         pa.array(['</a> <a href="https://ext-'] * n), ext_n,
-        pa.array(['.example.net/">ref</a></p></body></html>'] * n), "",
+        pa.array(['.example.net/">ref</a><a href="HTTPS://'] * n), upper_src,
+        pa.array([".Example.ORG:443/doc/"] * n), third_id,
+        pa.array(['?utm_source=feed#s"></a></p></body></html>'] * n), "",
     )
     base = 1_700_000_000_000_000
     ts = pa.array(
