@@ -2370,16 +2370,23 @@ def _ensure_cols(df: pd.DataFrame, cols: dict[str, str]) -> pd.DataFrame:
 def doc_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-duplicate pairs over documents (Jaccard-verified).
 
-    The synthetic corpus plants no near-dups, so an empty result is correct;
-    the operator's semantics are proven on planted dups in tests/test_dedup.
+    Bit-exact DuckDB oracle (``_minhash_pairs_sql``): the SQL replays the
+    whole LSH pipeline — exact universal-hash signatures, band-key
+    candidate grouping (sig 4-tuples stand in for the engine's crc32 band
+    compaction), hashed-shingle Jaccard verification — so the distributed
+    result is checked end-to-end, not just on the empty synthetic corpus.
+    Jaccard stays a raw IEEE double (identical integer division both
+    sides). ``truncated`` is always false below ``max_group`` (holds at
+    oracle scale; truncation is the documented skew guard at 100 TB).
     """
     from code_graph_rag_ray.stages.dedup import minhash_near_dup_pairs
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     out = minhash_near_dup_pairs(ds, verify_threshold=0.8).to_pandas()
-    out = _ensure_cols(out, {"a": "int64", "b": "int64", "jaccard": "float64"})
-    out["jaccard"] = out["jaccard"].round(4)
-    return out
+    return _ensure_cols(
+        out, {"a": "int64", "b": "int64", "truncated": "bool",
+              "jaccard": "float64"}
+    )
 
 
 def doc_simhash(sf_dir: str):
@@ -2458,6 +2465,72 @@ GROUP BY sh.doc_id, p.perm
 
 
 DOC_MINHASH_SIG_SQL = _minhash_sig_sql()
+
+
+def _minhash_pairs_sql(num_perm: int = 64, bands: int = 16, seed: int = 7,
+                       threshold: float = 0.8) -> str:
+    """Full LSH replay in SQL: signatures → per-band sig-tuple candidate
+    grouping → hashed-shingle Jaccard ≥ threshold. The engine buckets on
+    crc32(band sig bytes); equality of the underlying 4-sig tuples is the
+    same predicate modulo crc32 collisions (none at oracle scale)."""
+    from code_graph_rag_ray.stages.dedup import MinHasher
+
+    h = MinHasher(num_perm, seed)
+    vals = ", ".join(
+        f"({p}, {int(a)}, {int(b)})" for p, (a, b) in enumerate(zip(h.a, h.b))
+    )
+    rows_per_band = num_perm // bands
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8))::UBIGINT::BIGINT AS h
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3)
+  UNION ALL
+  SELECT d.doc_id, ('0x' || substr(md5(d.text), 1, 8))::UBIGINT::BIGINT AS h
+  FROM documents d JOIN toks USING (doc_id) WHERE len(toks.t) < 3
+),
+shd AS (SELECT DISTINCT doc_id, h FROM sh),
+params(perm, a, b) AS (VALUES {vals}),
+sig AS (
+  SELECT sh.doc_id, p.perm,
+         CAST(min((p.a::HUGEINT * sh.h + p.b) % 2305843009213693951) AS BIGINT) AS sig
+  FROM sh CROSS JOIN params p GROUP BY sh.doc_id, p.perm
+),
+bandkey AS (
+  SELECT doc_id, perm // {rows_per_band} AS band,
+         list(sig ORDER BY perm) AS key
+  FROM sig GROUP BY doc_id, perm // {rows_per_band}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandkey x JOIN bandkey y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN shd p ON p.doc_id = c.a
+  JOIN shd q ON q.doc_id = c.b AND q.h = p.h
+  GROUP BY c.a, c.b
+),
+scored AS (
+  SELECT c.a, c.b, FALSE AS truncated,
+         CAST(coalesce(i.i, 0) AS DOUBLE)
+           / CAST(sa.n + sb.n - coalesce(i.i, 0) AS DOUBLE) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN sizes sa ON sa.doc_id = c.a
+  JOIN sizes sb ON sb.doc_id = c.b
+)
+SELECT a, b, truncated, jaccard FROM scored
+WHERE jaccard >= {threshold}::DOUBLE
+"""
+
+
+DOC_MINHASH_PAIRS_SQL = _minhash_pairs_sql()
 
 
 def doc_jaccard_pairs(sf_dir: str):
@@ -3395,6 +3468,7 @@ ORACLES = {
     "events_user_cms": EVENTS_USER_CMS_SQL,
     "cooccur_triangles": COOCCUR_TRIANGLES_SQL,
     "doc_minhash_sig": DOC_MINHASH_SIG_SQL,
+    "doc_minhash_pairs": DOC_MINHASH_PAIRS_SQL,
     "doc_kmeans": DOC_KMEANS_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,
     "doc_simhash_pairs": DOC_SIMHASH_PAIRS_SQL,

@@ -192,3 +192,45 @@ def test_dup_ngram_spans_null_and_short_texts():
     })
     out = dup_ngram_spans(rd.from_arrow(tbl).repartition(2), w=8).take_all()
     assert out == []  # no window reaches w tokens; null text never raises
+
+
+def test_minhash_pairs_sql_oracle_parity_on_planted_dups(tmp_path):
+    """The doc_minhash_pairs DuckDB oracle replays the FULL LSH pipeline
+    (signatures, band grouping, hashed-shingle Jaccard). The synthetic
+    driver corpus has no near-dups (empty == empty there), so pin the
+    parity on a corpus WITH planted exact + near duplicates."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from code_graph_rag_ray.pipelines.catalog import (
+        DOC_MINHASH_PAIRS_SQL,
+        doc_minhash_pairs,
+    )
+
+    rows = [
+        (1, BASE),
+        (2, BASE),                         # exact dup of 1 (jaccard 1.0)
+        (3, BASE + " coda"),               # near dup (one extra trigram)
+        (4, "completely different text about ray data pipelines " * 3),
+        (5, "tiny"),                       # <3 tokens: whole-text shingle
+        (6, "tiny"),                       # exact dup of 5
+    ]
+    tbl = pa.Table.from_pylist(
+        [{"doc_id": i, "text": t} for i, t in rows],
+        schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = doc_minhash_pairs(str(tmp_path)).sort_values(["a", "b"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = con.execute(DOC_MINHASH_PAIRS_SQL).df().sort_values(["a", "b"]).reset_index(drop=True)
+
+    assert len(got) >= 3  # (1,2), (1,3) or (2,3)…, (5,6) all survive 0.8
+    assert list(got.columns) == ["a", "b", "truncated", "jaccard"]
+    assert got["a"].tolist() == exp["a"].tolist()
+    assert got["b"].tolist() == exp["b"].tolist()
+    assert got["truncated"].tolist() == exp["truncated"].tolist()
+    assert got["jaccard"].tolist() == exp["jaccard"].tolist()  # bit-exact
