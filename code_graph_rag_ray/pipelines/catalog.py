@@ -3058,6 +3058,70 @@ def doc_embeddings(sf_dir: str):
     )
 
 
+_EMB_AUDIT_DIM = 16
+
+
+def doc_embedding_vectors(sf_dir: str):
+    """AUDIT-mode embeddings, bit-exact oracle-checked (upgrades the S8/T5
+    embedding family from rows-only): the md5-low32 hashing embedder's full
+    output — every (doc, dimension) value — is recomputed in DuckDB.
+    Exactness chain: signed bucket counts are integers; sum-of-squares is
+    an exactly-representable double in any summation order; sqrt and the
+    divide are single correctly-rounded IEEE ops; the float32 cast rounds
+    the same double on both sides. Long-form (doc_id, i, v) output."""
+    from code_graph_rag_ray.stages.embedding import embed_documents
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    emb = embed_documents(ds, dim=_EMB_AUDIT_DIM, concurrency=None,
+                          hash_mode="md5")
+
+    def explode(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, _EMB_AUDIT_DIM)),
+            "i": pa.array(np.tile(np.arange(_EMB_AUDIT_DIM, dtype=np.int64), n)),
+            "v": col.flatten(),
+        })
+
+    return emb.map_batches(explode, batch_format="pyarrow")
+
+
+DOC_EMBEDDING_VECTORS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), s -> s <> '') AS t
+  FROM documents),
+uni AS (
+  SELECT doc_id, i, ('0x' || substr(md5(t[i]), 1, 8))::UBIGINT AS h
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+big AS (
+  -- word-bigram hash: h1 * 0x9E3779B9 + h2, both < 2^32 so the uint64
+  -- product never wraps — identical arithmetic to the numpy path
+  SELECT a.doc_id, (a.h::HUGEINT * 2654435769 + b.h)::UBIGINT AS h
+  FROM uni a JOIN uni b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+allh AS (SELECT doc_id, h FROM uni UNION ALL SELECT doc_id, h FROM big),
+cnt AS (
+  SELECT doc_id, (h % {_EMB_AUDIT_DIM})::BIGINT AS i,
+         sum(CASE WHEN (h >> 31) & 1 = 1 THEN -1 ELSE 1 END) AS c
+  FROM allh GROUP BY doc_id, h % {_EMB_AUDIT_DIM}),
+grid AS (
+  SELECT d.doc_id, g.i, coalesce(c.c, 0) AS c
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, {_EMB_AUDIT_DIM})) AS i) g
+  LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.i = g.i),
+norm AS (
+  SELECT doc_id, sum(c * c) AS ss FROM grid GROUP BY doc_id)
+SELECT g.doc_id, g.i,
+       CAST(g.c::DOUBLE
+            / sqrt((CASE WHEN n.ss = 0 THEN 1 ELSE n.ss END)::DOUBLE)
+            AS REAL) AS v
+FROM grid g JOIN norm n USING (doc_id)
+"""
+
+
 def doc_lang_pred(sf_dir: str):
     """Heuristic language-ID over documents (actor-pool stage). Bit-exact
     DuckDB oracle: the marker-word argmax (CJK char-range → zh; else
@@ -3386,6 +3450,7 @@ QUERIES = {
     "doc_jaccard_pairs": doc_jaccard_pairs,
     "doc_simhash_pairs": doc_simhash_pairs,
     "doc_embeddings": doc_embeddings,
+    "doc_embedding_vectors": doc_embedding_vectors,
     "embedding_dup_pairs": embedding_dup_pairs,
     "knn_lsh_recall": knn_lsh_recall,
     "knn_ivf_recall": knn_ivf_recall,
@@ -3469,6 +3534,7 @@ ORACLES = {
     "cooccur_triangles": COOCCUR_TRIANGLES_SQL,
     "doc_minhash_sig": DOC_MINHASH_SIG_SQL,
     "doc_minhash_pairs": DOC_MINHASH_PAIRS_SQL,
+    "doc_embedding_vectors": DOC_EMBEDDING_VECTORS_SQL,
     "doc_kmeans": DOC_KMEANS_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,
     "doc_simhash_pairs": DOC_SIMHASH_PAIRS_SQL,

@@ -35,15 +35,28 @@ class FeatureHashEmbedder:
     (docs × dim) matrix with the hashing-trick sign bit.
     """
 
-    def __init__(self, dim: int = 64, id_col: str = "doc_id", text_col: str = "text"):
+    def __init__(self, dim: int = 64, id_col: str = "doc_id", text_col: str = "text",
+                 hash_mode: str = "stable"):
         self.dim = dim
         self.id_col = id_col
         self.text_col = text_col
-        self._mult = np.uint64(0x9E3779B97F4A7C15)
+        self.hash_mode = hash_mode
+        if hash_mode == "md5":
+            # AUDIT mode: md5-low32 token hashes (< 2^32) so every hash —
+            # including the bigram combine, whose product with a 32-bit
+            # multiplier stays < 2^64, no wraparound — is recomputable in
+            # DuckDB, making the resulting vectors bit-exact oracle-checkable
+            # (integer bucket counts → exact-rounded sqrt/divide/float32).
+            # Sign comes from bit 31 (the top bit of an md5-low32 value).
+            self._mult = np.uint64(0x9E3779B9)
+            self._sign_bit = np.uint64(31)
+        else:
+            self._mult = np.uint64(0x9E3779B97F4A7C15)
+            self._sign_bit = np.uint64(63)
 
     def _accumulate(self, mat: np.ndarray, h: np.ndarray, rows: np.ndarray) -> None:
         idx = (h % np.uint64(self.dim)).astype(np.int64)
-        sign = np.where((h >> np.uint64(63)) & np.uint64(1), -1.0, 1.0)
+        sign = np.where((h >> self._sign_bit) & np.uint64(1), -1.0, 1.0)
         np.add.at(mat, (rows, idx), sign)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -60,7 +73,12 @@ class FeatureHashEmbedder:
             flat = pc.take(flat, pa.array(keep, pa.int64()))
             row_idx = row_idx[keep]
         if len(flat):
-            h = stable_hash_array(flat)
+            if self.hash_mode == "md5":
+                from code_graph_rag_ray.functions.hashing import md5_low32_array
+
+                h = md5_low32_array(flat).astype(np.uint64)
+            else:
+                h = stable_hash_array(flat)
             self._accumulate(mat, h, row_idx)
             # word bigrams: combine adjacent token hashes within a row
             same = row_idx[:-1] == row_idx[1:]
@@ -85,6 +103,7 @@ def embed_documents(
     concurrency: int | None = 2,
     batch_size: int | None = 256,
     num_cpus: float = 1,
+    hash_mode: str = "stable",
 ) -> Dataset:
     """Wire the embedding stage as a bounded actor pool.
 
@@ -94,13 +113,13 @@ def embed_documents(
     reference's batches-of-50 store writes.
     """
     if concurrency is None:
-        fn = FeatureHashEmbedder(dim, id_col, text_col)
+        fn = FeatureHashEmbedder(dim, id_col, text_col, hash_mode)
         return ds.map_batches(
             lambda b: fn(b), batch_format="pyarrow", batch_size=batch_size
         )
     return ds.map_batches(
         FeatureHashEmbedder,
-        fn_constructor_args=(dim, id_col, text_col),
+        fn_constructor_args=(dim, id_col, text_col, hash_mode),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

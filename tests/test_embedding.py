@@ -62,3 +62,47 @@ def test_pages_to_embeddings_to_near_dup_end_to_end():
     ).to_pandas()
     got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
     assert (7, 23) in got
+
+
+def test_md5_audit_embeddings_match_sql_on_edge_cases(tmp_path):
+    """AUDIT-mode (md5) embeddings must equal the DuckDB replay bit-for-bit
+    on the awkward rows: empty text (zero vector), single token (no
+    bigrams), repeated tokens (count cancellation/stacking)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from code_graph_rag_ray.pipelines.catalog import (
+        DOC_EMBEDDING_VECTORS_SQL,
+        doc_embedding_vectors,
+    )
+
+    rows = [
+        (1, ""),                       # zero vector
+        (2, "solo"),                   # one token, no bigrams
+        (3, "a a a a"),                # repeated unigram + bigram stacking
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "the  quick"),             # double space → empty token dropped
+    ]
+    tbl = pa.Table.from_pylist(
+        [{"doc_id": i, "text": t} for i, t in rows],
+        schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = doc_embedding_vectors(str(tmp_path)).to_pandas()
+    got = got.sort_values(["doc_id", "i"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = con.execute(DOC_EMBEDDING_VECTORS_SQL).df()
+    exp = exp.sort_values(["doc_id", "i"]).reset_index(drop=True)
+
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["i"].tolist() == exp["i"].tolist()
+    gv = got["v"].to_numpy(dtype=np.float32)
+    ev = exp["v"].to_numpy(dtype=np.float32)
+    assert (gv == ev).all()            # bit-exact float32
+    assert (gv[got["doc_id"] == 1] == 0).all()  # empty text → zero vector
