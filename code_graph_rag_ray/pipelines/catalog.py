@@ -3240,12 +3240,52 @@ def media_features(sf_dir: str):
 def events_debounce(sf_dir: str):
     """Watch-mode debounce policy over the events table (§2.8 analog,
     realtime_updater.py:88-163): per-user quiet-period + max-wait
-    coalescing. Rows-only (iterative semantics; pinned by unit tests with
-    hand-computed firings)."""
+    coalescing. Bit-exact DuckDB oracle: the sequential per-path state
+    machine is a linear recurrence over ts-ordered events, replayed as a
+    recursive CTE stepping one event per iteration (NOTES.md fact 18 —
+    recursion upgrades iterative ops from rows-only to oracle-checked)."""
     from code_graph_rag_ray.state.watch import debounce_events
 
     ds = _pq(sf_dir, "events", ["user_id", "ts"])
     return debounce_events(ds, quiet_s=600, max_wait_s=3600, path_col="user_id")
+
+
+EVENTS_DEBOUNCE_SQL = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+mx AS (SELECT user_id, max(rn) AS mr FROM ev GROUP BY user_id),
+scan AS (
+  SELECT user_id, rn, t AS pending_start, t AS last_t, 1::BIGINT AS n,
+         NULL::BIGINT AS fired_ts, NULL::BIGINT AS fired_n,
+         NULL::BOOLEAN AS fired_forced
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, e.rn,
+         CASE WHEN e.t >= least(s.last_t + 600, s.pending_start + 3600)
+              THEN e.t ELSE s.pending_start END,
+         e.t,
+         CASE WHEN e.t >= least(s.last_t + 600, s.pending_start + 3600)
+              THEN 1 ELSE s.n + 1 END,
+         CASE WHEN e.t >= least(s.last_t + 600, s.pending_start + 3600)
+              THEN least(s.last_t + 600, s.pending_start + 3600) END,
+         CASE WHEN e.t >= least(s.last_t + 600, s.pending_start + 3600)
+              THEN s.n END,
+         CASE WHEN e.t >= least(s.last_t + 600, s.pending_start + 3600)
+              THEN s.pending_start + 3600 < s.last_t + 600 END
+  FROM scan s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+)
+SELECT user_id, fired_ts AS process_ts, fired_n AS n_events,
+       fired_forced AS forced
+FROM scan WHERE fired_ts IS NOT NULL
+UNION ALL
+SELECT s.user_id, least(s.last_t + 600, s.pending_start + 3600) AS process_ts,
+       s.n AS n_events,
+       s.pending_start + 3600 < s.last_t + 600 AS forced
+FROM scan s JOIN mx ON mx.user_id = s.user_id AND s.rn = mx.mr
+"""
 
 
 def kg_fixture_pr(sf_dir: str):
@@ -3495,6 +3535,7 @@ ORACLES = {
     "events_lead": EVENTS_LEAD_SQL,
     "doc_snapshot_diff": DOC_SNAPSHOT_DIFF_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
+    "events_debounce": EVENTS_DEBOUNCE_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,

@@ -67,7 +67,9 @@ def debounce_events(
     def per_path(g: pd.DataFrame) -> pd.DataFrame:
         ts = g[ts_col]
         if str(ts.dtype).startswith("datetime"):
-            ts = ts.astype("int64") // 1_000_000_000
+            # unit-safe epoch seconds: pandas may deliver datetime64[us]
+            # (not [ns]) from Arrow, so a fixed // 1e9 would be off by 1000
+            ts = ts.to_numpy().astype("datetime64[s]").astype("int64")
         fired = _debounce_one(sorted(int(t) for t in ts), quiet_s, max_wait_s)
         return pd.DataFrame(
             {path_col: [g[path_col].iloc[0]] * len(fired),
