@@ -3237,6 +3237,35 @@ def media_features(sf_dir: str):
     return decode_media(ds, decoder="fake").map_batches(project, batch_format="pyarrow")
 
 
+def doc_pack_sequences(sf_dir: str):
+    """Sequence packing (concat-and-chunk, the pretraining assembly step):
+    per-doc token counts → distributed global prefix sum over doc order →
+    fixed-length sequence assignment. Bit-exact oracle: the prefix sum is
+    a SQL window function; all downstream arithmetic is integral."""
+    from code_graph_rag_ray.stages.packing import pack_sequences
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(ds, seq_len=512)
+
+
+DOC_PACK_SEQUENCES_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), s -> s <> '')) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM t)
+SELECT doc_id, n_tokens, start_off,
+       start_off // 512 AS seq_first,
+       CASE WHEN n_tokens = 0 THEN start_off // 512
+            ELSE (start_off + n_tokens - 1) // 512 END AS seq_last
+FROM o
+"""
+
+
 def events_debounce(sf_dir: str):
     """Watch-mode debounce policy over the events table (§2.8 analog,
     realtime_updater.py:88-163): per-user quiet-period + max-wait
@@ -3497,6 +3526,7 @@ QUERIES = {
     "doc_lang_pred": doc_lang_pred,
     "media_features": media_features,
     "events_debounce": events_debounce,
+    "doc_pack_sequences": doc_pack_sequences,
 }
 
 ORACLES = {
@@ -3536,6 +3566,7 @@ ORACLES = {
     "doc_snapshot_diff": DOC_SNAPSHOT_DIFF_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "events_debounce": EVENTS_DEBOUNCE_SQL,
+    "doc_pack_sequences": DOC_PACK_SEQUENCES_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
