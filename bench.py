@@ -165,7 +165,8 @@ def run_bench() -> dict:
                      "doc_cooccurrence", "events_user_hll",
                      "orders_bloom_building", "orders_rollup",
                      "events_running_total", "doc_dup_spans",
-                     "page_bfs_hops", "events_salted_segment_counts"):
+                     "page_bfs_hops", "events_salted_segment_counts",
+                     "doc_pack_sequences", "doc_minhash_pairs"):
             t0 = time.perf_counter()
             res = catalog.QUERIES[name](sf_dir)
             if hasattr(res, "count"):

@@ -272,6 +272,7 @@ def bfs_hops(
     dst: str = "dst",
     max_hops: int = 6,
     undirected: bool = True,
+    broadcast_frontier_limit: int = 100_000,
 ) -> Dataset:
     """(node, hops): minimum hop distance from the seed set, bounded by
     ``max_hops`` — distributed frontier BFS (multi-source, unit weights).
@@ -280,11 +281,17 @@ def bfs_hops(
     the nodes settled in the previous round (their final distance IS the
     round number under unit weights), never the whole distance table, so
     total message volume across all rounds is O(edges) — a full
-    Bellman-Ford relaxation per round would be O(edges × rounds). Each
-    round is one bucketed cogroup (frontier ⋈ out-edges, the
-    components.py pattern — Dataset.join stays banned per NOTES.md fact 1)
-    plus a groupby-min fold into the running distance table; convergence =
-    an empty frontier.
+    Bellman-Ford relaxation per round would be O(edges × rounds).
+
+    Round shape is ADAPTIVE to frontier size (the Pregel small-frontier
+    optimization): while the frontier fits ``broadcast_frontier_limit`` it
+    is ``ray.put`` once and every adjacency block is PROBED in place with a
+    vectorized ``is_in`` — one streaming scan, no shuffle (point-query BFS
+    spends all its rounds here; the all-to-all cost was 6× the answer).
+    A frontier past the limit switches to the bucketed cogroup
+    (frontier ⋈ out-edges, the components.py pattern — Dataset.join stays
+    banned per NOTES.md fact 1). Both shapes fold into the distance table
+    via the same groupby-min; convergence = an empty frontier.
 
     Reference parity: the reference answers reachability questions with
     Memgraph path queries (``graph_service.py`` traversal Cypher); this is
@@ -320,34 +327,55 @@ def bfs_hops(
                   "hops": pa.array([0] * len(set(seeds)), pa.int64())})
     ).materialize()
     frontier = dist
+    fcount = len(set(seeds))
 
     for r in range(max_hops):
-        f_rows = with_bucket(
-            frontier.map_batches(
-                lambda b: pa.table(
-                    {"key": b["node"], "nbr": pa.nulls(b.num_rows, pa.string()),
-                     "__f": pa.array(np.ones(b.num_rows, np.int8))}
+        if fcount <= broadcast_frontier_limit:
+            # small frontier: broadcast it, probe adjacency in place
+            import ray
+
+            f_ref = ray.put(
+                pa.array(sorted({row["node"] for row in frontier.take_all()}),
+                         pa.string())
+            )
+
+            def probe(b: pa.Table, _d=r + 1, _ref=f_ref) -> pd.DataFrame:
+                from code_graph_rag_ray.functions.broadcast import get_broadcast
+
+                hit = b.filter(pc.is_in(b["key"], value_set=get_broadcast(_ref)))
+                nbrs = pc.unique(hit["nbr"])
+                return pd.DataFrame(
+                    {"node": nbrs.to_pylist(), "hops": _d}
+                )
+
+            msgs = adj.map_batches(probe, batch_format="pyarrow")
+        else:
+            f_rows = with_bucket(
+                frontier.map_batches(
+                    lambda b: pa.table(
+                        {"key": b["node"], "nbr": pa.nulls(b.num_rows, pa.string()),
+                         "__f": pa.array(np.ones(b.num_rows, np.int8))}
+                    ),
+                    batch_format="pyarrow",
                 ),
+                "key",
+            )
+            e_rows = adj.map_batches(
+                lambda b: b.append_column("__f", pa.nulls(b.num_rows, pa.int8())),
                 batch_format="pyarrow",
-            ),
-            "key",
-        )
-        e_rows = adj.map_batches(
-            lambda b: b.append_column("__f", pa.nulls(b.num_rows, pa.int8())),
-            batch_format="pyarrow",
-        )
+            )
 
-        def msgs_fn(g: pd.DataFrame, _d=r + 1) -> pd.DataFrame:
-            f = g[g["__f"].notna()][["key"]].drop_duplicates()
-            e = g[g["__f"].isna()][["key", "nbr"]]
-            m = e.merge(f, on="key")[["nbr"]].drop_duplicates()
-            return pd.DataFrame({"node": m["nbr"], "hops": _d})
+            def msgs_fn(g: pd.DataFrame, _d=r + 1) -> pd.DataFrame:
+                f = g[g["__f"].notna()][["key"]].drop_duplicates()
+                e = g[g["__f"].isna()][["key", "nbr"]]
+                m = e.merge(f, on="key")[["nbr"]].drop_duplicates()
+                return pd.DataFrame({"node": m["nbr"], "hops": _d})
 
-        msgs = (
-            e_rows.union(f_rows)
-            .groupby("bucket")
-            .map_groups(msgs_fn, batch_format="pandas")
-        )
+            msgs = (
+                e_rows.union(f_rows)
+                .groupby("bucket")
+                .map_groups(msgs_fn, batch_format="pandas")
+            )
         # NOTES.md fact 23: EMPTY sorted partitions emit schema-less
         # PANDAS blocks that BYPASS fused downstream maps — msgs cannot be
         # normalized to Arrow. Make the union uniformly pandas instead
@@ -364,7 +392,8 @@ def bfs_hops(
         )
         frontier = new_dist.filter(expr=f"hops == {r + 1}").materialize()
         dist = new_dist
-        if frontier.count() == 0:
+        fcount = frontier.count()
+        if fcount == 0:
             break
     return dist
 

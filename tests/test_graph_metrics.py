@@ -146,3 +146,24 @@ def test_k_core_peels_tails_and_keeps_clique():
 
     core5 = k_core(edges, k=5).take_all()
     assert core5 == []
+
+
+def test_bfs_hops_cogroup_fallback_matches_broadcast():
+    """The big-frontier cogroup path and the small-frontier broadcast probe
+    must produce identical distances (broadcast_frontier_limit=0 forces the
+    cogroup shape on every round)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.graph_metrics import bfs_hops
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([f"n{i}" for i in range(1, 20)], pa.string()),
+        "dst": pa.array([f"n{i//2}" for i in range(1, 20)], pa.string()),
+    })).repartition(3)
+    fast = {r["node"]: int(r["hops"]) for r in
+            bfs_hops(edges, ["n19"], max_hops=4).take_all()}
+    slow = {r["node"]: int(r["hops"]) for r in
+            bfs_hops(edges, ["n19"], max_hops=4,
+                     broadcast_frontier_limit=0).take_all()}
+    assert fast == slow
