@@ -2181,6 +2181,39 @@ r{i} AS (SELECT p.url AS node,
 PAGE_RANK_SQL = _page_rank_sql()
 
 
+def page_hits(sf_dir: str):
+    """Integer HITS hubs/authorities over the links_to graph (PageRank's
+    sibling salience axis). Unnormalized int64 recurrence → bit-exact vs
+    the oracle's unrolled SQL joins at any parallelism."""
+    from code_graph_rag_ray.stages.graph_metrics import hits
+
+    pages, internal = _internal_link_graph(sf_dir)
+    return hits(
+        internal,
+        pages.select_columns(["url"]),
+        src="src_url",
+        dst="dst_url",
+        node="url",
+        iters=2,
+    )
+
+
+PAGE_HITS_SQL = """
+WITH p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1
+  FROM documents),
+e AS (SELECT a.url AS src, a.t1 AS dst
+      FROM p a JOIN (SELECT url FROM p) b ON a.t1 = b.url),
+a1 AS (SELECT dst, count(*)::BIGINT AS s FROM e GROUP BY dst),
+h1 AS (SELECT e.src, sum(a1.s)::BIGINT AS s FROM e JOIN a1 USING (dst) GROUP BY e.src),
+a2 AS (SELECT e.dst, sum(h1.s)::BIGINT AS s FROM e JOIN h1 ON h1.src = e.src GROUP BY e.dst),
+h2 AS (SELECT e.src, sum(a2.s)::BIGINT AS s FROM e JOIN a2 ON a2.dst = e.dst GROUP BY e.src)
+SELECT p.url, coalesce(h2.s, 0) AS hub, coalesce(a2.s, 0) AS auth
+FROM p LEFT JOIN h2 ON h2.src = p.url LEFT JOIN a2 ON a2.dst = p.url
+"""
+
+
 def doc_top_by_lang(sf_dir: str):
     """Per-group top-k (top-3 longest docs per lang): block-local per-group
     truncation so a whale lang exchanges O(blocks×k) rows, never the group
@@ -3491,6 +3524,7 @@ QUERIES = {
     "page_links_normalized": page_links_normalized,
     "page_anchor_summary": page_anchor_summary,
     "page_rank": page_rank,
+    "page_hits": page_hits,
     "page_degree": page_degree,
     "doc_top_by_lang": doc_top_by_lang,
     "doc_global_rank": doc_global_rank,
@@ -3596,6 +3630,7 @@ ORACLES = {
     "page_links_normalized": PAGE_LINKS_NORMALIZED_SQL,
     "page_anchor_summary": PAGE_ANCHOR_SUMMARY_SQL,
     "page_rank": PAGE_RANK_SQL,
+    "page_hits": PAGE_HITS_SQL,
     "page_degree": PAGE_DEGREE_SQL,
     "doc_top_by_lang": DOC_TOP_BY_LANG_SQL,
     "doc_global_rank": DOC_GLOBAL_RANK_SQL,

@@ -144,6 +144,90 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: Dataset,
+    nodes: Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    iters: int = 2,
+) -> Dataset:
+    """Unnormalized integer HITS (hubs/authorities) — PageRank's sibling
+    ranking for the link graph, ``iters`` mutual-reinforcement rounds::
+
+        h_0 ≡ 1
+        a_t(v) = Σ_{(u,v)∈E} h_{t-1}(u)     # authorities from hubs
+        h_t(u) = Σ_{(u,v)∈E} a_t(v)         # hubs from authorities
+
+    Skipping the per-round normalization keeps every score an exact int64
+    (rankings are scale-invariant), so the distributed result is bit-exact
+    at ANY parallelism and SQL-replayable by unrolled joins — the same
+    exactness discipline as :func:`pagerank`. Magnitudes grow like
+    (Σ deg²)^iters; iters=2 is the classic co-citation closure (AᵀA) and
+    keeps scores far below int64 on realistic graphs — raise with care.
+
+    Each half-round is one bucketed cogroup join (edges ⋈ scores) plus one
+    two-phase grouped sum; no driver-side state at all. Output:
+    (node, hub, auth) with 0 for nodes the walk never touches.
+
+    Reference parity: the reference ranks retrieval candidates by graph
+    salience (``graph_service.py`` rank-ordered Cypher reads); hubs /
+    authorities is the second classic salience axis over ``links_to``.
+    """
+    str_schema = pa.schema([(src, pa.string()), (dst, pa.string())])
+    e = edges.select_columns([src, dst]).materialize()
+    node_tbl = nodes.select_columns([node]).materialize()
+
+    def _sum_over(joined: Dataset, key: str, val: str) -> Dataset:
+        """group-sum `val` by `key` → (node, s), materialized (tiny)."""
+
+        def emit(b: pa.Table, k=key, v=val) -> pa.Table:
+            return pa.table({"node": b[k], "v": b[v]})
+
+        return partial_groupby_sum(
+            joined.map_batches(emit, batch_format="pyarrow"), ["node"], {"v": "s"}
+        ).materialize()
+
+    score_schema = pa.schema([("node", pa.string()), ("s", pa.int64())])
+
+    # h_0 ≡ 1 ⇒ the first authority pass is plain in-degree (join skipped)
+    auth = partial_groupby_sum(
+        e.map_batches(lambda b: pa.table({"node": b[dst]}), batch_format="pyarrow"),
+        ["node"], {}, count_alias="s",
+    ).materialize()
+
+    hub = None
+    for t in range(iters):
+        # h_t(u) = Σ_{(u,v)} a_t(v): edges ⋈ auth on dst, sum by src
+        j = bucketed_join(e, auth, on=dst, right_on="node",
+                          left_schema=str_schema, right_schema=score_schema)
+        hub = _sum_over(j, src, "s")
+        if t + 1 < iters:
+            # a_{t+1}(v) = Σ_{(u,v)} h_t(u): edges ⋈ hub on src, sum by dst
+            j = bucketed_join(e, hub, on=src, right_on="node",
+                              left_schema=str_schema, right_schema=score_schema)
+            auth = _sum_over(j, dst, "s")
+
+    # fold both scores onto the node universe (0 where untouched)
+    withe_a = bucketed_join(node_tbl, auth, on=node, right_on="node", how="left")
+    both = bucketed_join(
+        withe_a.map_batches(
+            lambda b: pa.table({node: b[node],
+                                "auth": pc.fill_null(pc.cast(b["s"], pa.int64()), 0)}),
+            batch_format="pyarrow",
+        ),
+        hub, on=node, right_on="node", how="left",
+        left_schema=pa.schema([(node, pa.string()), ("auth", pa.int64())]),
+    )
+    return both.map_batches(
+        lambda b: pa.table({node: b[node],
+                            "hub": pc.fill_null(pc.cast(b["s"], pa.int64()), 0),
+                            "auth": b["auth"]}),
+        batch_format="pyarrow",
+    )
+
+
 def degree_stats(edges: Dataset, *, src: str = "src", dst: str = "dst") -> Dataset:
     """Per-node (out_deg, in_deg) over an edge table.
 

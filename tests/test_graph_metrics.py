@@ -167,3 +167,23 @@ def test_bfs_hops_cogroup_fallback_matches_broadcast():
             bfs_hops(edges, ["n19"], max_hops=4,
                      broadcast_frontier_limit=0).take_all()}
     assert fast == slow
+
+
+def test_hits_hand_checked_and_layout_invariant():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.graph_metrics import hits
+
+    # A->C, B->C, C->D: after 2 unnormalized rounds
+    #   a1 = indeg {C:2, D:1}; h1 = {A:2, B:2, C:1}
+    #   a2 = {C: h1(A)+h1(B)=4, D: h1(C)=1}; h2 = {A:4, B:4, C:1}
+    edges = pa.table({"src": pa.array(["A", "B", "C"], pa.string()),
+                      "dst": pa.array(["C", "C", "D"], pa.string())})
+    nodes = pa.table({"node": pa.array(["A", "B", "C", "D"], pa.string())})
+    want = {"A": (4, 0), "B": (4, 0), "C": (1, 4), "D": (0, 1)}
+    for parts in (1, 3):
+        out = hits(rd.from_arrow(edges).repartition(parts),
+                   rd.from_arrow(nodes), iters=2).to_pandas()
+        got = {r.node: (int(r.hub), int(r.auth)) for r in out.itertuples()}
+        assert got == want, got
