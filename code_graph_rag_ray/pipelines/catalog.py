@@ -2181,6 +2181,44 @@ r{i} AS (SELECT p.url AS node,
 PAGE_RANK_SQL = _page_rank_sql()
 
 
+def page_cocitation(sf_dir: str):
+    """Co-citation pairs over the NORMALIZED link graph: pages citing the
+    same target (group = dst, item = citing src), with fixed-point lift —
+    composed over the canonicalized resolution so the messy-spelled links
+    contribute in-degree (the raw graph's targets are too sparse to
+    co-cite). Marginals are corpus-sized (urls, not a dictionary) so they
+    reach the pair table via two DISTRIBUTED bucketed joins — never a
+    driver broadcast."""
+    from code_graph_rag_ray.stages.cooccur import item_cocitation
+
+    internal = page_links_normalized(sf_dir)
+    return item_cocitation(internal, group_col="dst_url", item_col="src_url")
+
+
+PAGE_COCITATION_SQL = """
+WITH p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1,
+         'https://' || source || '.example.org/doc/' || (doc_id // 3) AS t3n
+  FROM documents),
+c AS (SELECT url FROM p),
+e AS (SELECT DISTINCT a.url AS src, a.t AS dst
+      FROM (SELECT url, t1 AS t FROM p UNION ALL SELECT url, t3n AS t FROM p) a
+      JOIN c b ON a.t = b.url),
+n AS (SELECT count(DISTINCT dst) AS n FROM e),
+marg AS (SELECT src, count(*) AS c FROM e GROUP BY src),
+pc AS (
+  SELECT x.src AS a, y.src AS b, count(*) AS c_ab
+  FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+  GROUP BY x.src, y.src)
+SELECT pc.a, pc.b, pc.c_ab,
+       (pc.c_ab * n.n * 1000000) // (ma.c * mb.c) AS lift_fp
+FROM pc CROSS JOIN n
+JOIN marg ma ON pc.a = ma.src
+JOIN marg mb ON pc.b = mb.src
+"""
+
+
 def page_hits(sf_dir: str):
     """Integer HITS hubs/authorities over the links_to graph (PageRank's
     sibling salience axis). Unnormalized int64 recurrence → bit-exact vs
@@ -3525,6 +3563,7 @@ QUERIES = {
     "page_anchor_summary": page_anchor_summary,
     "page_rank": page_rank,
     "page_hits": page_hits,
+    "page_cocitation": page_cocitation,
     "page_degree": page_degree,
     "doc_top_by_lang": doc_top_by_lang,
     "doc_global_rank": doc_global_rank,
@@ -3631,6 +3670,7 @@ ORACLES = {
     "page_anchor_summary": PAGE_ANCHOR_SUMMARY_SQL,
     "page_rank": PAGE_RANK_SQL,
     "page_hits": PAGE_HITS_SQL,
+    "page_cocitation": PAGE_COCITATION_SQL,
     "page_degree": PAGE_DEGREE_SQL,
     "doc_top_by_lang": DOC_TOP_BY_LANG_SQL,
     "doc_global_rank": DOC_GLOBAL_RANK_SQL,

@@ -94,3 +94,86 @@ def entity_cooccurrence(
         return b.append_column("lift_fp", pa.array(lift))
 
     return pair_counts.map_batches(score, batch_format="pyarrow")
+
+
+def item_cocitation(
+    edges: Dataset,
+    *,
+    group_col: str,
+    item_col: str,
+    scale: int = 10**6,
+    max_items: int = 1000,
+) -> Dataset:
+    """(group, item) rows → (a, b, c_ab, lift_fp), a < b: pairs of items
+    sharing a group, with the same fixed-point lift as
+    :func:`entity_cooccurrence`.
+
+    The web-graph instantiation is co-citation: group = link target,
+    item = citing page → pairs of pages citing the same page. The
+    difference from ``entity_cooccurrence`` is the ITEM UNIVERSE: entities
+    are dictionary-bounded (marginals broadcast as a dict), but items here
+    are urls — corpus-sized — so the marginal counts stay a Dataset and
+    reach the pair table through two DISTRIBUTED bucketed joins; only the
+    scalar group count touches the driver. Per-group pair expansion is
+    capped at ``max_items`` (sorted-first, deterministic) — the quadratic
+    guard for hub groups; truncation is the documented skew trade at scale.
+    """
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    def pairs(g: pa.Table) -> pa.Table:
+        items = sorted(set(g[item_col].to_pylist()))[:max_items]
+        k = len(items)
+        if k < 2:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string())})
+        ia, ib = np.triu_indices(k, 1)
+        arr = np.array(items, dtype=object)
+        return pa.table({"a": pa.array(arr[ia]), "b": pa.array(arr[ib])})
+
+    ge = edges.select_columns([group_col, item_col])
+    pair_counts = partial_groupby_sum(
+        ge.groupby(group_col).map_groups(pairs, batch_format="pyarrow"),
+        ["a", "b"], {}, count_alias="c_ab",
+    )
+
+    def distinct_gi(b: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(b, [group_col, item_col], use_threads=False).aggregate([])
+        return t.rename_columns([group_col, item_col])
+
+    gi = ge.map_batches(distinct_gi, batch_format="pyarrow")
+    gi = gi.groupby([group_col, item_col]).count().drop_columns(["count()"])
+    marg = partial_groupby_sum(gi, [item_col], {}, count_alias="c").materialize()
+    n_groups = (
+        partial_groupby_sum(gi, [group_col], {}, count_alias="x")
+        .select_columns([group_col])
+        .count()
+    )
+
+    pc_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                           ("c_ab", pa.int64())])
+    marg_schema = pa.schema([(item_col, pa.string()), ("c", pa.int64())])
+
+    j1 = bucketed_join(pair_counts, marg, on="a", right_on=item_col,
+                       left_schema=pc_schema, right_schema=marg_schema)
+    j1 = j1.map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"], "c_ab": b["c_ab"],
+                            "c_a": b["c"]}),
+        batch_format="pyarrow",
+    )
+    j2 = bucketed_join(
+        j1, marg, on="b", right_on=item_col,
+        left_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
+                               ("c_ab", pa.int64()), ("c_a", pa.int64())]),
+        right_schema=marg_schema,
+    )
+
+    def score(b: pa.Table, n=n_groups) -> pa.Table:
+        c_ab = b["c_ab"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = b["c_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lift = (c_ab * np.int64(n) * np.int64(scale)) // (ca * cb)
+        return pa.table({"a": b["a"], "b": b["b"],
+                         "c_ab": pa.array(c_ab),
+                         "lift_fp": pa.array(lift)})
+
+    return j2.map_batches(score, batch_format="pyarrow")

@@ -64,3 +64,25 @@ def test_lift_orders_association():
     assert out[("apple", "banana")] == 1_125_000
     assert out[("apple", "date")] == 750_000
     assert out[("apple", "banana")] > out[("apple", "date")]
+
+
+def test_item_cocitation_distributed_marginals():
+    """Co-citation over (group, item) edges: hand-checked counts + lift,
+    marginals joined distributed (no driver dict)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.cooccur import item_cocitation
+
+    edges = pa.table({
+        "g": pa.array(["g1", "g1", "g2", "g2", "g3", "g3"], pa.string()),
+        "i": pa.array(["A", "B", "A", "B", "B", "C"], pa.string()),
+    })
+    out = item_cocitation(
+        rd.from_arrow(edges).repartition(3), group_col="g", item_col="i"
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    got = {(r.a, r.b): (int(r.c_ab), int(r.lift_fp)) for r in out.itertuples()}
+    # marg A=2 B=3 C=1, n_groups=3:
+    #   (A,B): c_ab=2, lift = 2*3*1e6 // (2*3) = 1_000_000
+    #   (B,C): c_ab=1, lift = 1*3*1e6 // (3*1) = 1_000_000
+    assert got == {("A", "B"): (2, 1_000_000), ("B", "C"): (1, 1_000_000)}
