@@ -157,16 +157,19 @@ def run_bench() -> dict:
         # ---- representative per-query timings ----
         per_q: dict[str, float] = {"kg_materialize_f40": t_mat}
         del man
-        for name in ("q1_pricing_summary", "q5_nation_revenue", "doc_triples",
-                     "doc_quality", "events_hourly", "knn_brute",
-                     "page_links", "page_links_internal", "doc_findings",
-                     "doc_embeddings", "events_attribution",
-                     "events_session_assign", "doc_global_rank",
-                     "doc_cooccurrence", "events_user_hll",
-                     "orders_bloom_building", "orders_rollup",
-                     "events_running_total", "doc_dup_spans",
-                     "page_bfs_hops", "events_salted_segment_counts",
-                     "doc_pack_sequences", "doc_minhash_pairs"):
+        # scaling mode only compares the headline; skip the query sweep
+        names = () if os.environ.get("GRAFT_HEADLINE_ONLY") else (
+            "q1_pricing_summary", "q5_nation_revenue", "doc_triples",
+            "doc_quality", "events_hourly", "knn_brute",
+            "page_links", "page_links_internal", "doc_findings",
+            "doc_embeddings", "events_attribution",
+            "events_session_assign", "doc_global_rank",
+            "doc_cooccurrence", "events_user_hll",
+            "orders_bloom_building", "orders_rollup",
+            "events_running_total", "doc_dup_spans",
+            "page_bfs_hops", "events_salted_segment_counts",
+            "doc_pack_sequences", "doc_minhash_pairs")
+        for name in names:
             t0 = time.perf_counter()
             res = catalog.QUERIES[name](sf_dir)
             if hasattr(res, "count"):
@@ -202,7 +205,7 @@ def run_scaling() -> dict:
     """
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
