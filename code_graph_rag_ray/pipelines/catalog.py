@@ -3337,6 +3337,36 @@ FROM o
 """
 
 
+def doc_chunks(sf_dir: str):
+    """Overlapping fixed-token-window chunking (the RAG/embedding-input
+    chunker): 32-token windows every 24 tokens, single-space re-join —
+    stateless row-expanding map_batches, no shuffle. Bit-exact oracle:
+    DuckDB generate_series chunk starts + list_slice token windows."""
+    from code_graph_rag_ray.stages.packing import chunk_documents
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, window=32, stride=24)
+
+
+DOC_CHUNKS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), s -> s <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, 24)) AS start_tok
+  FROM t WHERE len(toks) > 0)
+SELECT doc_id,
+       (start_tok // 24)::BIGINT AS chunk_idx,
+       start_tok::BIGINT AS start_tok,
+       least(32, len(toks) - start_tok)::BIGINT AS n_tokens,
+       array_to_string(list_slice(toks, start_tok + 1, start_tok + 32), ' ')
+         AS chunk_text
+FROM s
+"""
+
+
 def events_debounce(sf_dir: str):
     """Watch-mode debounce policy over the events table (§2.8 analog,
     realtime_updater.py:88-163): per-user quiet-period + max-wait
@@ -3600,6 +3630,7 @@ QUERIES = {
     "media_features": media_features,
     "events_debounce": events_debounce,
     "doc_pack_sequences": doc_pack_sequences,
+    "doc_chunks": doc_chunks,
 }
 
 ORACLES = {
@@ -3640,6 +3671,7 @@ ORACLES = {
     "events_sessions": EVENTS_SESSIONS_SQL,
     "events_debounce": EVENTS_DEBOUNCE_SQL,
     "doc_pack_sequences": DOC_PACK_SEQUENCES_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,

@@ -106,3 +106,57 @@ def pack_sequences(
         })
 
     return bucketed.groupby("__bucket").map_groups(pack_group, batch_format="pyarrow")
+
+
+def chunk_documents(
+    ds: Dataset,
+    *,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Overlapping fixed-token-window chunking — the RAG / embedding-input
+    chunker (every ``stride`` tokens start a ``window``-token chunk, so
+    consecutive chunks overlap by ``window − stride`` tokens).
+
+    Per doc: chunk starts are ``0, stride, 2·stride, … < n_tokens``; each
+    chunk is ``tokens[start : start+window]`` re-joined with single spaces
+    (the corpus tokenizer convention shared with ``token_counts`` /
+    tf-idf: split on ' ', empty tokens dropped). The trailing chunk may be
+    shorter than ``window``; a zero-token doc emits nothing. All rules are
+    integer/list arithmetic, so a DuckDB ``generate_series`` +
+    ``list_slice`` oracle replays the output bit-exactly.
+
+    Scale shape: stateless row-expanding ``map_batches`` — no shuffle, no
+    state; output bytes ≈ input text × window/stride (the algorithm's
+    inherent duplication). Downstream embedding stages consume it directly
+    (the reference chunks function snippets to its embedder's context
+    budget one process at a time, ``graph_updater.py:2051-2181``; this is
+    the corpus-scale batch equivalent).
+    """
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+
+    def chunks(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], pattern=" ")
+        ids, cis, starts, ns, texts = [], [], [], [], []
+        for rid, lst in zip(b[id_col].to_pylist(), toks.to_pylist()):
+            tl = [t for t in (lst or []) if t]  # null text → no chunks
+            n = len(tl)
+            for ci, s in enumerate(range(0, n, stride)):
+                piece = tl[s : s + window]
+                ids.append(rid)
+                cis.append(ci)
+                starts.append(s)
+                ns.append(len(piece))
+                texts.append(" ".join(piece))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "chunk_idx": pa.array(cis, pa.int64()),
+            "start_tok": pa.array(starts, pa.int64()),
+            "n_tokens": pa.array(ns, pa.int64()),
+            "chunk_text": pa.array(texts, pa.string()),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
