@@ -3367,6 +3367,30 @@ FROM s
 """
 
 
+def events_user_history(sf_dir: str):
+    """Per-user ordered event-type history (first 5 events by (ts,
+    event_id), comma-joined) — the grouped ordered-collect operator
+    (SQL string_agg … ORDER BY with a row_number cap). The cap bounds a
+    whale user's group at O(blocks × k) shuffled rows; see
+    stages/relational.grouped_collect."""
+    from code_graph_rag_ray.stages.relational import grouped_collect
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return grouped_collect(ds, "user_id", "ts", "event_type", 5,
+                           tiebreak="event_id")
+
+
+EVENTS_USER_HISTORY_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id, string_agg(event_type, ',' ORDER BY rn) AS collected,
+       count(*)::BIGINT AS n_collected
+FROM r WHERE rn <= 5 GROUP BY user_id
+"""
+
+
 def events_debounce(sf_dir: str):
     """Watch-mode debounce policy over the events table (§2.8 analog,
     realtime_updater.py:88-163): per-user quiet-period + max-wait
@@ -3631,6 +3655,7 @@ QUERIES = {
     "events_debounce": events_debounce,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_chunks": doc_chunks,
+    "events_user_history": events_user_history,
 }
 
 ORACLES = {
@@ -3672,6 +3697,7 @@ ORACLES = {
     "events_debounce": EVENTS_DEBOUNCE_SQL,
     "doc_pack_sequences": DOC_PACK_SEQUENCES_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
+    "events_user_history": EVENTS_USER_HISTORY_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,

@@ -530,3 +530,64 @@ def grouped_top_k(
         .groupby(group)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def grouped_collect(
+    ds: Dataset,
+    group: str,
+    order_by: str,
+    val: str,
+    k: int,
+    *,
+    sep: str = ",",
+    descending: bool = False,
+    tiebreak: str | None = None,
+) -> Dataset:
+    """Per-group ordered collect of the first ``k`` values — SQL's
+    ``string_agg(val, sep ORDER BY order_by) FILTER (rn <= k)`` as a
+    distributed operator.
+
+    The cap is the scale contract: an UNCAPPED ordered collect of a whale
+    group is a single unbounded string — the cgr analog (per-pattern rel
+    grouping, ``graph_service.py:126-128``) buffers bounded batches for the
+    same reason. Phase 1 reuses the ``grouped_top_k`` block-local
+    truncation (each block contributes ≤ k rows per group), so the shuffle
+    carries O(blocks × k) rows per group; phase 2 re-sorts the survivors
+    and joins the head-k values. ``tiebreak`` makes boundary ties
+    deterministic — REQUIRED for exact oracle comparison.
+
+    Output: (group, collected:string, n_collected:int64).
+    """
+    import numpy as np
+
+    order = "descending" if descending else "ascending"
+    sort_keys = [(group, "ascending"), (order_by, order)]
+    if tiebreak:
+        sort_keys.append((tiebreak, "ascending"))
+
+    def local(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        t = b.take(pc.sort_indices(b, sort_keys=sort_keys))
+        g = np.asarray(t[group].to_pandas(), dtype=object)
+        first = np.ones(len(g), bool)
+        first[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(first)
+        pos = np.arange(len(g)) - starts[np.cumsum(first) - 1]
+        return t.filter(pa.array(pos < k))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        by_cols = [order_by] + ([tiebreak] if tiebreak else [])
+        asc = [not descending] + ([True] if tiebreak else [])
+        head = df.sort_values(by_cols, ascending=asc, kind="mergesort").head(k)
+        return pd.DataFrame({
+            group: [df[group].iloc[0]],
+            "collected": [sep.join(head[val].astype(str))],
+            "n_collected": np.array([len(head)], np.int64),
+        })
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(group)
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -159,6 +159,27 @@ def test_grouped_top_k_ties_and_small_groups():
     assert by_g["tie"] == [(1, 905), (1, 906), (1, 907)]
 
 
+def test_grouped_collect_ordered_capped():
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.relational import grouped_collect
+
+    rows = (
+        # whale group spanning blocks: values ordered by ts, ties on ts
+        [{"g": "whale", "ts": i % 4, "id": i, "v": f"e{i}"} for i in range(40)]
+        # group smaller than k
+        + [{"g": "tiny", "ts": 9, "id": 900, "v": "only"}]
+    )
+    ds = rd.from_items(rows, override_num_blocks=7)
+    got = {r["g"]: r for r in grouped_collect(ds, "g", "ts", "v", 3,
+                                              tiebreak="id").take_all()}
+    # whale: ts=0 rows are ids 0,4,8,... → first three by (ts, id)
+    assert got["whale"]["collected"] == "e0,e4,e8"
+    assert got["whale"]["n_collected"] == 3
+    assert got["tiny"]["collected"] == "only"
+    assert got["tiny"]["n_collected"] == 1
+
+
 def test_bucketed_semi_anti_with_null_keys():
     import pyarrow as pa
     import ray.data as rd
