@@ -3391,6 +3391,32 @@ FROM r WHERE rn <= 5 GROUP BY user_id
 """
 
 
+def events_heavy_users(sf_dir: str):
+    """Exact φ-frequent users (share-of-traffic heavy hitters): the
+    two-pass candidate/verify algorithm (stages/sketch.heavy_hitters) — no
+    all-keys shuffle, candidates bounded at m−1 per batch. m is derived
+    from the row count by integer arithmetic (N//72 + 1, i.e. threshold ≈
+    72 events) so the query is nontrivial at every scale factor; N comes
+    from parquet footer metadata (no data pass; user_id is non-null in
+    these tables and the operator ignores nulls regardless)."""
+    import pyarrow.parquet as pq
+
+    from code_graph_rag_ray.stages.sketch import heavy_hitters
+
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    ds = _pq(sf_dir, "events", ["user_id"])
+    return heavy_hitters(ds, "user_id", n // 72 + 1)
+
+
+EVENTS_HEAVY_USERS_SQL = """
+WITH t AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+p AS (SELECT count(*) AS nn, count(*) // 72 + 1 AS m FROM t)
+SELECT user_id, count(*)::BIGINT AS n
+FROM t GROUP BY user_id
+HAVING count(*) * (SELECT m FROM p) > (SELECT nn FROM p)
+"""
+
+
 def events_debounce(sf_dir: str):
     """Watch-mode debounce policy over the events table (§2.8 analog,
     realtime_updater.py:88-163): per-user quiet-period + max-wait
@@ -3656,6 +3682,7 @@ QUERIES = {
     "doc_pack_sequences": doc_pack_sequences,
     "doc_chunks": doc_chunks,
     "events_user_history": events_user_history,
+    "events_heavy_users": events_heavy_users,
 }
 
 ORACLES = {
@@ -3698,6 +3725,7 @@ ORACLES = {
     "doc_pack_sequences": DOC_PACK_SEQUENCES_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "events_user_history": EVENTS_USER_HISTORY_SQL,
+    "events_heavy_users": EVENTS_HEAVY_USERS_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,

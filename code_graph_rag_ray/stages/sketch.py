@@ -167,3 +167,98 @@ def hll_estimate(registers: list[dict], *, p: int = 11,
             est = m * np.log(m / zeros)
         out[g] = est
     return out
+
+
+def heavy_hitters(ds: Dataset, col: str, m: int) -> Dataset:
+    """Exact φ-frequent items: every value whose count exceeds N/m (N =
+    non-null rows), with its EXACT count — the two-pass heavy-hitter
+    algorithm, the shuffle-free answer to "top share-of-traffic keys" that
+    a plain groupby would solve by exchanging every distinct key.
+
+    Pass 1 (candidates): per batch, an Arrow group-count keeps only values
+    with local count·m > n_batch. The averaging argument makes that a
+    guaranteed superset of the global answer — if count(x)·m > N then some
+    batch has count_b(x)·m > n_b (otherwise summing the ≤ gives a
+    contradiction) — and at most m−1 values per batch can pass, so the
+    candidate stream is O(batches·m) rows, combined down by a two-phase
+    grouped sum (which also folds the per-batch totals, carried as one
+    null-key row per batch, into N). Pass 2 (verify): candidates broadcast
+    via ``ray.put`` + the worker-global cache, an ``is_in`` filter and the
+    same combiner-first grouped sum produce exact counts; the final filter
+    count·m > N makes the output independent of batch boundaries.
+
+    The input executes twice (it's a two-pass algorithm) — feed it a base
+    read or a cheap transform, or checkpoint first. Null values are
+    ignored (oracle: ``WHERE col IS NOT NULL``).
+
+    cgr analog: the reference surfaces "most referenced symbols" by full
+    in-memory count maps (function_registry.py simple_name_lookup); this
+    is the bounded-exchange exact variant.
+    """
+    import ray
+
+    from code_graph_rag_ray.functions.broadcast import get_broadcast
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+
+    if m < 2:
+        raise ValueError("m must be ≥ 2")
+
+    def _filler(t: pa.DataType) -> pa.Array:
+        # totals ride as (is_tot=1, filler-key) rows — Ray's sort-based
+        # groupby cannot order null keys, so the flag column (first in the
+        # key tuple) keeps them apart from any real value instead
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return pa.array([""], type=t)
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return pa.array([b""], type=t)
+        return pa.array([0]).cast(t)
+
+    def candidates(b: pa.Table) -> pa.Table:
+        vals = b[col].combine_chunks() if isinstance(b[col], pa.ChunkedArray) else b[col]
+        vals = vals.drop_null()
+        n_b = len(vals)
+        total = pa.table({"is_tot": pa.array([1], pa.int8()),
+                          col: _filler(vals.type),
+                          "n": pa.array([n_b], pa.int64())})
+        if n_b == 0:
+            return total
+        g = pa.TableGroupBy(pa.table({col: vals}), [col],
+                            use_threads=False).aggregate([([], "count_all")])
+        cnt = pc.cast(g["count_all"], pa.int64())
+        keep = pc.greater(pc.multiply(cnt, m), n_b)
+        kept = pa.table({"is_tot": pa.nulls(len(g), pa.int8()).fill_null(0),
+                         col: g[col], "n": cnt}).filter(keep)
+        return pa.concat_tables([kept, total])
+
+    rows = ds.map_batches(candidates, batch_format="pyarrow")
+    small = partial_groupby_sum(rows, ["is_tot", col], {"n": "n"}).take_all()
+    n_total = sum(r["n"] for r in small if r["is_tot"] == 1)
+    cand = sorted(r[col] for r in small if r["is_tot"] == 0)
+    if not cand or n_total == 0:
+        import ray.data as rd
+
+        # rare branch; schema probe is fine on the base-read inputs this
+        # op is documented for (NOTES.md fact 22 on all-to-all plans)
+        vt = ds.schema().base_schema.field(col).type
+        return rd.from_arrow(
+            pa.schema([(col, vt), ("n", pa.int64())]).empty_table())
+    ref = ray.put(pa.array(cand))
+
+    def verify(b: pa.Table) -> pa.Table:
+        vals = b[col].combine_chunks() if isinstance(b[col], pa.ChunkedArray) else b[col]
+        vals = vals.drop_null()
+        mask = pc.is_in(vals, value_set=get_broadcast(ref))
+        hits = vals.filter(mask)
+        if len(hits) == 0:
+            return pa.table({col: pa.array([], vals.type),
+                             "n": pa.array([], pa.int64())})
+        g = pa.TableGroupBy(pa.table({col: hits}), [col],
+                            use_threads=False).aggregate([([], "count_all")])
+        return pa.table({col: g[col], "n": pc.cast(g["count_all"], pa.int64())})
+
+    exact = partial_groupby_sum(ds.map_batches(verify, batch_format="pyarrow"),
+                                [col], {"n": "n"})
+    return exact.map_batches(
+        lambda t: t.filter(pc.greater(pc.multiply(t["n"], m), n_total)),
+        batch_format="pyarrow",
+    )

@@ -72,3 +72,37 @@ def test_cms_overestimates_and_is_layout_invariant():
     for k, n in truth.items():
         assert est[k] >= n                      # CMS never underestimates
         assert est[k] <= n + len(rows) * 0.05   # e/width error bound (loose)
+
+
+def test_heavy_hitters_exact_and_batch_invariant():
+    from code_graph_rag_ray.stages.sketch import heavy_hitters
+
+    # 1000 rows: "hot" 300, "warm" 150, 55 distinct cold keys 10 each,
+    # plus nulls (ignored). m=5 → threshold N/5 = 200 → only "hot".
+    rows = (
+        [{"k": "hot"}] * 300 + [{"k": "warm"}] * 150
+        + [{"k": f"cold-{i}"} for i in range(55) for _ in range(10)]
+        + [{"k": None}] * 40
+    )
+    t = pa.Table.from_pylist(rows)
+    for blocks in (1, 13):
+        out = heavy_hitters(rd.from_arrow(t).repartition(blocks),
+                            "k", 5).take_all()
+        assert {(r["k"], r["n"]) for r in out} == {("hot", 300)}
+    # m=4 → threshold 250: still only hot; m=6 → 166.7: hot + warm... no,
+    # warm=150 < 166.7.  m=7 → 142.9: hot + warm.
+    out = heavy_hitters(rd.from_arrow(t).repartition(7), "k", 7).take_all()
+    assert {(r["k"], r["n"]) for r in out} == {("hot", 300), ("warm", 150)}
+
+
+def test_heavy_hitters_empty_answer_and_int_keys():
+    from code_graph_rag_ray.stages.sketch import heavy_hitters
+
+    # uniform int keys: nothing exceeds N/m for m < distinct count
+    rows = [{"k": i % 50} for i in range(500)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(6)
+    out = heavy_hitters(ds, "k", 40).take_all()
+    assert out == []
+    # every key passes at m=51 (each freq 1/50 > 1/51), counts exact
+    out = heavy_hitters(ds, "k", 51).take_all()
+    assert sorted((r["k"], r["n"]) for r in out) == [(i, 10) for i in range(50)]

@@ -34,6 +34,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+EXACT = "--exact" in sys.argv  # driver-style bit-exact value compare
+
+
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(ray_df.columns) != sorted(sql_df.columns):
@@ -44,8 +47,10 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     a, b = canon(ray_df), canon(sql_df)
     if len(a) == len(b):
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,
-                                          rtol=1e-6, atol=1e-6)
+            pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                          check_exact=EXACT,
+                                          rtol=0 if EXACT else 1e-6,
+                                          atol=0 if EXACT else 1e-6)
         except AssertionError as e:
             problems.append("values: " + str(e).split("\n")[0])
             merged = a.merge(b, how="outer", indicator=True, on=list(a.columns))
@@ -57,8 +62,9 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
 def main() -> int:
     import ray
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--exact"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
