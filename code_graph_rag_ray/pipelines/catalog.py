@@ -2116,6 +2116,42 @@ FROM c GROUP BY dst_url
 """
 
 
+def kg_mined_aliases(sf_dir: str):
+    """Anchor-text alias dictionary mined from the corpus's own hyperlinks
+    (stages/links.mine_anchor_aliases): every internal link votes its
+    anchor as a name for its target; prior = P(target | alias). The output
+    is schema-compatible with the linker's broadcast alias table — the
+    dictionary-bootstrapping loop the reference seeds from declared
+    definitions instead."""
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+    from code_graph_rag_ray.stages.links import extract_links, mine_anchor_aliases
+
+    pages = pages_from_documents(sf_dir)
+    links = extract_links(pages, with_anchor=True)
+    return mine_anchor_aliases(links, pages.select_columns(["url"]), min_count=1)
+
+
+KG_MINED_ALIASES_SQL = """
+WITH p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1,
+         CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'see' END AS anchor
+  FROM documents),
+internal AS (
+  SELECT a.t1 AS target, a.anchor
+  FROM p a JOIN (SELECT url FROM p) b ON a.t1 = b.url),
+pairs AS (
+  SELECT trim(anchor) AS alias, target, count(*) AS n
+  FROM internal WHERE trim(anchor) <> '' GROUP BY 1, 2),
+tot AS (SELECT alias, sum(n) AS tot FROM pairs GROUP BY alias)
+SELECT pr.alias, 'page::' || pr.target AS entity_id,
+       pr.n::DOUBLE / t.tot::DOUBLE AS prior,
+       CAST(pr.n AS BIGINT) AS n_links
+FROM pairs pr JOIN tot t USING (alias)
+WHERE pr.n >= 1
+"""
+
+
 def _internal_link_graph(sf_dir: str):
     """(pages, internal links_to edges) — shared input of the graph-metric
     queries."""
@@ -3683,6 +3719,7 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "events_user_history": events_user_history,
     "events_heavy_users": events_heavy_users,
+    "kg_mined_aliases": kg_mined_aliases,
 }
 
 ORACLES = {
@@ -3726,6 +3763,7 @@ ORACLES = {
     "doc_chunks": DOC_CHUNKS_SQL,
     "events_user_history": EVENTS_USER_HISTORY_SQL,
     "events_heavy_users": EVENTS_HEAVY_USERS_SQL,
+    "kg_mined_aliases": KG_MINED_ALIASES_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,

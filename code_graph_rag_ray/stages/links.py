@@ -243,3 +243,94 @@ def anchor_summary(links: Dataset, corpus_urls: Dataset) -> Dataset:
         )
 
     return counts.groupby("target").map_groups(summarize, batch_format="pandas")
+
+
+def mine_anchor_aliases(
+    links: Dataset,
+    corpus_urls: Dataset,
+    *,
+    min_count: int = 2,
+    entity_prefix: str = "page::",
+    broadcast_totals: bool = True,
+) -> Dataset:
+    """Anchor-text alias dictionary mining — bootstrap the linker's alias
+    table from the corpus's own hyperlinks (the Wikipedia-anchor-dictionary
+    pattern): every internal link votes that its anchor text is a NAME for
+    its target, and ``prior = P(target | alias)`` is the vote share.
+
+    The KG-construction loop this closes: the reference seeds its registry
+    from declared definitions (function_registry ingest) and only then
+    resolves call sites; here the corpus itself mints dictionary entries —
+    mined rows are schema-compatible with ``linking.build_alias_index``
+    ((alias, entity_id, prior)), so the output unions straight into the
+    broadcast dictionary for a second linking pass (pytest pins that loop).
+
+    Scale shape: bucketed SEMI join to internal targets (both sides
+    corpus-scale), combiner-first (alias, target) count — a whale alias
+    exchanges O(blocks × targets), not its link count — then one
+    alias-total join. Totals are distinct-anchor-scale (dictionary-scale on
+    real web text); ``broadcast_totals=False`` switches to the bucketed
+    cogroup join when the anchor vocabulary outgrows a worker heap.
+    Aliases are trimmed but KEEP their case (they feed a case-sensitive
+    surface matcher); prior is a single IEEE-754
+    division (n/tot), so the table is bit-exact against a SQL oracle.
+    """
+    from code_graph_rag_ray.stages.relational import (
+        bucketed_join,
+        broadcast_join,
+        partial_groupby_sum,
+    )
+
+    internal = bucketed_join(
+        links,
+        corpus_urls,
+        on="target",
+        right_on="url",
+        how="semi",
+        left_schema=pa.schema(
+            [("url", pa.string()), ("target", pa.string()), ("anchor", pa.string())]
+        ),
+        right_schema=pa.schema([("url", pa.string())]),
+    )
+
+    def normalize(b: pa.Table) -> pa.Table:
+        alias = pc.utf8_trim_whitespace(pc.fill_null(b["anchor"], ""))
+        t = pa.table({"alias": alias, "target": b["target"]})
+        return t.filter(pc.not_equal(alias, ""))
+
+    pairs = partial_groupby_sum(
+        internal.map_batches(normalize, batch_format="pyarrow"),
+        ["alias", "target"],
+        {},
+        count_alias="n",
+    )
+    totals = partial_groupby_sum(
+        pairs.select_columns(["alias", "n"]), ["alias"], {"n": "tot"}
+    )
+    if broadcast_totals:
+        joined = broadcast_join(pairs, totals, on="alias")
+    else:
+        joined = bucketed_join(
+            pairs,
+            totals,
+            on="alias",
+            left_schema=pa.schema(
+                [("alias", pa.string()), ("target", pa.string()), ("n", pa.int64())]
+            ),
+            right_schema=pa.schema([("alias", pa.string()), ("tot", pa.int64())]),
+        )
+
+    def score(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["n"], min_count))
+        n = pc.cast(b["n"], pa.float64())
+        tot = pc.cast(b["tot"], pa.float64())
+        return pa.table({
+            "alias": b["alias"],
+            "entity_id": pc.binary_join_element_wise(
+                pa.array([entity_prefix] * b.num_rows, type=pa.string()),
+                b["target"], ""),
+            "prior": pc.divide(n, tot),
+            "n_links": pc.cast(b["n"], pa.int64()),
+        })
+
+    return joined.map_batches(score, batch_format="pyarrow")

@@ -182,3 +182,65 @@ def test_structure_edges_depth_and_dedup():
         ("b.org/z", "b.org/z/deep", "CONTAINS_FOLDER"),
         ("b.org/z/deep", "https://b.org/z/deep/nest/p4", "CONTAINS_PAGE"),
     }
+
+
+def test_mine_anchor_aliases_exact_counts_and_priors():
+    from code_graph_rag_ray.stages.links import mine_anchor_aliases
+
+    # links: "Orbit Relay" names in-corpus page P 3x, page Q 1x; "  Orbit
+    # Relay " trims to the same alias; one vote goes to an EXTERNAL target
+    # (dropped by the semi-join); empty anchors dropped.
+    links = rd.from_arrow(pa.table({
+        "url": pa.array([f"https://s/{i}" for i in range(7)]),
+        "target": pa.array(["https://c/P", "https://c/P", "https://c/P",
+                            "https://c/Q", "https://ext/x",
+                            "https://c/P", "https://c/Q"]),
+        "anchor": pa.array(["Orbit Relay", "Orbit Relay", " Orbit Relay ",
+                            "Orbit Relay", "Orbit Relay", "", "hub"]),
+    })).repartition(4)
+    corpus = rd.from_arrow(pa.table(
+        {"url": pa.array(["https://c/P", "https://c/Q"])}))
+    got = {(r["alias"], r["entity_id"]): (r["prior"], r["n_links"])
+           for r in mine_anchor_aliases(links, corpus, min_count=1).take_all()}
+    assert got == {
+        ("Orbit Relay", "page::https://c/P"): (3 / 4, 3),
+        ("Orbit Relay", "page::https://c/Q"): (1 / 4, 1),
+        ("hub", "page::https://c/Q"): (1.0, 1),
+    }
+    # min_count prunes the singletons
+    got2 = {r["alias"] for r in
+            mine_anchor_aliases(links, corpus, min_count=2).take_all()}
+    assert got2 == {"Orbit Relay"}
+
+
+def test_mined_aliases_bootstrap_the_linker():
+    """The dictionary-bootstrapping loop: anchors mint alias rows that,
+    unioned into the broadcast dictionary, let the linker resolve mentions
+    the base dictionary misses."""
+    from code_graph_rag_ray.stages.linking import MentionLinker
+    from code_graph_rag_ray.stages.links import mine_anchor_aliases
+
+    links = rd.from_arrow(pa.table({
+        "url": pa.array(["https://s/1", "https://s/2"]),
+        "target": pa.array(["https://c/relay"] * 2),
+        "anchor": pa.array(["Orbit Relay Hub"] * 2),
+    }))
+    corpus = rd.from_arrow(pa.table({"url": pa.array(["https://c/relay"])}))
+    mined = mine_anchor_aliases(links, corpus, min_count=2)
+    mined_tbl = pa.Table.from_pandas(
+        mined.to_pandas()[["alias", "entity_id", "prior"]],
+        schema=pa.schema([("alias", pa.string()), ("entity_id", pa.string()),
+                          ("prior", pa.float64())]),
+    )
+    base = pa.Table.from_pylist(
+        [{"alias": "Acme Systems", "entity_id": "E0", "prior": 1.0}],
+        schema=mined_tbl.schema)
+    page = pa.table({
+        "url": pa.array(["https://x/1"]),
+        "text": pa.array(["Acme Systems talked to Orbit Relay Hub today."]),
+        "lang": pa.array(["en"]),
+    })
+    miss = MentionLinker(base)(page).to_pandas()
+    assert "page::https://c/relay" not in set(miss["entity_id"])
+    hit = MentionLinker(pa.concat_tables([base, mined_tbl]))(page).to_pandas()
+    assert {"E0", "page::https://c/relay"} <= set(hit["entity_id"])
