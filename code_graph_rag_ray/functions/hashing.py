@@ -126,3 +126,23 @@ def md5_hex_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
         for v in arr.to_pylist()
     ]
     return pa.array(out, pa.string())
+
+
+def md5_low64_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """uint64 = first 8 md5 digest bytes (big-endian) per element — the
+    wide sibling of ``md5_low32_array`` for modulo draws over large ranges.
+    DuckDB rebuilds it with ``('0x' || substr(md5(x), 1, 16))::UBIGINT``."""
+    import hashlib
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5((v or "").encode()).digest()[:8], "big")
+            for v in arr.to_pylist()
+        ),
+        dtype=np.uint64,
+        count=len(arr),
+    )

@@ -2152,6 +2152,43 @@ WHERE pr.n >= 1
 """
 
 
+def kg_negative_samples(sf_dir: str):
+    """Filtered negative sampling over the normalized link graph
+    (stages/sampling.negative_samples): k=2 deterministic md5-mod draws per
+    positive edge against a global_rank node indexing, true edges
+    anti-joined away — the KG-embedding-training data generator."""
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+    from code_graph_rag_ray.stages.links import extract_links, resolve_links
+    from code_graph_rag_ray.stages.sampling import negative_samples
+
+    pages = pages_from_documents(sf_dir)
+    urls = pages.select_columns(["url"])
+    links = extract_links(pages)
+    internal = resolve_links(links, urls)["internal"]
+    return negative_samples(internal, urls, k=2)
+
+
+KG_NEGATIVE_SAMPLES_SQL = """
+WITH p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1
+  FROM documents),
+edges AS (
+  SELECT a.url AS src, a.t1 AS dst
+  FROM p a JOIN (SELECT url FROM p) b ON a.t1 = b.url),
+nodes AS (SELECT url, row_number() OVER (ORDER BY url) - 1 AS idx FROM p),
+cand AS (
+  SELECT e.src, e.dst, j.j AS neg_ix,
+         CAST(('0x' || substr(md5(e.src || '|' || e.dst || '|' || j.j), 1, 16))::UBIGINT
+              % (SELECT count(*) FROM nodes) AS BIGINT) AS idx
+  FROM edges e CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS j) j)
+SELECT c.src, c.dst, CAST(c.neg_ix AS BIGINT) AS neg_ix, nd.url AS neg
+FROM cand c JOIN nodes nd USING (idx)
+WHERE NOT EXISTS (SELECT 1 FROM edges e
+                  WHERE e.src = c.src AND e.dst = nd.url)
+"""
+
+
 def _internal_link_graph(sf_dir: str):
     """(pages, internal links_to edges) — shared input of the graph-metric
     queries."""
@@ -3720,6 +3757,7 @@ QUERIES = {
     "events_user_history": events_user_history,
     "events_heavy_users": events_heavy_users,
     "kg_mined_aliases": kg_mined_aliases,
+    "kg_negative_samples": kg_negative_samples,
 }
 
 ORACLES = {
@@ -3764,6 +3802,7 @@ ORACLES = {
     "events_user_history": EVENTS_USER_HISTORY_SQL,
     "events_heavy_users": EVENTS_HEAVY_USERS_SQL,
     "kg_mined_aliases": KG_MINED_ALIASES_SQL,
+    "kg_negative_samples": KG_NEGATIVE_SAMPLES_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,

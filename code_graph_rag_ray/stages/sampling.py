@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 from code_graph_rag_ray.functions.hashing import md5_low32_array
@@ -216,4 +217,78 @@ def reservoir_per_key(
                         tiebreak=id_col)
     return out.map_batches(
         lambda b: b.drop_columns(["__h"]), batch_format="pyarrow"
+    )
+
+
+def negative_samples(
+    edges: Dataset,
+    nodes: Dataset,
+    *,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    node_col: str = "url",
+    k: int = 2,
+    n_nodes: int | None = None,
+) -> Dataset:
+    """Filtered negative sampling for KG-embedding training: each positive
+    edge mints ``k`` corrupted triples by replacing the object with a
+    deterministically drawn node, then TRUE edges are anti-joined away
+    (the standard "filtered" protocol) — so the output is a pure function
+    of the graph, batch-layout-independent, and SQL-auditable.
+
+    Draw: node index = md5_low64(src|dst|j) mod n — the policy-auditable
+    hash family (DuckDB recomputes it exactly), over a dense node indexing
+    built by the distributed two-pass ``global_rank`` (ORDER BY node id).
+    Scale shape: candidates are edge-scale × k; the index→node gather and
+    the (src, neg) anti-join are bucketed cogroup joins (both sides
+    corpus-scale, never a broadcast). Self-loops (neg == src) are kept —
+    filter downstream if the training recipe excludes them.
+
+    Output: (src, dst, neg_ix, neg) — the positive pair, the draw index,
+    and the corrupted object.
+    """
+    from code_graph_rag_ray.functions.hashing import md5_low64_array
+    from code_graph_rag_ray.stages.ranking import global_rank
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    if n_nodes is None:
+        n_nodes = nodes.count()
+    idxed = global_rank(nodes.select_columns([node_col]), node_col,
+                        tiebreak=node_col, out_col="rank")
+
+    def to_idx(b: pa.Table) -> pa.Table:
+        r = pc.subtract(pc.cast(b["rank"], pa.int64()), 1)
+        return pa.table({"idx": r, "neg": b[node_col]})
+
+    idxed = idxed.map_batches(to_idx, batch_format="pyarrow")
+
+    def candidates(b: pa.Table) -> pa.Table:
+        outs = []
+        for j in range(k):
+            key = pc.binary_join_element_wise(
+                pc.cast(b[src_col], pa.string()), pc.cast(b[dst_col], pa.string()),
+                pa.array([str(j)] * b.num_rows, pa.string()), "|")
+            idx = (md5_low64_array(key) % np.uint64(n_nodes)).astype(np.int64)
+            outs.append(pa.table({
+                "src": b[src_col], "dst": b[dst_col],
+                "neg_ix": pa.array(np.full(b.num_rows, j, np.int64)),
+                "idx": pa.array(idx),
+            }))
+        return pa.concat_tables(outs)
+
+    cand = edges.map_batches(candidates, batch_format="pyarrow")
+    gathered = bucketed_join(
+        cand, idxed, on="idx",
+        left_schema=pa.schema([("src", pa.string()), ("dst", pa.string()),
+                               ("neg_ix", pa.int64()), ("idx", pa.int64())]),
+        right_schema=pa.schema([("idx", pa.int64()), ("neg", pa.string())]),
+    ).drop_columns(["idx"])
+    true_edges = edges.map_batches(
+        lambda b: pa.table({"src": b[src_col], "neg": b[dst_col]}),
+        batch_format="pyarrow")
+    return bucketed_join(
+        gathered, true_edges, on=["src", "neg"], how="anti",
+        left_schema=pa.schema([("src", pa.string()), ("dst", pa.string()),
+                               ("neg_ix", pa.int64()), ("neg", pa.string())]),
+        right_schema=pa.schema([("src", pa.string()), ("neg", pa.string())]),
     )

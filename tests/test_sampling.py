@@ -133,3 +133,40 @@ def test_weighted_sample_monotone_and_replayable():
              for r in weighted_sample(ds, id_col="doc_id", weight_col="w",
                                       rate_per_unit=0.001).take_all()}
     assert kept <= kept2
+
+
+def test_negative_samples_filtered_and_layout_invariant():
+    import hashlib
+
+    from code_graph_rag_ray.stages.sampling import negative_samples
+
+    urls = [f"https://c/{i}" for i in range(20)]
+    # star + chain: node 0 is linked by everyone (whale), plus i -> i+1
+    pos = [("https://c/%d" % i, "https://c/0") for i in range(1, 20)]
+    pos += [("https://c/%d" % i, "https://c/%d" % (i + 1)) for i in range(19)]
+    edges_t = pa.table({"src_url": pa.array([e[0] for e in pos]),
+                        "dst_url": pa.array([e[1] for e in pos])})
+    nodes_t = pa.table({"url": pa.array(urls)})
+    edge_set = set(pos)
+    ordered = sorted(urls)
+
+    def expect():
+        out = set()
+        for s, d in pos:
+            for j in range(3):
+                h = int.from_bytes(
+                    hashlib.md5(f"{s}|{d}|{j}".encode()).digest()[:8], "big")
+                neg = ordered[h % len(urls)]
+                if (s, neg) not in edge_set:
+                    out.add((s, d, j, neg))
+        return out
+
+    for blocks in (1, 5):
+        got = negative_samples(
+            rd.from_arrow(edges_t).repartition(blocks),
+            rd.from_arrow(nodes_t).repartition(blocks), k=3,
+        ).take_all()
+        tup = {(r["src"], r["dst"], r["neg_ix"], r["neg"]) for r in got}
+        assert tup == expect()
+        assert len(got) == len(tup)  # no duplicate rows for distinct edges
+        assert all((r["src"], r["neg"]) not in edge_set for r in got)
