@@ -1016,6 +1016,44 @@ GROUP BY doc_id, w
 """
 
 
+def kg_entity_timeline(sf_dir: str):
+    """Temporal bookkeeping per entity (stages/windows.entity_timeline):
+    first/last sighting, total mentions, distinct active 60-s tumbling
+    windows — one composite-key two-phase pass over the mention stream,
+    no joins. Timestamps are the pages fixture's closed-form warc_ts
+    (1.7e15 + doc_id·1e6 µs)."""
+    from code_graph_rag_ray.stages.windows import entity_timeline
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    m = ds.map_batches(doc_mentions_batch, batch_format="pyarrow")
+
+    def add_ts(b: pa.Table) -> pa.Table:
+        ts = pc.add(pc.multiply(pc.cast(b["doc_id"], pa.int64()),
+                                1_000_000), 1_700_000_000_000_000)
+        return b.append_column("ts_us", ts)
+
+    rows = m.map_batches(add_ts, batch_format="pyarrow")
+    return entity_timeline(rows, entity_col="surface",
+                           weight_col="n_mentions", window_s=60)
+
+
+KG_ENTITY_TIMELINE_SQL = f"""
+WITH m AS (
+  SELECT doc_id, w AS surface
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w IN {_ENT_SQL}),
+t AS (SELECT surface, 1700000000000000 + doc_id * 1000000 AS ts_us FROM m),
+g AS (SELECT surface, ts_us // 60000000 AS win,
+             min(ts_us) AS mn, max(ts_us) AS mx, count(*) AS n
+      FROM t GROUP BY 1, 2)
+SELECT surface, CAST(min(mn) AS BIGINT) AS first_us,
+       CAST(max(mx) AS BIGINT) AS last_us,
+       CAST(sum(n) AS BIGINT) AS n_mentions,
+       count(*) AS n_windows
+FROM g GROUP BY surface
+"""
+
+
 def events_user_hll(sf_dir: str):
     """HyperLogLog registers for distinct users per event type
     (stages/sketch.py): the mergeable bounded-memory count-distinct. The
@@ -3758,6 +3796,7 @@ QUERIES = {
     "events_heavy_users": events_heavy_users,
     "kg_mined_aliases": kg_mined_aliases,
     "kg_negative_samples": kg_negative_samples,
+    "kg_entity_timeline": kg_entity_timeline,
 }
 
 ORACLES = {
@@ -3803,6 +3842,7 @@ ORACLES = {
     "events_heavy_users": EVENTS_HEAVY_USERS_SQL,
     "kg_mined_aliases": KG_MINED_ALIASES_SQL,
     "kg_negative_samples": KG_NEGATIVE_SAMPLES_SQL,
+    "kg_entity_timeline": KG_ENTITY_TIMELINE_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,

@@ -653,3 +653,76 @@ def lag_per_key(
         )
 
     return joined.map_batches(local_lag, batch_format="pandas", batch_size=None)
+
+
+def entity_timeline(
+    ds: Dataset,
+    *,
+    entity_col: str = "surface",
+    ts_col: str = "ts_us",
+    weight_col: str | None = None,
+    window_s: int = 86_400,
+) -> Dataset:
+    """Temporal bookkeeping per entity — first/last sighting, total
+    mentions, and the number of DISTINCT tumbling windows the entity is
+    active in (burst-vs-evergreen signal for KG curation; the reference
+    tracks per-node updated_at bookkeeping on every re-ingest, this is the
+    corpus-wide batch analog).
+
+    One composite-key two-phase pass, no joins: batch combiner folds
+    (entity, window) → (min, max, sum), the grouped reduce folds windows,
+    then a second window-scale groupby folds per entity — so a whale
+    entity exchanges O(blocks × its windows) rows, never its mention
+    count, and the distinct-window count falls out of the first fold for
+    free. Timestamps are int64 epoch µs throughout (NOTES.md: timestamp
+    columns drift resolution across shuffle/pandas boundaries).
+
+    Output: (entity, first_us, last_us, n_mentions, n_windows).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    win_us = int(window_s) * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks() if isinstance(b[ts_col], pa.ChunkedArray) else b[ts_col]
+        ts64 = pc.cast(ts, pa.int64())
+        win = pc.divide(ts64, win_us)  # ts ≥ 0: trunc == floor division
+        w = (pc.cast(b[weight_col], pa.int64()) if weight_col
+             else pa.array(np.ones(b.num_rows, np.int64)))
+        t = pa.table({entity_col: b[entity_col], "win": win,
+                      "ts": ts64, "n": w})
+        g = pa.TableGroupBy(t, [entity_col, "win"], use_threads=False).aggregate(
+            [("ts", "min"), ("ts", "max"), ("n", "sum")])
+        return pa.table({
+            entity_col: g[entity_col], "win": g["win"],
+            "mn": g["ts_min"], "mx": g["ts_max"],
+            "n": pc.cast(g["n_sum"], pa.int64()),
+        })
+
+    per_window = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([entity_col, "win"])
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"),
+                   Sum("n", alias_name="n"))
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        # batch combiner: per-entity partials (an entity's window rows can
+        # straddle blocks after the shuffle, so a grouped reduce follows)
+        g = pa.TableGroupBy(b, [entity_col], use_threads=False).aggregate(
+            [("mn", "min"), ("mx", "max"), ("n", "sum"), ([], "count_all")])
+        return pa.table({
+            entity_col: g[entity_col],
+            "first_us": g["mn_min"], "last_us": g["mx_max"],
+            "n_mentions": pc.cast(g["n_sum"], pa.int64()),
+            "n_windows": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    return (
+        per_window.map_batches(fold, batch_format="pyarrow")
+        .groupby(entity_col)
+        .aggregate(Min("first_us", alias_name="first_us"),
+                   Max("last_us", alias_name="last_us"),
+                   Sum("n_mentions", alias_name="n_mentions"),
+                   Sum("n_windows", alias_name="n_windows"))
+    )

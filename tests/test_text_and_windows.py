@@ -433,3 +433,32 @@ def test_image_resizer_policy_and_thumb_size():
         assert (row["out_w"], row["out_h"]) == ImageResizer(max_side=64).target_size(w, h)
         assert len(row["thumb"]) == row["out_w"] * row["out_h"]
         assert max(row["out_w"], row["out_h"]) <= 64
+
+
+def test_entity_timeline_windows_and_weights():
+    from code_graph_rag_ray.stages.windows import entity_timeline
+
+    us = 1_000_000
+    rows = [
+        # "a": 3 sightings across 2 windows (10s windows), weights 1+2+1
+        {"surface": "a", "ts_us": 1 * us, "n_mentions": 1},
+        {"surface": "a", "ts_us": 9 * us, "n_mentions": 2},
+        {"surface": "a", "ts_us": 25 * us, "n_mentions": 1},
+        # "b": single sighting
+        {"surface": "b", "ts_us": 11 * us, "n_mentions": 5},
+        # window-boundary exactness: 20s lands in window 2, not 1
+        {"surface": "c", "ts_us": 19_999_999, "n_mentions": 1},
+        {"surface": "c", "ts_us": 20_000_000, "n_mentions": 1},
+    ]
+    t = pa.Table.from_pylist(rows)
+    for blocks in (1, 6):
+        got = {r["surface"]: r for r in entity_timeline(
+            rd.from_arrow(t).repartition(blocks),
+            weight_col="n_mentions", window_s=10,
+        ).take_all()}
+        assert got["a"] == {"surface": "a", "first_us": 1 * us,
+                            "last_us": 25 * us, "n_mentions": 4,
+                            "n_windows": 2}
+        assert got["b"]["n_mentions"] == 5 and got["b"]["n_windows"] == 1
+        assert got["c"]["n_windows"] == 2
+        assert got["c"]["first_us"] == 19_999_999
