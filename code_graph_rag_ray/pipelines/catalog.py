@@ -2239,6 +2239,68 @@ def _internal_link_graph(sf_dir: str):
     return pages, internal
 
 
+def page_sssp(sf_dir: str):
+    """Bounded-hop weighted shortest paths from the lexicographically first
+    page (stages/graph_metrics.sssp_bounded): Bellman-Ford rounds with
+    change-propagation; edge weights are integer md5-derived (1..9) so the
+    distance table is bit-exact against a recursive-CTE oracle."""
+    from code_graph_rag_ray.functions.hashing import md5_low32_array
+    from code_graph_rag_ray.stages.graph_metrics import sssp_bounded
+
+    pages, internal = _internal_link_graph(sf_dir)
+
+    def weigh(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(b["src_url"], b["dst_url"], ">")
+        wt = (md5_low32_array(key) % np.uint32(9)).astype(np.int64) + 1
+        return pa.table({"src": b["src_url"], "dst": b["dst_url"],
+                         "wt": pa.array(wt)})
+
+    edges = internal.map_batches(weigh, batch_format="pyarrow")
+
+    # seeds: every 20th document's page — the undirected balls around them
+    # cover the fixture's halving-chains non-trivially at every scale
+    def mk_seeds(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(pc.subtract(b["doc_id"],
+                                          pc.multiply(pc.divide(b["doc_id"], 20),
+                                                      20)), 0))
+        url = pc.binary_join_element_wise(
+            pa.array(["https://"] * f.num_rows), f["source"],
+            pa.array([".example.org/doc/"] * f.num_rows),
+            pc.cast(f["doc_id"], pa.string()), "")
+        return pa.table({"url": url})
+
+    seeds = [r["url"] for r in
+             _pq(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+                 mk_seeds, batch_format="pyarrow").take_all()]
+    return sssp_bounded(edges, seeds, max_hops=4, undirected=True)
+
+
+PAGE_SSSP_SQL = """
+WITH RECURSIVE p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1
+  FROM documents),
+dir_edges AS (
+  SELECT a.url AS src, a.t1 AS dst,
+         CAST(1 + ('0x' || substr(md5(a.url || '>' || a.t1), 1, 8))::UBIGINT % 9
+              AS BIGINT) AS wt
+  FROM p a JOIN (SELECT url FROM p) b ON a.t1 = b.url),
+edges AS (
+  SELECT src, dst, wt FROM dir_edges
+  UNION ALL SELECT dst AS src, src AS dst, wt FROM dir_edges),
+seeds AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url
+  FROM documents WHERE doc_id % 20 = 0),
+walk(node, dist, hops) AS (
+  SELECT url, 0::BIGINT, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.dist + e.wt, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hops < 4)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node
+"""
+
+
 def page_rank(sf_dir: str):
     """Fixed-point PageRank over the links_to graph (the web-native "which
     node matters" metric the reference's retrieval layer ranks by).
@@ -3797,6 +3859,7 @@ QUERIES = {
     "kg_mined_aliases": kg_mined_aliases,
     "kg_negative_samples": kg_negative_samples,
     "kg_entity_timeline": kg_entity_timeline,
+    "page_sssp": page_sssp,
 }
 
 ORACLES = {
@@ -3843,6 +3906,7 @@ ORACLES = {
     "kg_mined_aliases": KG_MINED_ALIASES_SQL,
     "kg_negative_samples": KG_NEGATIVE_SAMPLES_SQL,
     "kg_entity_timeline": KG_ENTITY_TIMELINE_SQL,
+    "page_sssp": PAGE_SSSP_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,

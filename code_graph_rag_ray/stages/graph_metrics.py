@@ -550,3 +550,167 @@ def _symmetrize_ab(edges: Dataset, a: str, b: str) -> Dataset:
         return pa.concat_tables([fwd, rev])
 
     return edges.map_batches(both, batch_format="pyarrow")
+
+
+def sssp_bounded(
+    edges: Dataset,
+    seeds: list[str],
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "wt",
+    max_hops: int = 6,
+    undirected: bool = False,
+    broadcast_frontier_limit: int = 100_000,
+) -> Dataset:
+    """(node, dist): minimum WEIGHTED distance from the seed set over paths
+    of ≤ ``max_hops`` edges — bounded-hop Bellman-Ford with
+    change-propagation (delta stepping's "only relax improved nodes").
+
+    Weights must be non-negative int64 (scale floats to integer units —
+    that is also what makes the result bit-exact against a recursive-CTE
+    oracle). Unlike unit-weight BFS, a settled node can improve in a later
+    round, so "frontier = nodes whose distance IMPROVED this round"
+    requires comparing new candidates to old distances. That compare rides
+    INSIDE the fold: rows carry enc = 2·dist + is_new and the round's
+    groupby takes min(enc) — an equal-distance candidate loses to the old
+    row (2d < 2d+1) and a strictly better one wins (d' < d ⇒ 2d'+1 < 2d
+    for integers) — so improvement detection costs zero extra passes:
+    dist = enc // 2, improved = enc & 1.
+
+    Round shape follows :func:`bfs_hops`: a frontier under
+    ``broadcast_frontier_limit`` is ray.put as a (node → dist) map and the
+    adjacency is probed in place (one streaming scan, per-batch partial
+    min); a larger frontier relaxes through the bucketed cogroup. Message
+    volume per round is O(improved-nodes' out-edges), not O(E).
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from code_graph_rag_ray.functions.hashing import partition_ids
+
+    def keyed(b: pa.Table) -> pa.Table:
+        wt = pc.cast(b[weight], pa.int64())
+        fwd = pa.table({"key": pc.cast(b[src], pa.string()),
+                        "nbr": pc.cast(b[dst], pa.string()), "wt": wt})
+        if not undirected:
+            return fwd
+        rev = pa.table({"key": pc.cast(b[dst], pa.string()),
+                        "nbr": pc.cast(b[src], pa.string()), "wt": wt})
+        return pa.concat_tables([fwd, rev])
+
+    def with_bucket(ds: Dataset, col: str) -> Dataset:
+        return ds.map_batches(
+            lambda b: b.append_column(
+                "bucket", pa.array(partition_ids(b[col], 32), pa.int32())
+            ),
+            batch_format="pyarrow",
+        )
+
+    adj = with_bucket(edges.map_batches(keyed, batch_format="pyarrow"),
+                      "key").materialize()
+
+    seed_list = sorted(set(seeds))
+    dist = rd.from_arrow(
+        pa.table({"node": pa.array(seed_list, pa.string()),
+                  "enc": pa.array([0] * len(seed_list), pa.int64())})
+    ).materialize()
+    frontier = [(s, 0) for s in seed_list]  # small-path: [(node, dist)]
+    fcount = len(seed_list)
+    f_ds = dist  # large-path frontier Dataset (node, enc)
+
+    for _ in range(max_hops):
+        if fcount <= broadcast_frontier_limit:
+            import ray
+
+            fmap = {n: d for n, d in frontier} if isinstance(frontier, list) else {
+                r["node"]: r["enc"] // 2 for r in f_ds.take_all()}
+            f_ref = ray.put(pd.Series(fmap, dtype=np.int64))
+
+            def probe(b: pa.Table, _ref=f_ref) -> pa.Table:
+                from code_graph_rag_ray.functions.broadcast import get_broadcast
+
+                fs = get_broadcast(_ref)
+                hit = b.filter(pc.is_in(b["key"], value_set=pa.array(fs.index)))
+                if hit.num_rows == 0:
+                    return pa.table({"node": pa.array([], pa.string()),
+                                     "enc": pa.array([], pa.int64())})
+                base = fs.loc[hit["key"].to_pylist()].to_numpy()
+                cand = base + hit["wt"].to_numpy(zero_copy_only=False)
+                t = pa.table({"node": hit["nbr"],
+                              "enc": pa.array(cand * 2 + 1, pa.int64())})
+                g = pa.TableGroupBy(t, ["node"], use_threads=False).aggregate(
+                    [("enc", "min")])
+                return pa.table({"node": g["node"], "enc": g["enc_min"]})
+
+            msgs = adj.map_batches(probe, batch_format="pyarrow").map_batches(
+                lambda df: df, batch_format="pandas", batch_size=None)
+        else:
+            f_rows = with_bucket(
+                f_ds.map_batches(
+                    lambda b: pa.table(
+                        {"key": b["node"], "nbr": pa.nulls(b.num_rows, pa.string()),
+                         "wt": pc.divide(b["enc"], 2),
+                         "__f": pa.array(np.ones(b.num_rows, np.int8))}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                "key",
+            )
+            e_rows = adj.map_batches(
+                lambda b: b.append_column("__f", pa.nulls(b.num_rows, pa.int8())),
+                batch_format="pyarrow",
+            )
+
+            def msgs_fn(g: pd.DataFrame) -> pd.DataFrame:
+                f = g[g["__f"].notna()][["key", "wt"]].rename(
+                    columns={"wt": "base"}).drop_duplicates("key")
+                e = g[g["__f"].isna()][["key", "nbr", "wt"]]
+                m = e.merge(f, on="key")
+                if not len(m):
+                    return pd.DataFrame({"node": pd.Series([], dtype=object),
+                                         "enc": pd.Series([], dtype=np.int64)})
+                enc = (m["base"] + m["wt"]) * 2 + 1
+                out = pd.DataFrame({"node": m["nbr"], "enc": enc.astype(np.int64)})
+                return out.groupby("node", as_index=False).min()
+
+            msgs = (
+                e_rows.union(f_rows)
+                .groupby("bucket")
+                .map_groups(msgs_fn, batch_format="pandas")
+            )
+        # NOTES.md fact 23: keep the union single-type pandas
+        dist_p = dist.map_batches(
+            lambda df: df, batch_format="pandas", batch_size=None
+        )
+        new_dist = (
+            dist_p.union(msgs)
+            .groupby("node")
+            .aggregate(Min("enc", alias_name="enc"))
+            .materialize()
+        )
+        improved = new_dist.map_batches(
+            lambda b: b.filter(pc.equal(pc.bit_wise_and(b["enc"], 1), 1)),
+            batch_format="pyarrow",
+        ).materialize()
+        # strip the improved bit so next round's fold compares cleanly
+        dist = new_dist.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "enc": pc.multiply(pc.divide(b["enc"], 2), 2)}),
+            batch_format="pyarrow",
+        ).materialize()
+        fcount = improved.count()
+        if fcount == 0:
+            break
+        if fcount <= broadcast_frontier_limit:
+            frontier = [(r["node"], r["enc"] // 2) for r in improved.take_all()]
+        else:
+            frontier, f_ds = None, improved
+
+    return dist.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "dist": pc.divide(b["enc"], 2)}),
+        batch_format="pyarrow",
+    )

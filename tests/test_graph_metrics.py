@@ -7,6 +7,7 @@ BIT-FOR-BIT regardless of block layout — that is the whole design point."""
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import ray.data as rd
 
 from code_graph_rag_ray.stages.graph_metrics import degree_stats, pagerank
@@ -187,3 +188,38 @@ def test_hits_hand_checked_and_layout_invariant():
                    rd.from_arrow(nodes), iters=2).to_pandas()
         got = {r.node: (int(r.hub), int(r.auth)) for r in out.itertuples()}
         assert got == want, got
+
+
+def _bellman_ford_bounded(edges, seeds, max_hops):
+    dist = {s: 0 for s in seeds}
+    for _ in range(max_hops):
+        new = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < new.get(d, 1 << 60):
+                new[d] = dist[s] + w
+        dist = new
+    return dist
+
+
+def test_sssp_bounded_weighted_improvement_and_truncation():
+    from code_graph_rag_ray.stages.graph_metrics import sssp_bounded
+
+    # A->B direct w=10 gets IMPROVED via A->C->B (1+2) a round later;
+    # D reachable only at hop 3 (via B->D); E unreachable.
+    edges = [("A", "B", 10), ("A", "C", 1), ("C", "B", 2),
+             ("B", "D", 1), ("X", "E", 1)]
+    t = pa.table({"src": pa.array([e[0] for e in edges]),
+                  "dst": pa.array([e[1] for e in edges]),
+                  "wt": pa.array([e[2] for e in edges], pa.int64())})
+    for hops in (1, 2, 3):
+        exp = {k: v for k, v in
+               _bellman_ford_bounded(edges, ["A"], hops).items()}
+        for limit in (100_000, 0):   # broadcast-probe path and cogroup path
+            got = {r["node"]: r["dist"] for r in sssp_bounded(
+                rd.from_arrow(t).repartition(3), ["A"], max_hops=hops,
+                broadcast_frontier_limit=limit).take_all()}
+            assert got == exp, (hops, limit, got, exp)
+    # hop-2 answer specifically: B improved to 3, D still at 11 (A->B->D)
+    got2 = {r["node"]: r["dist"] for r in sssp_bounded(
+        rd.from_arrow(t), ["A"], max_hops=2).take_all()}
+    assert got2 == {"A": 0, "C": 1, "B": 3, "D": 11}
