@@ -3590,6 +3590,54 @@ HAVING count(*) * (SELECT m FROM p) > (SELECT nn FROM p)
 """
 
 
+def events_scd2(sf_dir: str):
+    """SCD-type-2 state history per user (stages/diff.scd2_history):
+    consecutive equal event_type observations collapse into validity
+    intervals (valid_from/valid_to µs, n_obs) — the change-data-capture
+    fold of the full observation stream."""
+    from code_graph_rag_ray.stages.diff import scd2_history
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+        })
+
+    rows = ds.map_batches(to_us, batch_format="pyarrow")
+    return scd2_history(rows, key="user_id", order_by="ts_us",
+                        state_cols=["event_type"], tiebreak="event_id")
+
+
+EVENTS_SCD2_SQL = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+s AS (
+  SELECT *, lag(event_type) OVER w AS prev
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+c AS (
+  SELECT *, CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS chg
+  FROM s),
+r AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS run
+  FROM c),
+g AS (
+  SELECT user_id, event_type, run,
+         CAST(min(ts_us) AS BIGINT) AS valid_from,
+         count(*)::BIGINT AS n_obs
+  FROM r GROUP BY user_id, event_type, run)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       n_obs
+FROM g
+"""
+
+
 def events_debounce(sf_dir: str):
     """Watch-mode debounce policy over the events table (§2.8 analog,
     realtime_updater.py:88-163): per-user quiet-period + max-wait
@@ -3860,6 +3908,7 @@ QUERIES = {
     "kg_negative_samples": kg_negative_samples,
     "kg_entity_timeline": kg_entity_timeline,
     "page_sssp": page_sssp,
+    "events_scd2": events_scd2,
 }
 
 ORACLES = {
@@ -3907,6 +3956,7 @@ ORACLES = {
     "kg_negative_samples": KG_NEGATIVE_SAMPLES_SQL,
     "kg_entity_timeline": KG_ENTITY_TIMELINE_SQL,
     "page_sssp": PAGE_SSSP_SQL,
+    "events_scd2": EVENTS_SCD2_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,

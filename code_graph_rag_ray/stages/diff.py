@@ -75,3 +75,59 @@ def snapshot_diff(
         return out.reset_index(drop=True)
 
     return j.map_batches(classify, batch_format="pandas")
+
+
+def scd2_history(
+    ds: Dataset,
+    *,
+    key: str,
+    order_by: str,
+    state_cols: list[str],
+    tiebreak: str | None = None,
+) -> Dataset:
+    """Slowly-changing-dimension (type 2) history assembly: collapse a
+    per-key observation stream into validity intervals — one row per RUN of
+    consecutive identical states, carrying ``valid_from`` (first order_by
+    of the run) and ``valid_to`` (next run's valid_from; NULL while
+    current). The companion of :func:`snapshot_diff`: diff compares two
+    snapshots, this folds the full observation history into the
+    change-data-capture table a warehouse would keep.
+
+    Distributed as a per-key ``map_groups`` — one key's history sorts and
+    scans in one task (histories are version-bounded; a key hot enough to
+    overflow a worker should be windowed upstream). ``tiebreak`` makes
+    equal-``order_by`` observations deterministic, which the oracle
+    (lag/lead window functions) requires. ``order_by`` must be int64
+    (epoch µs — NOTES.md: timestamps drift resolution across pandas
+    boundaries); ``valid_to`` is nullable Int64 for the same reason.
+    """
+    import numpy as np
+    import pandas as pd
+
+    by = [order_by] + ([tiebreak] if tiebreak else [])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(by, kind="mergesort")
+        st = g[state_cols].reset_index(drop=True)
+        chg = np.ones(len(g), bool)
+        if len(g) > 1:
+            same = np.ones(len(g) - 1, bool)
+            for c in state_cols:
+                a = st[c].to_numpy()
+                same &= (a[1:] == a[:-1]) | (pd.isna(a[1:]) & pd.isna(a[:-1]))
+            chg[1:] = ~same
+        starts = np.flatnonzero(chg)
+        frm = g[order_by].to_numpy()[starts]
+        out = pd.DataFrame({
+            key: np.repeat(g[key].iloc[0], len(starts)),
+            **{c: st[c].to_numpy()[starts] for c in state_cols},
+            "valid_from": frm.astype(np.int64),
+        })
+        nxt = np.empty(len(starts), object)
+        nxt[:-1] = frm[1:]
+        nxt[-1] = None
+        out["valid_to"] = pd.array(nxt, dtype="Int64")
+        out["n_obs"] = np.diff(np.append(starts, len(g))).astype(np.int64)
+        return out
+
+    return ds.groupby(key).map_groups(fold, batch_format="pandas")
