@@ -273,6 +273,81 @@ def q5_nation_revenue(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q18_large_volume_customers(sf_dir: str):
+    """TPC-H q18 shape, fully distributed: the HAVING subquery is a
+    combiner-first grouped sum over fact-scale lineitem (quantities are
+    exact integers, summed as int64), survivors semi-drive two bucketed
+    cogroup joins (orders, then customer). No driver-side fact
+    materialization; dates ride as strings (timestamp columns change
+    resolution across shuffles)."""
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "qty": pc.cast(b["l_quantity"], pa.int64())})
+
+    sums = partial_groupby_sum(li.map_batches(qty, batch_format="pyarrow"),
+                               ["l_orderkey"], {"qty": "sum_qty"})
+    big = sums.map_batches(lambda b: b.filter(pc.greater(b["sum_qty"], 200)),
+                           batch_format="pyarrow")
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"], "o_custkey": b["o_custkey"],
+            "o_orderdate": pc.strftime(b["o_orderdate"], format="%Y-%m-%d"),
+            "o_totalprice": b["o_totalprice"],
+        })
+
+    od = bucketed_join(
+        orders.map_batches(fmt, batch_format="pyarrow"), big,
+        on="o_orderkey", right_on="l_orderkey",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("o_orderdate", pa.string()), ("o_totalprice", pa.float64())]),
+        right_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("sum_qty", pa.int64())]),
+    )
+    customer = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+    oc = bucketed_join(
+        od, customer, on="o_custkey", right_on="c_custkey",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("o_orderdate", pa.string()), ("o_totalprice", pa.float64()),
+             ("sum_qty", pa.int64())]),
+        right_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_name", pa.string())]),
+    )
+    def project(b: pa.Table) -> pa.Table:
+        # the cogroup join drops its right key; c_custkey == o_custkey on
+        # the inner join, so surface it under the SQL output name
+        return pa.table({
+            "c_name": b["c_name"], "c_custkey": b["o_custkey"],
+            "o_orderkey": b["o_orderkey"], "o_orderdate": b["o_orderdate"],
+            "o_totalprice": b["o_totalprice"], "sum_qty": b["sum_qty"],
+        })
+
+    return oc.map_batches(project, batch_format="pyarrow")
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 200)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_totalprice, b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
 Q5_SQL = """
 SELECT n_name,
        round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -3909,6 +3984,7 @@ QUERIES = {
     "kg_entity_timeline": kg_entity_timeline,
     "page_sssp": page_sssp,
     "events_scd2": events_scd2,
+    "q18_large_volume_customers": q18_large_volume_customers,
 }
 
 ORACLES = {
@@ -3957,6 +4033,7 @@ ORACLES = {
     "kg_entity_timeline": KG_ENTITY_TIMELINE_SQL,
     "page_sssp": PAGE_SSSP_SQL,
     "events_scd2": EVENTS_SCD2_SQL,
+    "q18_large_volume_customers": Q18_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
