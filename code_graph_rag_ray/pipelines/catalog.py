@@ -273,6 +273,27 @@ def q5_nation_revenue(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def customer_name_ed1(sf_dir: str):
+    """Edit-distance-1 fuzzy name pairs (stages/dedup.editdist1_pairs):
+    exact-recall 1-deletion-neighborhood blocking + exact verify — the
+    typo-tolerant alias-dedup tier, here over customer names (digit
+    substitutions)."""
+    from code_graph_rag_ray.stages.dedup import editdist1_pairs
+
+    ds = _pq(sf_dir, "customer", ["c_name"])
+    pairs = editdist1_pairs(ds, col="c_name")
+    return pairs.select_columns(["a", "b"])
+
+
+CUSTOMER_NAME_ED1_SQL = """
+WITH t AS (SELECT DISTINCT c_name FROM customer)
+SELECT a.c_name AS a, b.c_name AS b
+FROM t a JOIN t b ON a.c_name < b.c_name
+WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+  AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 def q18_large_volume_customers(sf_dir: str):
     """TPC-H q18 shape, fully distributed: the HAVING subquery is a
     combiner-first grouped sum over fact-scale lineitem (quantities are
@@ -3985,6 +4006,7 @@ QUERIES = {
     "page_sssp": page_sssp,
     "events_scd2": events_scd2,
     "q18_large_volume_customers": q18_large_volume_customers,
+    "customer_name_ed1": customer_name_ed1,
 }
 
 ORACLES = {
@@ -4034,6 +4056,7 @@ ORACLES = {
     "page_sssp": PAGE_SSSP_SQL,
     "events_scd2": EVENTS_SCD2_SQL,
     "q18_large_volume_customers": Q18_SQL,
+    "customer_name_ed1": CUSTOMER_NAME_ED1_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,

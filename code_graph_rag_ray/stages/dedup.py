@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 from code_graph_rag_ray.functions.hashing import md5_hex_array
@@ -552,3 +553,91 @@ def dup_ngram_spans(
         Count(alias_name="n_docs"), Min(id_col, alias_name="min_doc")
     )
     return agg.filter(expr=f"n_docs >= {min_docs}")
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact edit-distance ≤ 1 check in one pass (no DP table)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def editdist1_pairs(
+    ds: Dataset,
+    *,
+    col: str = "name",
+    max_len: int = 64,
+    max_group: int = 200,
+) -> Dataset:
+    """Edit-distance-≤1 similarity SELF-JOIN with EXACT recall — fuzzy
+    entity-name dedup (typo'd aliases, off-by-one identifiers) without an
+    n² comparison.
+
+    Blocking is the 1-deletion neighborhood: each distinct string emits
+    itself plus its length-L single-deletion variants as bucket keys; two
+    strings within edit distance 1 (substitution, insertion, deletion, or
+    equality) ALWAYS share a key — substitution at i ⇒ equal i-deletions;
+    insertion/deletion ⇒ the shorter string is itself a deletion of the
+    longer — so unlike MinHash this candidate generator misses nothing.
+    False positives (e.g. transpositions sharing a deletion) are removed
+    by the exact one-pass verify. Candidate buckets are tiny (strings
+    sharing a deletion differ only at one position, ≤ alphabet size);
+    ``max_group`` caps pathological buckets with the truncation recorded.
+
+    Contract: strings longer than ``max_len`` are EXCLUDED (the
+    neighborhood is O(length) rows per string — entity names, not
+    documents); nulls are ignored. Output: (a, b, truncated) with a < b,
+    edit distance exactly ≤ 1 (= 1 after the distinct step).
+
+    cgr analog: the reference resolves near-miss names only via exact
+    registry lookups (function_registry trie); this is the typo-tolerant
+    candidate tier a web-scale alias table needs.
+    """
+    from code_graph_rag_ray.stages.materialize import exact_dedup
+
+    nonnull = ds.select_columns([col]).map_batches(
+        lambda b: b.filter(pc.is_valid(b[col])), batch_format="pyarrow")
+    distinct = exact_dedup(nonnull, keys=[col], columns=[col])
+
+    def keys(b: pa.Table) -> pa.Table:
+        out_k: list[str] = []
+        out_s: list[str] = []
+        for s in b[col].to_pylist():
+            if s is None or len(s) > max_len:
+                continue
+            out_k.append(s)
+            out_s.append(s)
+            for i in range(len(s)):
+                out_k.append(s[:i] + s[i + 1:])
+                out_s.append(s)
+        return pa.table({"key": pa.array(out_k, pa.string()),
+                         col: pa.array(out_s, pa.string())})
+
+    rows = distinct.map_batches(keys, batch_format="pyarrow")
+    cand = _pairs_from_buckets(rows, ["key"], col, max_group=max_group)
+    cand = exact_dedup(cand, keys=["a", "b"], sort_cols=["a", "b"],
+                       columns=["a", "b", "truncated"])
+
+    def verify(b: pa.Table) -> pa.Table:
+        ok = pa.array([_ed_le1(x, y) for x, y in
+                       zip(b["a"].to_pylist(), b["b"].to_pylist())],
+                      pa.bool_())
+        return b.filter(ok)
+
+    return cand.map_batches(verify, batch_format="pyarrow")

@@ -234,3 +234,32 @@ def test_minhash_pairs_sql_oracle_parity_on_planted_dups(tmp_path):
     assert got["b"].tolist() == exp["b"].tolist()
     assert got["truncated"].tolist() == exp["truncated"].tolist()
     assert got["jaccard"].tolist() == exp["jaccard"].tolist()  # bit-exact
+
+
+def test_editdist1_pairs_exact_recall_and_verify():
+    from code_graph_rag_ray.stages.dedup import _ed_le1, editdist1_pairs
+
+    rows = [
+        {"name": "acme"}, {"name": "acme"},      # duplicate collapses
+        {"name": "acne"},                        # substitution of acme
+        {"name": "acmes"},                       # insertion
+        {"name": "ace"},                         # deletion (of acme? a-c-e vs a-c-m-e: yes)
+        {"name": "amce"},                        # transposition → dist 2, must NOT pair with acme
+        {"name": "zebra"},                       # unrelated
+        {"name": "x" * 100},                     # beyond max_len → excluded
+        {"name": None},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    got = {(r["a"], r["b"]) for r in
+           editdist1_pairs(ds, col="name", max_len=64).take_all()}
+    brute = set()
+    names = sorted({r["name"] for r in rows
+                    if r["name"] and len(r["name"]) <= 64})
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            if _ed_le1(a, b):
+                brute.add((a, b))
+    assert got == brute
+    assert ("acme", "acne") in got and ("acme", "acmes") in got
+    assert ("ace", "acme") in got
+    assert ("acme", "amce") not in got and ("amce", "acne") not in got
