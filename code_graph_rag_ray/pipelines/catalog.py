@@ -1928,6 +1928,29 @@ def kg_doc_nodes(sf_dir: str):
     return nodes.map_batches(keep, batch_format="pyarrow")
 
 
+def kg_live_nodes(sf_dir: str):
+    """A6 strict orphan pruning (stages/canonicalize.prune_unreferenced): retain only
+    every-200th document (the post-deletion live set), then keep nodes
+    referenced by a surviving triple — the node-vs-live-graph semi-join
+    the reference runs after file deletions."""
+    from code_graph_rag_ray.stages.canonicalize import prune_unreferenced
+
+    nodes = kg_doc_nodes(sf_dir)
+
+    def live_only(b: pa.Table) -> pa.Table:
+        doc = pc.cast(pc.replace_substring_regex(
+            b["provenance_url"], pattern="^.*/doc/", replacement=""), pa.int64())
+        keep = pc.equal(pc.subtract(doc, pc.multiply(
+            pc.divide(doc, 200), 200)), 0)
+        return b.filter(keep)
+
+    edges = kg_doc_triples(sf_dir).map_batches(live_only, batch_format="pyarrow")
+    return prune_unreferenced(
+        nodes, edges,
+        node_schema=pa.schema([("entity_id", pa.string()),
+                               ("n_mentions", pa.int64())]))
+
+
 _ENT_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in ENTITY_VOCAB_SORTED) + "]"
 
 KG_DOC_NODES_SQL = f"""
@@ -1941,6 +1964,16 @@ SELECT v.entity_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_mentions
 FROM (SELECT unnest({_ENT_SQL_LIST}) AS entity_id) v
 LEFT JOIN c ON v.entity_id = c.w
 """
+
+KG_LIVE_NODES_SQL = (
+    "WITH nodes AS (" + KG_DOC_NODES_SQL + "), e AS ("
+    + KG_DOC_TRIPLES_SQL.replace(
+        "WHERE toks[i] IN", "WHERE doc_id % 200 = 0 AND toks[i] IN")
+    + """)
+SELECT n.entity_id, n.n_mentions FROM nodes n
+WHERE EXISTS (SELECT 1 FROM e
+              WHERE e.subj = n.entity_id OR e.obj = n.entity_id)
+""")
 
 
 def _typed_vocab_alias_tbl() -> pa.Table:
@@ -4007,6 +4040,7 @@ QUERIES = {
     "events_scd2": events_scd2,
     "q18_large_volume_customers": q18_large_volume_customers,
     "customer_name_ed1": customer_name_ed1,
+    "kg_live_nodes": kg_live_nodes,
 }
 
 ORACLES = {
@@ -4057,6 +4091,7 @@ ORACLES = {
     "events_scd2": EVENTS_SCD2_SQL,
     "q18_large_volume_customers": Q18_SQL,
     "customer_name_ed1": CUSTOMER_NAME_ED1_SQL,
+    "kg_live_nodes": KG_LIVE_NODES_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,

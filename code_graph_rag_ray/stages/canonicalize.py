@@ -266,3 +266,45 @@ def canonicalize_entities(
         return df[["entity_id", "name", "label", "norm_name", "n_mentions", "name_family"]]
 
     return nodes.map_batches(project, batch_format="pandas")
+
+
+def prune_unreferenced(
+    nodes: Dataset,
+    edges: Dataset,
+    *,
+    id_col: str = "entity_id",
+    endpoints: tuple[str, str] = ("subj", "obj"),
+    node_schema: pa.Schema | None = None,
+) -> Dataset:
+    """STRICT orphan-node pruning (A6, graph_updater.py delete-path
+    semantics): keep only nodes referenced by at least one LIVE edge — the
+    node-vs-live-graph semi-join the reference runs after file deletions
+    ("remove nodes whose defining file is gone"), generalized to any
+    node/edge tables. Unlike :func:`prune_orphans` (which keeps dictionary
+    nodes unconditionally and prunes only externals), every unreferenced
+    node goes.
+
+    Scale shape: edge endpoints project into one column with a per-batch
+    unique() combiner (a whale node's edges collapse to one row per block
+    before the shuffle), then ONE bucketed cogroup SEMI join — both sides
+    corpus-scale, never a broadcast, never a driver materialization.
+    ``node_schema`` skips the lazy-plan schema probe (NOTES.md fact 22).
+    """
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    def ends(b: pa.Table) -> pa.Table:
+        parts = []
+        for c in endpoints:
+            a = pc.cast(b[c], pa.string())
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            parts.append(a)
+        u = pc.unique(pa.concat_arrays(parts).drop_null())
+        return pa.table({"__end": u})
+
+    live = edges.map_batches(ends, batch_format="pyarrow")
+    return bucketed_join(
+        nodes, live, on=id_col, right_on="__end", how="semi",
+        left_schema=node_schema,
+        right_schema=pa.schema([("__end", pa.string())]),
+    )

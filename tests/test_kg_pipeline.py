@@ -8,6 +8,7 @@ assertions — plus the incremental-equivalence probe
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray.data as rd
 
 from code_graph_rag_ray.functions.scoring import score_sets
@@ -338,3 +339,25 @@ def test_prune_orphans_drops_unreferenced_externals():
     out = prune_orphans(nodes, edges).to_pandas()
     assert sorted(out.entity_id) == ["E0", "E1", "ext::a"]
     assert len(out) == len(set(out.entity_id))  # no duplicated survivors
+
+
+def test_prune_unreferenced_semi_join_endpoints():
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.canonicalize import prune_unreferenced
+
+    nodes = rd.from_arrow(pa.table({
+        "entity_id": pa.array(["A", "B", "C", "D", "E"]),
+        "n_mentions": pa.array([5, 0, 2, 1, 9], pa.int64()),
+    })).repartition(3)
+    # A lives as subj (whale: many edges), D only as OBJ, others orphaned;
+    # null endpoints ignored
+    edges = rd.from_arrow(pa.table({
+        "subj": pa.array(["A"] * 50 + ["Z", None]),
+        "obj": pa.array(["Z"] * 50 + ["D", "C_nope"]),
+    })).repartition(4)
+    got = sorted(r["entity_id"] for r in prune_unreferenced(
+        nodes, edges,
+        node_schema=pa.schema([("entity_id", pa.string()),
+                               ("n_mentions", pa.int64())])).take_all())
+    assert got == ["A", "D"]
