@@ -3767,6 +3767,39 @@ FROM g
 """
 
 
+def events_hourly_top_types(sf_dir: str):
+    """Windowed top-k: top-3 event types per hourly tumbling window by
+    count — the streaming-analytics composition (window floor → combiner
+    count → grouped_top_k block-local truncation; a whale window exchanges
+    O(blocks × k), never its row count)."""
+    from code_graph_rag_ray.stages.relational import grouped_top_k
+
+    ds = _pq(sf_dir, "events", ["ts", "event_type"])
+
+    def win(b: pa.Table) -> pa.Table:
+        hour = pc.multiply(pc.divide(pc.cast(b["ts"], pa.int64()),
+                                     3_600_000_000), 3_600_000_000)
+        return pa.table({"win_us": hour, "event_type": b["event_type"]})
+
+    counts = partial_groupby_sum(
+        ds.map_batches(win, batch_format="pyarrow"),
+        ["win_us", "event_type"], {}, count_alias="n")
+    return grouped_top_k(counts, "win_us", "n", 3, tiebreak="event_type")
+
+
+EVENTS_HOURLY_TOP_TYPES_SQL = """
+WITH c AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_us,
+         event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY win_us
+                               ORDER BY n DESC, event_type) AS rn
+  FROM c)
+SELECT win_us, event_type, n FROM r WHERE rn <= 3
+"""
+
+
 def events_debounce(sf_dir: str):
     """Watch-mode debounce policy over the events table (§2.8 analog,
     realtime_updater.py:88-163): per-user quiet-period + max-wait
@@ -4041,6 +4074,7 @@ QUERIES = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "customer_name_ed1": customer_name_ed1,
     "kg_live_nodes": kg_live_nodes,
+    "events_hourly_top_types": events_hourly_top_types,
 }
 
 ORACLES = {
@@ -4092,6 +4126,7 @@ ORACLES = {
     "q18_large_volume_customers": Q18_SQL,
     "customer_name_ed1": CUSTOMER_NAME_ED1_SQL,
     "kg_live_nodes": KG_LIVE_NODES_SQL,
+    "events_hourly_top_types": EVENTS_HOURLY_TOP_TYPES_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
