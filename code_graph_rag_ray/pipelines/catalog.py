@@ -3800,6 +3800,33 @@ SELECT win_us, event_type, n FROM r WHERE rn <= 3
 """
 
 
+def events_cohort_retention(sf_dir: str):
+    """Cohort retention triangle (stages/windows.cohort_retention): users
+    bucketed by first-seen day, active-user counts per (cohort, day) —
+    distinct (user, day) combiner, grouped-min cohorts, one bucketed
+    cogroup attach."""
+    from code_graph_rag_ray.stages.windows import cohort_retention
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "ts_us": pc.cast(b["ts"], pa.int64())})
+
+    return cohort_retention(ds.map_batches(to_us, batch_format="pyarrow"),
+                            window_s=86_400)
+
+
+EVENTS_COHORT_RETENTION_SQL = """
+WITH kw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS win FROM events),
+c AS (SELECT user_id, min(win) AS cohort_win FROM kw GROUP BY user_id)
+SELECT c.cohort_win, kw.win, count(*)::BIGINT AS n_active
+FROM kw JOIN c USING (user_id)
+GROUP BY c.cohort_win, kw.win
+"""
+
+
 def events_debounce(sf_dir: str):
     """Watch-mode debounce policy over the events table (§2.8 analog,
     realtime_updater.py:88-163): per-user quiet-period + max-wait
@@ -4075,6 +4102,7 @@ QUERIES = {
     "customer_name_ed1": customer_name_ed1,
     "kg_live_nodes": kg_live_nodes,
     "events_hourly_top_types": events_hourly_top_types,
+    "events_cohort_retention": events_cohort_retention,
 }
 
 ORACLES = {
@@ -4127,6 +4155,7 @@ ORACLES = {
     "customer_name_ed1": CUSTOMER_NAME_ED1_SQL,
     "kg_live_nodes": KG_LIVE_NODES_SQL,
     "events_hourly_top_types": EVENTS_HOURLY_TOP_TYPES_SQL,
+    "events_cohort_retention": EVENTS_COHORT_RETENTION_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,

@@ -726,3 +726,56 @@ def entity_timeline(
                    Sum("n_mentions", alias_name="n_mentions"),
                    Sum("n_windows", alias_name="n_windows"))
     )
+
+
+def cohort_retention(
+    ds: Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    window_s: int = 7 * 86_400,
+) -> Dataset:
+    """Cohort retention matrix: users bucketed by FIRST-SEEN window, counted
+    as active per (cohort, activity-window) — the classic retention
+    triangle, distributed.
+
+    Two-phase shape, no whale exposure: (key, window) pairs dedup in a
+    batch combiner then ONE grouped min computes both each key's cohort
+    (min window) and its distinct activity windows; a second combiner-first
+    count folds (cohort, window) cells. The key→cohort attachment is a
+    bucketed cogroup join (both sides key-scale — never a broadcast).
+    Output: (cohort_win, win, n_active) int64 window indices (µs // window).
+    """
+    from ray.data.aggregate import Min
+
+    from code_graph_rag_ray.stages.relational import bucketed_join, partial_groupby_sum
+
+    win_us = int(window_s) * 1_000_000
+
+    def pairs(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            key_col: b[key_col],
+            "win": pc.divide(pc.cast(b[ts_col], pa.int64()), win_us),
+        })
+        g = pa.TableGroupBy(t, [key_col, "win"], use_threads=False).aggregate([])
+        return g
+
+    from code_graph_rag_ray.stages.materialize import exact_dedup
+
+    kw = exact_dedup(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        keys=[key_col, "win"], columns=[key_col, "win"],
+    ).materialize()  # distinct (key, window); feeds both branches below
+    cohorts = (
+        kw.groupby(key_col).aggregate(Min("win", alias_name="cohort_win"))
+    )
+    joined = bucketed_join(
+        kw, cohorts, on=key_col,
+        left_schema=pa.schema([(key_col, pa.int64()), ("win", pa.int64())]),
+        right_schema=pa.schema([(key_col, pa.int64()),
+                                ("cohort_win", pa.int64())]),
+    )
+    return partial_groupby_sum(
+        joined.select_columns(["cohort_win", "win"]),
+        ["cohort_win", "win"], {}, count_alias="n_active",
+    )

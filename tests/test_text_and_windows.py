@@ -462,3 +462,25 @@ def test_entity_timeline_windows_and_weights():
         assert got["b"]["n_mentions"] == 5 and got["b"]["n_windows"] == 1
         assert got["c"]["n_windows"] == 2
         assert got["c"]["first_us"] == 19_999_999
+
+
+def test_cohort_retention_matrix():
+    from code_graph_rag_ray.stages.windows import cohort_retention
+
+    d = 86_400 * 1_000_000
+    rows = (
+        # u1 first seen day 0, active days 0,1,3 (two events day 0: dedup)
+        [{"user_id": 1, "ts_us": 0}, {"user_id": 1, "ts_us": 100},
+         {"user_id": 1, "ts_us": d + 5}, {"user_id": 1, "ts_us": 3 * d}]
+        # u2 first seen day 1, active days 1,3
+        + [{"user_id": 2, "ts_us": d + 1}, {"user_id": 2, "ts_us": 3 * d + 9}]
+        # u3 only day 3
+        + [{"user_id": 3, "ts_us": 3 * d}]
+    )
+    t = pa.Table.from_pylist(rows)
+    for blocks in (1, 5):
+        got = {(r["cohort_win"], r["win"]): r["n_active"]
+               for r in cohort_retention(rd.from_arrow(t).repartition(blocks),
+                                         window_s=86_400).take_all()}
+        assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1,
+                       (1, 1): 1, (1, 3): 1, (3, 3): 1}
