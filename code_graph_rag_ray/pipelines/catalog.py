@@ -294,6 +294,48 @@ WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
 """
 
 
+def orders_trimmed_mean(sf_dir: str):
+    """Exact 5-trimmed mean of order value per priority
+    (stages/relational.grouped_trimmed_sum): the robust-aggregation shape —
+    block-local extreme survivors + summary rows, one shuffle, integer
+    cents, single final IEEE division."""
+    from code_graph_rag_ray.stages.relational import grouped_trimmed_sum
+
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice", "o_orderkey"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "v_cc": _cents(b["o_totalprice"]),
+            "o_orderkey": b["o_orderkey"],
+        })
+
+    return grouped_trimmed_sum(ds.map_batches(cents, batch_format="pyarrow"),
+                               "o_orderpriority", "v_cc", 5,
+                               tiebreak="o_orderkey")
+
+
+ORDERS_TRIMMED_MEAN_SQL = """
+WITH t AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         o_orderkey AS tb
+  FROM orders),
+r AS (
+  SELECT g, v,
+         row_number() OVER (PARTITION BY g ORDER BY v, tb) AS ra,
+         row_number() OVER (PARTITION BY g ORDER BY v DESC, tb DESC) AS rd,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM t)
+SELECT g AS o_orderpriority,
+       CAST(sum(v) AS BIGINT) AS trimmed_sum,
+       count(*)::BIGINT AS n_kept,
+       CAST(sum(v) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS trimmed_mean
+FROM r WHERE ra > 5 AND rd > 5 AND n > 10
+GROUP BY g
+"""
+
+
 def q18_large_volume_customers(sf_dir: str):
     """TPC-H q18 shape, fully distributed: the HAVING subquery is a
     combiner-first grouped sum over fact-scale lineitem (quantities are
@@ -4103,6 +4145,7 @@ QUERIES = {
     "kg_live_nodes": kg_live_nodes,
     "events_hourly_top_types": events_hourly_top_types,
     "events_cohort_retention": events_cohort_retention,
+    "orders_trimmed_mean": orders_trimmed_mean,
 }
 
 ORACLES = {
@@ -4156,6 +4199,7 @@ ORACLES = {
     "kg_live_nodes": KG_LIVE_NODES_SQL,
     "events_hourly_top_types": EVENTS_HOURLY_TOP_TYPES_SQL,
     "events_cohort_retention": EVENTS_COHORT_RETENTION_SQL,
+    "orders_trimmed_mean": ORDERS_TRIMMED_MEAN_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,
     "doc_triples": DOC_TRIPLES_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,

@@ -591,3 +591,85 @@ def grouped_collect(
         .groupby(group)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def grouped_trimmed_sum(
+    ds: Dataset,
+    group: str,
+    val: str,
+    k: int,
+    *,
+    tiebreak: str,
+) -> Dataset:
+    """Exact k-trimmed grouped aggregate (robust mean): per group, drop the
+    k smallest and k largest values under the total order (val, tiebreak)
+    and sum/count the remainder — outlier-resistant corpus accounting
+    without shipping whole groups.
+
+    One shuffle: each block contributes per group its k smallest + k
+    largest rows (the union provably contains the GLOBAL extremes) plus a
+    single (sum, count) summary row, so a whale group exchanges
+    O(blocks × 2k + blocks) rows, never its size. The merge re-sorts the
+    survivors, takes the k head/tail — disjoint because they come from one
+    total order — and subtracts from the summary totals. Groups with
+    n ≤ 2k are DROPPED (trimming is undefined there; the oracle's
+    ``HAVING n > 2k`` mirrors it). Values must be int64 (the fixed-point
+    convention: float partial sums would not be exactly re-aggregatable);
+    ``trimmed_mean`` is the single final IEEE division, bit-exact vs SQL.
+    """
+    import numpy as np
+
+    def local(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({group: b[group], val: b[val],
+                             tiebreak: b[tiebreak],
+                             "__sum": pa.array([], pa.int64()),
+                             "__n": pa.array([], pa.int64())})
+        t = b.select([group, val, tiebreak])
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[(group, "ascending"), (val, "ascending"),
+                          (tiebreak, "ascending")]))
+        g = np.asarray(t[group].to_pandas(), dtype=object)
+        first = np.ones(len(g), bool)
+        first[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(g))
+        lens = ends - starts
+        pos = np.arange(len(g)) - np.repeat(starts, lens)
+        keep = (pos < k) | (pos >= np.repeat(lens, lens) - k)
+        kept = t.filter(pa.array(keep))
+        vals = np.asarray(t[val].to_numpy(zero_copy_only=False), np.int64)
+        sums = np.add.reduceat(vals, starts).astype(np.int64)
+        summary = pa.table({
+            group: pa.array(g[first], type=t[group].type),
+            val: pa.array(np.zeros(len(starts), np.int64)),
+            tiebreak: pa.nulls(len(starts), t[tiebreak].type),
+            "__sum": pa.array(sums),
+            "__n": pa.array(lens.astype(np.int64)),
+        })
+        kept = kept.append_column("__sum", pa.nulls(kept.num_rows, pa.int64()))
+        kept = kept.append_column("__n", pa.nulls(kept.num_rows, pa.int64()))
+        return pa.concat_tables([kept, summary])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["__n"].notna()]
+        total, n = int(s["__sum"].sum()), int(s["__n"].sum())
+        if n <= 2 * k:
+            return pd.DataFrame({group: [], "trimmed_sum": [], "n_kept": [],
+                                 "trimmed_mean": []})
+        rows = df[df["__n"].isna()].sort_values([val, tiebreak],
+                                                kind="mergesort")
+        cut = int(rows[val].head(k).sum() + rows[val].tail(k).sum())
+        ts, nk = total - cut, n - 2 * k
+        return pd.DataFrame({
+            group: [df[group].iloc[0]],
+            "trimmed_sum": np.array([ts], np.int64),
+            "n_kept": np.array([nk], np.int64),
+            "trimmed_mean": np.array([ts / nk], np.float64),
+        })
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(group)
+        .map_groups(merge, batch_format="pandas")
+    )

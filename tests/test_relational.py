@@ -284,3 +284,38 @@ def test_bucketed_join_bloom_prefilter_identical_results():
     semi = bucketed_join(left, right, on="k", how="semi",
                          bloom_prefilter=True).to_pandas()
     assert sorted(semi["k"].astype(int)) == [5, 17, 400, 999]
+
+
+def test_grouped_trimmed_sum_exact_vs_brute():
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.relational import grouped_trimmed_sum
+
+    rows = (
+        # whale group with duplicate values at the trim boundary
+        [{"g": "w", "v": (i * 7) % 20, "id": i} for i in range(60)]
+        # group exactly at n == 2k (dropped) and below
+        + [{"g": "edge", "v": i, "id": 100 + i} for i in range(4)]
+        + [{"g": "tiny", "v": 9, "id": 200}]
+        # group with n == 2k + 1 (one survivor)
+        + [{"g": "one", "v": i * 3, "id": 300 + i} for i in range(5)]
+    )
+    k = 2
+
+    def brute(name):
+        sub = sorted(((r["v"], r["id"]) for r in rows if r["g"] == name))
+        if len(sub) <= 2 * k:
+            return None
+        kept = sub[k:-k]
+        s = sum(v for v, _ in kept)
+        return (s, len(kept), s / len(kept))
+
+    t = pa.Table.from_pylist(rows)
+    for blocks in (1, 7):
+        got = {r["g"]: (r["trimmed_sum"], r["n_kept"], r["trimmed_mean"])
+               for r in grouped_trimmed_sum(
+                   rd.from_arrow(t).repartition(blocks), "g", "v", k,
+                   tiebreak="id").take_all()}
+        assert set(got) == {"w", "one"}
+        for name in ("w", "one"):
+            assert got[name] == brute(name), (name, blocks)
