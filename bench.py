@@ -168,7 +168,10 @@ def run_bench() -> dict:
             "orders_bloom_building", "orders_rollup",
             "events_running_total", "doc_dup_spans",
             "page_bfs_hops", "events_salted_segment_counts",
-            "doc_pack_sequences", "doc_minhash_pairs")
+            "doc_pack_sequences", "doc_minhash_pairs",
+            "events_heavy_users", "customer_name_ed1",
+            "q18_large_volume_customers", "page_sssp",
+            "events_cohort_retention")
         for name in names:
             t0 = time.perf_counter()
             res = catalog.QUERIES[name](sf_dir)
