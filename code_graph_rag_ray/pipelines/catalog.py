@@ -281,7 +281,7 @@ def customer_name_ed1(sf_dir: str):
     from code_graph_rag_ray.stages.dedup import editdist1_pairs
 
     ds = _pq(sf_dir, "customer", ["c_name"])
-    pairs = editdist1_pairs(ds, col="c_name")
+    pairs = editdist1_pairs(ds, col="c_name", assume_distinct=True)
     return pairs.select_columns(["a", "b"])
 
 

@@ -584,6 +584,7 @@ def editdist1_pairs(
     col: str = "name",
     max_len: int = 64,
     max_group: int = 200,
+    assume_distinct: bool = False,
 ) -> Dataset:
     """Edit-distance-≤1 similarity SELF-JOIN with EXACT recall — fuzzy
     entity-name dedup (typo'd aliases, off-by-one identifiers) without an
@@ -613,7 +614,10 @@ def editdist1_pairs(
 
     nonnull = ds.select_columns([col]).map_batches(
         lambda b: b.filter(pc.is_valid(b[col])), batch_format="pyarrow")
-    distinct = exact_dedup(nonnull, keys=[col], columns=[col])
+    # assume_distinct skips one whole shuffle when the caller's column is
+    # already unique (e.g. a key-derived name column)
+    distinct = nonnull if assume_distinct else exact_dedup(
+        nonnull, keys=[col], columns=[col])
 
     def keys(b: pa.Table) -> pa.Table:
         out_k: list[str] = []
@@ -630,9 +634,54 @@ def editdist1_pairs(
                          col: pa.array(out_s, pa.string())})
 
     rows = distinct.map_batches(keys, batch_format="pyarrow")
-    cand = _pairs_from_buckets(rows, ["key"], col, max_group=max_group)
-    cand = exact_dedup(cand, keys=["a", "b"], sort_cols=["a", "b"],
-                       columns=["a", "b", "truncated"])
+    # deletion keys are HIGH-cardinality (≈ length × distinct strings), and
+    # Ray's map_groups invokes the UDF once per group — per-key grouping
+    # paid ~20 s at 285k keys (NOTES.md fact on per-group pandas overhead).
+    # Bucket the keys instead: one task per hash bucket, ONE vectorized
+    # self-merge inside covering all its keys at once.
+    from code_graph_rag_ray.functions.hashing import partition_ids
+
+    bucketed = rows.map_batches(
+        lambda b: b.append_column(
+            "bucket", pa.array(partition_ids(b["key"], 64), pa.int32())),
+        batch_format="pyarrow",
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["key", col]].drop_duplicates().sort_values(
+            ["key", col], kind="mergesort")
+        rn = d.groupby("key").cumcount()
+        over = d[rn >= max_group]["key"].unique()
+        d = d[rn < max_group]
+        m = d.merge(d, on="key")
+        m = m[m[col + "_x"] < m[col + "_y"]]
+        trunc = m["key"].isin(set(over))
+        return pd.DataFrame({"a": m[col + "_x"], "b": m[col + "_y"],
+                             "truncated": trunc.to_numpy()})
+
+    cand = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    # cross-key duplicate pairs (a pair can share several deletion keys)
+    # dedupe through a 64-bucket hash cogroup with a vectorized
+    # drop_duplicates inside — an exact_dedup here would hand Ray's
+    # sort-aggregate ~1M distinct string-pair GROUPS and its per-group
+    # reduce dominated the pipeline (measured 101 s of remote wall at
+    # sf0.1; this shape is ~2 s)
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("pbucket", pa.array([], pa.int32()))
+        key = pc.binary_join_element_wise(b["a"], b["b"], "\x1f")
+        return b.append_column(
+            "pbucket", pa.array(partition_ids(key, 64), pa.int32()))
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["a", "b", "truncated"], kind="mergesort")
+        return g.drop_duplicates(["a", "b"])[["a", "b", "truncated"]]
+
+    cand = (
+        cand.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
 
     def verify(b: pa.Table) -> pa.Table:
         ok = pa.array([_ed_le1(x, y) for x, y in
