@@ -87,7 +87,28 @@ def main(argv: list[str] | None = None) -> int:
     ln.add_argument("--pages", required=True)
     ln.add_argument("--out", required=True)
 
+    q = sub.add_parser(
+        "query",
+        help="point lookups over a materialized store (partition-pruned subj reads)",
+    )
+    q.add_argument("--store", required=True)
+    q.add_argument("--subj")
+    q.add_argument("--pred")
+    q.add_argument("--obj")
+    q.add_argument("--num-partitions", type=int, default=16)
+
     args = p.parse_args(argv)
+    if args.cmd == "query":
+        # plain pyarrow serve path — no Ray session needed
+        from code_graph_rag_ray.stages.serve import query_edges
+
+        t = query_edges(args.store, subj=args.subj, pred=args.pred,
+                        obj=args.obj, num_partitions=args.num_partitions)
+        import json as _json
+
+        for row in t.to_pylist():
+            print(_json.dumps(row, sort_keys=True))
+        return 0
     _init_ray()
 
     import ray

@@ -52,3 +52,42 @@ def test_debounce_events_dataset():
         (r.path, r.process_ts, r.n_events, bool(r.forced)) for r in out.itertuples()
     }
     assert got == {("a", 19, 3, False), ("b", 10, 1, False), ("b", 40, 1, False)}
+
+
+def test_serve_point_query_partition_pruned(tmp_path):
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.materialize import materialize_graph
+    from code_graph_rag_ray.stages.serve import (
+        neighbors,
+        partition_of,
+        query_edges,
+    )
+
+    rows = [{"subj": f"E{i % 7}", "pred": "rel" if i % 2 else "ref",
+             "obj": f"E{(i + 1) % 7}", "provenance_url": f"https://x/{i}"}
+            for i in range(100)]
+    store = str(tmp_path / "store")
+    materialize_graph(rd.from_arrow(pa.Table.from_pylist(rows)), store,
+                      key="subj", sort_by=["subj", "pred", "obj"],
+                      num_partitions=8)
+
+    # the pruned read touches exactly ONE part dir, and it's the right one
+    part = partition_of("E3", 8)
+    assert os.path.isdir(os.path.join(store, f"part={part}"))
+    got = query_edges(store, subj="E3", num_partitions=8).to_pylist()
+    want = sorted((r for r in rows if r["subj"] == "E3"),
+                  key=lambda r: (r["pred"], r["obj"], r["provenance_url"]))
+    assert sorted(got, key=lambda r: (r["pred"], r["obj"],
+                                      r["provenance_url"])) == want
+
+    # pattern filters compose; obj-side lookup is the full-scan path
+    both = query_edges(store, subj="E3", pred="rel", num_partitions=8)
+    assert set(both["pred"].to_pylist()) == {"rel"}
+    nb = neighbors(store, "E3", num_partitions=8)
+    assert nb["out"].num_rows == len(want)
+    assert set(nb["in"]["obj"].to_pylist()) == {"E3"}
+    assert nb["in"].num_rows == sum(1 for r in rows if r["obj"] == "E3")
