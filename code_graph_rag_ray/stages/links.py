@@ -334,3 +334,42 @@ def mine_anchor_aliases(
         })
 
     return joined.map_batches(score, batch_format="pyarrow")
+
+
+def incremental_links(
+    changed_pages: Dataset,
+    prev_links: Dataset,
+    *,
+    with_anchor: bool = False,
+) -> Dataset:
+    """Watch-mode maintenance of the RAW link table (J9 applied to the
+    hyperlink family): drop the changed pages' old link rows (anti-join on
+    the broadcast changed-url set), re-extract links for just those pages,
+    union — incremental == clean by construction, because raw href
+    extraction is strictly page-local.
+
+    Deliberately maintains the RAW (url, target) table, not the RESOLVED
+    one: resolution depends on the whole corpus url set (adding a page can
+    turn another page's dangling target internal — the reference re-runs
+    its deferred-import flush for the same reason,
+    import_processor.py:861-983), so callers re-run ``resolve_links`` over
+    the maintained table; that pass is a semi-join, not a re-parse. A
+    deleted page is a changed page with empty html (zero rows extracted).
+    """
+    import ray
+
+    changed_urls = pa.array(
+        sorted({r["url"] for r in
+                changed_pages.select_columns(["url"]).take_all()}),
+        pa.string())
+    ref = ray.put(changed_urls)
+
+    def drop_changed(b: pa.Table) -> pa.Table:
+        from code_graph_rag_ray.functions.broadcast import get_broadcast
+
+        return b.filter(pc.invert(pc.is_in(b["url"],
+                                           value_set=get_broadcast(ref))))
+
+    kept = prev_links.map_batches(drop_changed, batch_format="pyarrow")
+    fresh = extract_links(changed_pages, with_anchor=with_anchor)
+    return kept.union(fresh)

@@ -244,3 +244,39 @@ def test_mined_aliases_bootstrap_the_linker():
     assert "page::https://c/relay" not in set(miss["entity_id"])
     hit = MentionLinker(pa.concat_tables([base, mined_tbl]))(page).to_pandas()
     assert {"E0", "page::https://c/relay"} <= set(hit["entity_id"])
+
+
+def test_incremental_links_equals_clean(pages_fixture):
+    from code_graph_rag_ray.stages.links import extract_links, incremental_links
+
+    fx, fx_dir = pages_fixture
+    pages = rd.read_parquet(f"{fx_dir}/pages.parquet")
+    prev = extract_links(pages).materialize()
+
+    # change page 0 (new html with one new link), delete page 1 (empty html)
+    first_two = pages.take(2)
+    changed = rd.from_items([
+        {"url": first_two[0]["url"], "warc_ts": first_two[0]["warc_ts"],
+         "html": b'<a href="https://new.example.org/x">n</a>',
+         "text": "", "lang": "en"},
+        {"url": first_two[1]["url"], "warc_ts": first_two[1]["warc_ts"],
+         "html": b"", "text": "", "lang": "en"},
+    ])
+    inc = incremental_links(changed, prev)
+
+    # clean rebuild over the same corpus state
+    import pyarrow.compute as pc2
+    urls = {first_two[0]["url"], first_two[1]["url"]}
+    remaining = pages.map_batches(
+        lambda b: b.filter(pc2.invert(pc2.is_in(
+            b["url"], value_set=pa.array(sorted(urls))))),
+        batch_format="pyarrow")
+    clean = extract_links(remaining.union(changed))
+
+    def key(rows):
+        return sorted((r["url"], r["target"]) for r in rows)
+
+    assert key(inc.take_all()) == key(clean.take_all())
+    # the new link is present, page 1 contributes nothing
+    assert (first_two[0]["url"], "https://new.example.org/x") in key(inc.take_all())
+    assert all(u != first_two[1]["url"] for u, _ in key(inc.take_all()))
