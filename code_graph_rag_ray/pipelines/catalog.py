@@ -1993,6 +1993,28 @@ def kg_live_nodes(sf_dir: str):
                                ("n_mentions", pa.int64())]))
 
 
+def kg_dead_nodes(sf_dir: str):
+    """Dead-code analog (stages/canonicalize.dead_nodes, reference
+    dead_code.py command): dictionary nodes NO live triple references under
+    the every-200th-doc live set — the anti side of kg_live_nodes."""
+    from code_graph_rag_ray.stages.canonicalize import dead_nodes
+
+    nodes = kg_doc_nodes(sf_dir)
+
+    def live_only(b: pa.Table) -> pa.Table:
+        doc = pc.cast(pc.replace_substring_regex(
+            b["provenance_url"], pattern="^.*/doc/", replacement=""), pa.int64())
+        keep = pc.equal(pc.subtract(doc, pc.multiply(
+            pc.divide(doc, 200), 200)), 0)
+        return b.filter(keep)
+
+    edges = kg_doc_triples(sf_dir).map_batches(live_only, batch_format="pyarrow")
+    return dead_nodes(
+        nodes, edges,
+        node_schema=pa.schema([("entity_id", pa.string()),
+                               ("n_mentions", pa.int64())]))
+
+
 _ENT_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in ENTITY_VOCAB_SORTED) + "]"
 
 KG_DOC_NODES_SQL = f"""
@@ -2016,6 +2038,8 @@ SELECT n.entity_id, n.n_mentions FROM nodes n
 WHERE EXISTS (SELECT 1 FROM e
               WHERE e.subj = n.entity_id OR e.obj = n.entity_id)
 """)
+
+KG_DEAD_NODES_SQL = KG_LIVE_NODES_SQL.replace("WHERE EXISTS", "WHERE NOT EXISTS")
 
 
 def _typed_vocab_alias_tbl() -> pa.Table:
@@ -4144,6 +4168,7 @@ QUERIES = {
     "customer_name_ed1": customer_name_ed1,
     "kg_live_nodes": kg_live_nodes,
     "events_hourly_top_types": events_hourly_top_types,
+    "kg_dead_nodes": kg_dead_nodes,
     "events_cohort_retention": events_cohort_retention,
     "orders_trimmed_mean": orders_trimmed_mean,
 }
@@ -4198,6 +4223,7 @@ ORACLES = {
     "customer_name_ed1": CUSTOMER_NAME_ED1_SQL,
     "kg_live_nodes": KG_LIVE_NODES_SQL,
     "events_hourly_top_types": EVENTS_HOURLY_TOP_TYPES_SQL,
+    "kg_dead_nodes": KG_DEAD_NODES_SQL,
     "events_cohort_retention": EVENTS_COHORT_RETENTION_SQL,
     "orders_trimmed_mean": ORDERS_TRIMMED_MEAN_SQL,
     "doc_mentions": DOC_MENTIONS_SQL,

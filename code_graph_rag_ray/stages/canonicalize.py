@@ -308,3 +308,35 @@ def prune_unreferenced(
         left_schema=node_schema,
         right_schema=pa.schema([("__end", pa.string())]),
     )
+
+
+def dead_nodes(
+    nodes: Dataset,
+    edges: Dataset,
+    *,
+    id_col: str = "entity_id",
+    endpoints: tuple[str, str] = ("subj", "obj"),
+    node_schema: pa.Schema | None = None,
+) -> Dataset:
+    """The ANTI side of :func:`prune_unreferenced` — nodes no live edge
+    references (the reference's ``dead-code`` command: definitions with no
+    inbound CALLS, ``dead_code.py``). Same endpoint-combiner + bucketed
+    cogroup, anti instead of semi."""
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    def ends(b: pa.Table) -> pa.Table:
+        parts = []
+        for c in endpoints:
+            a = pc.cast(b[c], pa.string())
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            parts.append(a)
+        u = pc.unique(pa.concat_arrays(parts).drop_null())
+        return pa.table({"__end": u})
+
+    live = edges.map_batches(ends, batch_format="pyarrow")
+    return bucketed_join(
+        nodes, live, on=id_col, right_on="__end", how="anti",
+        left_schema=node_schema,
+        right_schema=pa.schema([("__end", pa.string())]),
+    )
