@@ -286,24 +286,74 @@ def exact_dup_clusters(ds: Dataset, *, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def _dedup_pairs_bucketed(cand: Dataset) -> Dataset:
+    """Dedup (a, b, truncated) candidate pairs surfaced by several buckets —
+    hash-bucket cogroup + vectorized drop_duplicates instead of a
+    high-cardinality exact_dedup (NOTES.md fact 25: ~1M distinct pair
+    groups cost 101 s of per-group reduce). Sort puts truncated=False
+    first, matching exact_dedup's Min winner."""
+    from code_graph_rag_ray.functions.hashing import partition_ids
+
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("pbucket", pa.array([], pa.int32()))
+        key = pc.binary_join_element_wise(
+            pc.cast(b["a"], pa.string()), pc.cast(b["b"], pa.string()), "\x1f")
+        return b.append_column(
+            "pbucket", pa.array(partition_ids(key, 64), pa.int32()))
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["a", "b", "truncated"], kind="mergesort")
+        return g.drop_duplicates(["a", "b"])[["a", "b", "truncated"]]
+
+    return (
+        cand.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
+
+
 def _pairs_from_buckets(bucket_rows: Dataset, bucket_cols: list[str], id_col: str,
                         *, max_group: int = 200) -> Dataset:
-    """groupby(bucket) → candidate pairs (a < b). Groups above ``max_group``
-    are truncated (deterministically, by sorted id) and the truncation is
-    recorded via the ``truncated`` column — no silent caps."""
+    """Candidate pairs (a < b) within each bucket-key group. Groups above
+    ``max_group`` are truncated (deterministically, by sorted id) and the
+    truncation is recorded via the ``truncated`` column — no silent caps.
+
+    Grouping is by HASH BUCKET of the bucket key, not by the key itself:
+    bucket-key cardinality is corpus-scale (docs × bands) and Ray's
+    sort-aggregate/map_groups pays a fixed per-GROUP cost that dominated at
+    ~100k groups (NOTES.md fact 25). One task per hash bucket runs a single
+    vectorized self-merge covering all its keys at once.
+    """
+    from code_graph_rag_ray.functions.hashing import partition_ids
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        key = b[bucket_cols[0]]
+        if not pa.types.is_string(key.type):
+            key = pc.cast(key, pa.string())
+        for c in bucket_cols[1:]:
+            key = pc.binary_join_element_wise(key, pc.cast(b[c], pa.string()),
+                                              "\x1f")
+        t = pa.table({"__k": key, id_col: b[id_col]})
+        return t.append_column(
+            "bucket", pa.array(partition_ids(t["__k"], 64), pa.int32()))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique().tolist())
-        trunc = len(ids) > max_group
-        ids = ids[:max_group]
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"a": out_a, "b": out_b, "truncated": [trunc] * len(out_a)})
+        d = g[["__k", id_col]].drop_duplicates().sort_values(
+            ["__k", id_col], kind="mergesort")
+        rn = d.groupby("__k").cumcount()
+        over = set(d[rn >= max_group]["__k"])
+        d = d[rn < max_group]
+        m = d.merge(d, on="__k")
+        m = m[m[id_col + "_x"] < m[id_col + "_y"]]
+        return pd.DataFrame({"a": m[id_col + "_x"], "b": m[id_col + "_y"],
+                             "truncated": m["__k"].isin(over).to_numpy()})
 
-    return bucket_rows.groupby(bucket_cols).map_groups(pairs, batch_format="pandas")
+    return (
+        bucket_rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
 
 
 def minhash_near_dup_pairs(
@@ -341,10 +391,7 @@ def minhash_near_dup_pairs(
     cand = _pairs_from_buckets(bucket_rows, ["band", "band_hash"], id_col, max_group=max_group)
     # dedup candidate pairs surfaced by multiple bands; pin the (small)
     # pair set so the emptiness probe below doesn't re-run the LSH pipeline
-    cand = exact_dedup(
-        cand, keys=["a", "b"], sort_cols=["a", "b"],
-        columns=["a", "b", "truncated"],
-    ).materialize()
+    cand = _dedup_pairs_bucketed(cand).materialize()
     if cand.count() == 0:
         import ray.data as rd
 
@@ -660,28 +707,9 @@ def editdist1_pairs(
                              "truncated": trunc.to_numpy()})
 
     cand = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
-    # cross-key duplicate pairs (a pair can share several deletion keys)
-    # dedupe through a 64-bucket hash cogroup with a vectorized
-    # drop_duplicates inside — an exact_dedup here would hand Ray's
-    # sort-aggregate ~1M distinct string-pair GROUPS and its per-group
-    # reduce dominated the pipeline (measured 101 s of remote wall at
-    # sf0.1; this shape is ~2 s)
-    def pair_bucket(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b.append_column("pbucket", pa.array([], pa.int32()))
-        key = pc.binary_join_element_wise(b["a"], b["b"], "\x1f")
-        return b.append_column(
-            "pbucket", pa.array(partition_ids(key, 64), pa.int32()))
-
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["a", "b", "truncated"], kind="mergesort")
-        return g.drop_duplicates(["a", "b"])[["a", "b", "truncated"]]
-
-    cand = (
-        cand.map_batches(pair_bucket, batch_format="pyarrow")
-        .groupby("pbucket")
-        .map_groups(dedup_pairs, batch_format="pandas")
-    )
+    # cross-key duplicate pairs (a pair can share several deletion keys):
+    # bucketized dedup, not a high-cardinality exact_dedup (NOTES fact 25)
+    cand = _dedup_pairs_bucketed(cand)
 
     def verify(b: pa.Table) -> pa.Table:
         ok = pa.array([_ed_le1(x, y) for x, y in
