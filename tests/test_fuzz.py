@@ -95,3 +95,70 @@ def test_manifest_extraction_never_raises_and_is_row_isolated(htmls):
         per_row.extend((i, k, v) for k, v in zip(k1.to_pylist(), v1.to_pylist()))
     got = list(zip(rows.tolist(), keys.to_pylist(), vals.to_pylist()))
     assert got == per_row
+
+
+# --- grouped-operator properties (few examples: each one is a Ray run) ---
+
+grouped_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.integers(min_value=-50, max_value=50)),
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(grouped_rows, st.integers(min_value=1, max_value=3),
+       st.integers(min_value=1, max_value=5))
+def test_grouped_trimmed_sum_matches_reference(rows, k, blocks):
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.relational import grouped_trimmed_sum
+
+    t = pa.table({
+        "g": pa.array([r[0] for r in rows]),
+        "v": pa.array([r[1] for r in rows], pa.int64()),
+        "id": pa.array(list(range(len(rows))), pa.int64()),
+    })
+    got = {r["g"]: (r["trimmed_sum"], r["n_kept"])
+           for r in grouped_trimmed_sum(
+               rd.from_arrow(t).repartition(blocks), "g", "v", k,
+               tiebreak="id").take_all()}
+    want = {}
+    by = {}
+    for i, (g, v) in enumerate(rows):
+        by.setdefault(g, []).append((v, i))
+    for g, vs in by.items():
+        vs.sort()
+        if len(vs) > 2 * k:
+            kept = vs[k:-k]
+            want[g] = (sum(v for v, _ in kept), len(kept))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(grouped_rows, st.integers(min_value=1, max_value=4),
+       st.integers(min_value=1, max_value=5))
+def test_grouped_collect_matches_reference(rows, k, blocks):
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.relational import grouped_collect
+
+    t = pa.table({
+        "g": pa.array([r[0] for r in rows]),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "id": pa.array(list(range(len(rows))), pa.int64()),
+        "val": pa.array([f"x{r[1]}" for r in rows]),
+    })
+    got = {r["g"]: (r["collected"], r["n_collected"])
+           for r in grouped_collect(
+               rd.from_arrow(t).repartition(blocks), "g", "ts", "val", k,
+               tiebreak="id").take_all()}
+    want = {}
+    by = {}
+    for i, (g, v) in enumerate(rows):
+        by.setdefault(g, []).append((v, i))
+    for g, vs in by.items():
+        vs.sort()
+        head = vs[:k]
+        want[g] = (",".join(f"x{v}" for v, _ in head), len(head))
+    assert got == want
