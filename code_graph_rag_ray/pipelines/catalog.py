@@ -4048,6 +4048,84 @@ FROM d GROUP BY dep_name
 """
 
 
+def events_transitions(sf_dir: str):
+    """Per-user event-type transition matrix (Markov bigram counts):
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) →
+    two-phase (prev, next) count. The type vocabulary is broadcast-encoded
+    into the int codes the chunked LAG machinery carries
+    (stages/windows.transition_counts); the exchange is O(blocks × T²)."""
+    from code_graph_rag_ray.stages.windows import transition_counts
+
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return transition_counts(ds)
+
+
+EVENTS_TRANSITIONS_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM lagged WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+def doc_split_by_source(sf_dir: str):
+    """Group-holdout train/val/test split: the md5 bucket is taken on the
+    SOURCE key, so every document of a source lands in the same split —
+    the leak-proof variant of doc_split for grouped corpora (all pages of
+    a host must not straddle train/test). Same auditable md5-low32 policy
+    hash (functions/hashing.md5_low32_array)."""
+    from code_graph_rag_ray.stages.sampling import hash_split
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "source"])
+    return hash_split(ds, id_col="source")
+
+
+DOC_SPLIT_BY_SOURCE_SQL = """
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(source), 1, 8))::UBIGINT % 10000 AS bk
+  FROM documents)
+SELECT doc_id, source,
+       CASE WHEN bk < 9000 THEN 'train'
+            WHEN bk < 9500 THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+
+def doc_mad_outliers(sf_dir: str):
+    """Robust length-outlier documents per language: |n_chars − median| >
+    2 × MAD (median absolute deviation), computed with two rounds of the
+    exact two-phase grouped-quantile histogram
+    (stages/quantiles.grouped_mad_outliers). Integer arithmetic end to
+    end → bit-exact vs the quantile_disc oracle."""
+    from code_graph_rag_ray.stages.quantiles import grouped_mad_outliers
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return grouped_mad_outliers(ds, key="lang", value_col="n_chars",
+                                id_col="doc_id", k=2)
+
+
+DOC_MAD_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT lang, quantile_disc(n_chars, 0.5) AS med
+  FROM documents GROUP BY lang),
+dev AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         CAST(abs(d.n_chars - m.med) AS BIGINT) AS adev
+  FROM documents d JOIN med m USING (lang)),
+mad AS (
+  SELECT lang, quantile_disc(adev, 0.5) AS mad FROM dev GROUP BY lang)
+SELECT v.doc_id, v.lang, v.n_chars, v.adev, CAST(m.mad AS BIGINT) AS mad
+FROM dev v JOIN mad m USING (lang)
+WHERE v.adev > 2 * m.mad
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4171,9 +4249,15 @@ QUERIES = {
     "kg_dead_nodes": kg_dead_nodes,
     "events_cohort_retention": events_cohort_retention,
     "orders_trimmed_mean": orders_trimmed_mean,
+    "events_transitions": events_transitions,
+    "doc_split_by_source": doc_split_by_source,
+    "doc_mad_outliers": doc_mad_outliers,
 }
 
 ORACLES = {
+    "events_transitions": EVENTS_TRANSITIONS_SQL,
+    "doc_split_by_source": DOC_SPLIT_BY_SOURCE_SQL,
+    "doc_mad_outliers": DOC_MAD_OUTLIERS_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_revenue_orders": Q3_SQL,
     "q4_status_revenue": Q4_SQL,

@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 
@@ -113,3 +114,59 @@ def grouped_quantiles_cont(
         return pd.DataFrame(out)
 
     return hist.groupby(key).map_groups(pick, batch_format="pandas")
+
+
+def grouped_mad_outliers(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+) -> Dataset:
+    """Robust per-group outlier rows: ``|x − median| > k × MAD`` (median
+    absolute deviation), the standard heavy-tail-safe alternative to
+    z-scores for corpus curation cutoffs (doc lengths are power-law-ish;
+    mean/stddev are dragged by the tail, median/MAD are not).
+
+    Two rounds of :func:`grouped_quantiles` (each a two-phase value-count
+    histogram — scale-safe for integer-ish columns), the per-group
+    median/MAD tables are group-cardinality-sized and broadcast via the
+    object store (never the driver); everything else is a vectorized
+    Arrow filter. Integer in → integer comparisons → bit-exact vs a SQL
+    ``quantile_disc`` oracle.
+
+    cgr analog: the findings analyzers' per-module statistical cutoffs
+    (M12, ``analyzers/``) — re-targeted as distribution-based document
+    filtering.
+    """
+    from code_graph_rag_ray.stages.relational import broadcast_join
+
+    base = ds.select_columns([id_col, key, value_col])
+    med = grouped_quantiles(base, key=key, value_col=value_col,
+                            qs={"med": 0.5}).select_columns([key, "med"])
+
+    def adev(b: pa.Table) -> pa.Table:
+        d = pc.abs(pc.subtract(b[value_col], b["med"]))
+        return pa.table(
+            {id_col: b[id_col], key: b[key], value_col: b[value_col],
+             "adev": pc.cast(d, pa.int64())}
+        )
+
+    dev = broadcast_join(base, med, on=key).map_batches(
+        adev, batch_format="pyarrow"
+    )
+    mad = grouped_quantiles(dev, key=key, value_col="adev",
+                            qs={"mad": 0.5}).select_columns([key, "mad"])
+
+    def flag(b: pa.Table) -> pa.Table:
+        m = pc.greater(b["adev"], pc.multiply(pa.scalar(k, pa.int64()), b["mad"]))
+        f = b.filter(m)
+        return pa.table(
+            {id_col: f[id_col], key: f[key], value_col: f[value_col],
+             "adev": f["adev"], "mad": pc.cast(f["mad"], pa.int64())}
+        )
+
+    return broadcast_join(dev, mad, on=key).map_batches(
+        flag, batch_format="pyarrow"
+    )

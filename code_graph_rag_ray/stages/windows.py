@@ -779,3 +779,66 @@ def cohort_retention(
         joined.select_columns(["cohort_win", "win"]),
         ["cohort_win", "win"], {}, count_alias="n_active",
     )
+
+
+def transition_counts(
+    events: Dataset,
+    *,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    count_alias: str = "n_transitions",
+) -> Dataset:
+    """Per-key Markov transition matrix: counts of (previous type → type)
+    over each key's event sequence under ``ORDER BY ts, id`` (SQL
+    ``lag(type) OVER (PARTITION BY key ORDER BY ts, id)`` → group count).
+
+    Composition, not new machinery: the type vocabulary is collected with
+    a two-phase distinct (dictionary-scale by construction — event/page
+    types, not ids), broadcast once, and Arrow ``index_in``-encoded into
+    the int codes :func:`lag_per_key` carries; the decoded (prev, next)
+    pairs then fold through the two-phase grouped count, so the exchange
+    is O(blocks × T²) partial rows for T types, never O(events).
+
+    cgr analog: call-sequence edges — the reference links each call site
+    to its predecessor in the function body (``call_processor``'s ordered
+    call list); re-targeted as the event-stream bigram/transition counts a
+    session-modeling pipeline needs.
+    """
+    import ray
+
+    from code_graph_rag_ray.functions.broadcast import get_broadcast
+
+    vocab = partial_groupby_sum(
+        events.select_columns([type_col]), [type_col], {}, count_alias="c"
+    )
+    types = sorted(r[type_col] for r in vocab.take_all())
+    tref = ray.put(pa.array(types, pa.string()))
+
+    def enc(b: pa.Table) -> pa.Table:
+        code = pc.cast(
+            pc.index_in(b[type_col], value_set=get_broadcast(tref)), pa.int64()
+        )
+        return pa.table(
+            {id_col: b[id_col], ts_col: b[ts_col], key_col: b[key_col],
+             "type_c": code}
+        )
+
+    lagged = lag_per_key(
+        events.map_batches(enc, batch_format="pyarrow"),
+        id_col=id_col, ts_col=ts_col, key_col=key_col, value_col="type_c",
+    )
+
+    def decode(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.greater_equal(b["prev"], 0))
+        tv = get_broadcast(tref)
+        return pa.table(
+            {"prev_type": pc.take(tv, f["prev"]),
+             "next_type": pc.take(tv, f["type_c"])}
+        )
+
+    pairs = lagged.map_batches(decode, batch_format="pyarrow", batch_size=None)
+    return partial_groupby_sum(
+        pairs, ["prev_type", "next_type"], {}, count_alias=count_alias
+    )

@@ -84,3 +84,41 @@ def test_grouped_quantiles_cont_matches_numpy_linear():
         assert out[g]["p50"] == np.percentile(vals, 50, method="linear")
         assert out[g]["p90"] == np.percentile(vals, 90, method="linear")
         assert out[g]["n"] == len(vals)
+
+
+def test_mad_outliers_planted():
+    from code_graph_rag_ray.stages.quantiles import grouped_mad_outliers
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "g": np.where(np.arange(n) % 2 == 0, "a", "b"),
+            # tight cluster around 100 plus planted extremes
+            "v": rng.integers(95, 106, n).astype(np.int64),
+        }
+    )
+    df.loc[0, "v"] = 10_000   # group a whale
+    df.loc[1, "v"] = 0        # group b low outlier
+    ds = rd.from_pandas(df).repartition(9)
+    got = (
+        grouped_mad_outliers(ds, key="g", value_col="v", id_col="id", k=3)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        """WITH med AS (SELECT g, quantile_disc(v, 0.5) AS med FROM t GROUP BY g),
+             dev AS (SELECT t.id, t.g, t.v, CAST(abs(t.v - m.med) AS BIGINT) AS adev
+                     FROM t JOIN med m USING (g)),
+             mad AS (SELECT g, quantile_disc(adev, 0.5) AS mad FROM dev GROUP BY g)
+           SELECT v.id, v.g, v.v, v.adev, CAST(m.mad AS BIGINT) AS mad
+           FROM dev v JOIN mad m USING (g) WHERE v.adev > 3 * m.mad
+           ORDER BY v.id"""
+    ).df()
+    assert {0, 1} <= set(got["id"])  # planted extremes flagged
+    exp = exp.astype(got.dtypes.to_dict())
+    assert got.equals(exp), f"\n{got}\n{exp}"

@@ -484,3 +484,66 @@ def test_cohort_retention_matrix():
                                          window_s=86_400).take_all()}
         assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1,
                        (1, 1): 1, (1, 3): 1, (3, 3): 1}
+
+
+def test_transition_counts_vs_pandas():
+    """Markov bigram counts under ORDER BY (ts, id) per key — cross-chunk
+    boundaries exercised (events straddle the 86400s lag chunk)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.windows import transition_counts
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 40, n),
+            "ts": pd.to_datetime(
+                rng.integers(0, 5 * 86400, n) * 1_000_000, unit="us"
+            ),
+            "event_type": rng.choice(["a", "b", "c", "d"], n),
+        }
+    )
+    got = (
+        transition_counts(rd.from_pandas(df).repartition(11))
+        .to_pandas()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    s = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    prev = s.groupby("user_id")["event_type"].shift(1)
+    exp = (
+        pd.DataFrame({"prev_type": prev, "next_type": s["event_type"]})
+        .dropna()
+        .value_counts()
+        .rename("n_transitions")
+        .reset_index()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    exp["n_transitions"] = exp["n_transitions"].astype("int64")
+    assert got.equals(exp), f"\n{got}\n{exp}"
+
+
+def test_group_holdout_split_leakfree():
+    """hash_split keyed on a GROUP column: every row of a group lands in
+    one split (the group-holdout guarantee doc_split_by_source relies on)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.sampling import hash_split
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(2000, dtype=np.int64),
+            "source": [f"host-{i % 37}" for i in range(2000)],
+        }
+    )
+    out = hash_split(rd.from_pandas(df).repartition(8), id_col="source").to_pandas()
+    per_group = out.groupby("source")["split"].nunique()
+    assert (per_group == 1).all()
+    assert set(out["split"]) == {"train", "val", "test"}  # 37 groups hit all
