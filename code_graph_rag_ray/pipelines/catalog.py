@@ -4126,6 +4126,60 @@ WHERE v.adev > 2 * m.mad
 """
 
 
+_PARA_WINDOW_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), s -> s <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 16)) AS st
+  FROM t WHERE len(toks) > 0),
+w AS (
+  SELECT doc_id, (st // 16)::BIGINT AS para_idx,
+         array_to_string(list_slice(toks, st + 1, st + 16), ' ') AS para
+  FROM s)
+"""
+
+
+def doc_para_dedup(sf_dir: str):
+    """CCNet-style paragraph (16-token window) dedup: keep=1 iff the
+    window is the globally first occurrence of its content under
+    (doc_id, para_idx) order — one content-hash-bucketed shuffle,
+    vectorized winner pick per bucket (stages/paragraphs.paragraph_dedup)."""
+    from code_graph_rag_ray.stages.paragraphs import paragraph_dedup
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return paragraph_dedup(ds, window=16)
+
+
+DOC_PARA_DEDUP_SQL = _PARA_WINDOW_SQL + """
+SELECT doc_id, para_idx,
+       CAST(CASE WHEN row_number()
+                        OVER (PARTITION BY para ORDER BY doc_id, para_idx) = 1
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM w
+"""
+
+
+def doc_boilerplate(sf_dir: str):
+    """Per-document boilerplate counts: windows whose content is shared
+    by ≥2 distinct documents corpus-wide (navigation/footer analog).
+    Same single bucketed shuffle; per-bucket partial counts sum exactly
+    (stages/paragraphs.boilerplate_stats)."""
+    from code_graph_rag_ray.stages.paragraphs import boilerplate_stats
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return boilerplate_stats(ds, window=16, min_docs=2)
+
+
+DOC_BOILERPLATE_SQL = _PARA_WINDOW_SQL + """
+, c AS (SELECT para, count(DISTINCT doc_id) AS nd FROM w GROUP BY para)
+SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+FROM w JOIN c USING (para) GROUP BY w.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4252,9 +4306,13 @@ QUERIES = {
     "events_transitions": events_transitions,
     "doc_split_by_source": doc_split_by_source,
     "doc_mad_outliers": doc_mad_outliers,
+    "doc_para_dedup": doc_para_dedup,
+    "doc_boilerplate": doc_boilerplate,
 }
 
 ORACLES = {
+    "doc_para_dedup": DOC_PARA_DEDUP_SQL,
+    "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,
     "doc_split_by_source": DOC_SPLIT_BY_SOURCE_SQL,
     "doc_mad_outliers": DOC_MAD_OUTLIERS_SQL,

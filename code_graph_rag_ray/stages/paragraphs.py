@@ -1,0 +1,132 @@
+"""Paragraph-granularity curation: cross-corpus window dedup + boilerplate.
+
+The web-curation classics (CCNet-style paragraph dedup, boilerplate
+detection) operate BELOW document granularity: the unit is a fixed-token
+window of the corpus tokenizer (the fixture text has no paragraph breaks,
+so "paragraph" = non-overlapping ``window``-token chunk — the same
+:func:`~code_graph_rag_ray.stages.packing.chunk_documents` builder the RAG
+chunker uses, at ``stride == window``).
+
+Shape: one row-expanding ``map_batches`` (no state) → ONE shuffle of the
+window rows keyed by a content-hash bucket (64-ish groups, never a
+per-window group — NOTES fact 25) → vectorized pandas inside each bucket.
+The window TEXT rides the shuffle so equality decisions are exact and the
+DuckDB oracle replays them bit-for-bit; at 10^12-window scale swap the
+payload for the 128-bit md5 of the window (hash-only shuffle, text stays
+in place) and accept the 2^-64-ish collision odds.
+
+cgr analog: the reference dedups repeated code snippets per module before
+embedding (``graph_updater.py:2051-2181`` skip-if-seen); re-targeted as
+corpus-wide repeated-window removal / boilerplate scoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from code_graph_rag_ray.functions.hashing import stable_hash_array
+from code_graph_rag_ray.stages.packing import chunk_documents
+
+
+def _windows_bucketed(
+    ds: Dataset, *, window: int, id_col: str, text_col: str, num_buckets: int
+) -> Dataset:
+    w = chunk_documents(
+        ds, window=window, stride=window, id_col=id_col, text_col=text_col
+    ).select_columns([id_col, "chunk_idx", "chunk_text"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        bk = (stable_hash_array(b["chunk_text"]) % np.uint64(num_buckets)).astype(
+            np.int64
+        )
+        return b.append_column("__bk", pa.array(bk, pa.int64()))
+
+    return w.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+
+
+def paragraph_dedup(
+    ds: Dataset,
+    *,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Corpus-wide exact window dedup: every ``window``-token chunk keeps
+    ``keep=1`` iff it is the globally FIRST occurrence of its content
+    under ``ORDER BY (doc_id, para_idx)`` — the content-determined winner
+    rule shared with ``exact_dedup`` (arrival order never decides).
+
+    Returns (id_col, para_idx, keep∈{0,1}); a consumer rebuilds the
+    deduplicated corpus by dropping keep=0 windows.
+    """
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["chunk_text", id_col, "chunk_idx"], kind="mergesort"
+        )
+        first = ~g["chunk_text"].duplicated()
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(np.int64),
+                "para_idx": g["chunk_idx"].to_numpy(np.int64),
+                "keep": first.to_numpy().astype(np.int64),
+            }
+        )
+
+    wb = _windows_bucketed(
+        ds, window=window, id_col=id_col, text_col=text_col,
+        num_buckets=num_buckets,
+    )
+    return wb.groupby("__bk").map_groups(flag, batch_format="pandas")
+
+
+def boilerplate_stats(
+    ds: Dataset,
+    *,
+    window: int = 16,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Per-document boilerplate counts: of a doc's ``window``-token
+    chunks, how many have content shared by ≥ ``min_docs`` DISTINCT
+    documents corpus-wide (navigation/footer-style repetition).
+
+    Returns (id_col, n_paras, n_boiler) — integer counts so the consumer
+    picks its own fraction cutoff and the oracle stays bit-exact. Each
+    window row lands in exactly one content bucket, so per-bucket partial
+    counts sum to the global answer (two-phase; the final groupby sees
+    O(docs × buckets-touched) rows).
+    """
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("chunk_text")[id_col].transform("nunique")
+        boiler = (nd.to_numpy() >= min_docs).astype(np.int64)
+        out = (
+            g.assign(__b=boiler)
+            .groupby(id_col, as_index=False)
+            .agg(np_p=("chunk_text", "size"), nb_p=("__b", "sum"))
+        )
+        return pd.DataFrame(
+            {
+                id_col: out[id_col].to_numpy(np.int64),
+                "np_p": out["np_p"].to_numpy(np.int64),
+                "nb_p": out["nb_p"].to_numpy(np.int64),
+            }
+        )
+
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+
+    wb = _windows_bucketed(
+        ds, window=window, id_col=id_col, text_col=text_col,
+        num_buckets=num_buckets,
+    )
+    parts = wb.groupby("__bk").map_groups(partial, batch_format="pandas")
+    return partial_groupby_sum(
+        parts, [id_col], {"np_p": "n_paras", "nb_p": "n_boiler"}
+    )

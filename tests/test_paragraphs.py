@@ -1,0 +1,53 @@
+"""Paragraph-window dedup + boilerplate (stages/paragraphs.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from code_graph_rag_ray.stages.paragraphs import boilerplate_stats, paragraph_dedup
+
+# 4-token windows over tiny docs; doc 0/1 share a window, doc 2 repeats
+# its own window (intra-doc dup: dedup drops it, boilerplate does NOT
+# count it — distinct-doc threshold).
+DOCS = pd.DataFrame(
+    {
+        "doc_id": np.array([0, 1, 2, 3], np.int64),
+        "text": [
+            "a b c d e f g h",          # w0: "a b c d", w1: "e f g h"
+            "x y z w a b c d",          # w1 == doc0's w0 (later → dropped)
+            "p q r s p q r s",          # intra-doc repeat
+            "",                          # zero tokens → no windows
+        ],
+    }
+)
+
+
+def test_paragraph_dedup_first_occurrence_wins():
+    out = (
+        paragraph_dedup(rd.from_pandas(DOCS).repartition(3), window=4)
+        .to_pandas()
+        .set_index(["doc_id", "para_idx"])["keep"]
+        .to_dict()
+    )
+    assert out == {
+        (0, 0): 1, (0, 1): 1,
+        (1, 0): 1, (1, 1): 0,   # "a b c d" seen first at (0, 0)
+        (2, 0): 1, (2, 1): 0,   # intra-doc second copy dropped
+    }
+
+
+def test_boilerplate_counts_distinct_docs_only():
+    out = (
+        boilerplate_stats(rd.from_pandas(DOCS).repartition(3),
+                          window=4, min_docs=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .to_dict("index")
+    )
+    assert out == {
+        0: {"n_paras": 2, "n_boiler": 1},  # "a b c d" shared with doc 1
+        1: {"n_paras": 2, "n_boiler": 1},
+        2: {"n_paras": 2, "n_boiler": 0},  # repeat is within ONE doc
+    }
