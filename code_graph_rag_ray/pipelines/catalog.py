@@ -4180,6 +4180,32 @@ FROM w JOIN c USING (para) GROUP BY w.doc_id
 """
 
 
+def events_value_quantiles(sf_dir: str):
+    """EXACT quantiles of the continuous (double) value column — the
+    iterative histogram-refinement selection (stages/selection.py): no
+    shuffle, O(quantiles × bins) driver state, one streaming pass per
+    refinement round. pull_threshold forces the refinement path even at
+    test scale."""
+    from code_graph_rag_ray.stages.selection import quantile_select_table
+
+    ds = _pq(sf_dir, "events", ["value"])
+    return quantile_select_table(
+        ds, value_col="value",
+        qs={"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99},
+        pull_threshold=1000,
+    )
+
+
+EVENTS_VALUE_QUANTILES_SQL = """
+SELECT CAST(count(value) AS BIGINT) AS n,
+       quantile_disc(value, 0.25) AS p25,
+       quantile_disc(value, 0.50) AS p50,
+       quantile_disc(value, 0.90) AS p90,
+       quantile_disc(value, 0.99) AS p99
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4308,9 +4334,11 @@ QUERIES = {
     "doc_mad_outliers": doc_mad_outliers,
     "doc_para_dedup": doc_para_dedup,
     "doc_boilerplate": doc_boilerplate,
+    "events_value_quantiles": events_value_quantiles,
 }
 
 ORACLES = {
+    "events_value_quantiles": EVENTS_VALUE_QUANTILES_SQL,
     "doc_para_dedup": DOC_PARA_DEDUP_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,

@@ -1,0 +1,68 @@
+"""Exact continuous-quantile selection (stages/selection.py) vs DuckDB."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from code_graph_rag_ray.stages.selection import quantile_select
+
+QS = {"p01": 0.01, "p25": 0.25, "p50": 0.5, "p90": 0.9, "p999": 0.999}
+
+
+def _check(vals: np.ndarray, **kw):
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(13)
+    got = quantile_select(ds, value_col="v", qs=QS, **kw)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    exp = con.execute(
+        """SELECT count(v)::BIGINT AS n,
+                  quantile_disc(v, 0.01) AS p01, quantile_disc(v, 0.25) AS p25,
+                  quantile_disc(v, 0.50) AS p50, quantile_disc(v, 0.90) AS p90,
+                  quantile_disc(v, 0.999) AS p999
+           FROM t"""
+    ).fetchone()
+    assert got["n"] == exp[0]
+    for i, a in enumerate(["p01", "p25", "p50", "p90", "p999"]):
+        assert got[a] == exp[i + 1], (a, got[a], exp[i + 1])
+
+
+def test_uniform_forced_refinement():
+    rng = np.random.default_rng(5)
+    _check(rng.uniform(-1000, 1000, 20_000), pull_threshold=200, bins=64)
+
+
+def test_lognormal_heavy_tail():
+    rng = np.random.default_rng(6)
+    _check(rng.lognormal(0, 4, 20_000), pull_threshold=200, bins=64)
+
+
+def test_heavy_duplicates_and_spike():
+    rng = np.random.default_rng(8)
+    v = np.concatenate([
+        np.full(5000, 42.5),                       # one value holds the median
+        rng.normal(0, 1, 3000),
+        np.full(2000, 42.5 + 1e-12),               # 1-ulp-ish neighbor
+    ])
+    _check(v, pull_threshold=100, bins=32)
+
+
+def test_all_equal():
+    _check(np.full(5000, 7.25), pull_threshold=100)
+
+
+def test_with_nulls_and_nan():
+    rng = np.random.default_rng(9)
+    v = rng.uniform(0, 10, 5000)
+    df = pd.DataFrame({"v": v})
+    df.loc[::7, "v"] = np.nan  # pandas NaN → excluded on both sides
+    ds = rd.from_pandas(df).repartition(7)
+    got = quantile_select(ds, value_col="v", qs={"p50": 0.5},
+                          pull_threshold=100, bins=32)
+    con = duckdb.connect(); con.register("t", df)
+    n, p50 = con.execute(
+        "SELECT count(v)::BIGINT, quantile_disc(v, 0.5) FROM t WHERE NOT isnan(v)"
+    ).fetchone()
+    assert got["n"] == n and got["p50"] == p50
