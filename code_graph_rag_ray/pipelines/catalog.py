@@ -3604,21 +3604,24 @@ DOC_LANG_PRED_SQL = _lang_pred_sql()
 
 def media_frames(sf_dir: str):
     """Video frame sampling (stages/multimodal.sample_frames): actor-pool
-    stage, one row per sampled frame at a fixed stride capped at 16
-    evenly-spaced picks per video — the sampling POLICY is real and
-    deterministic; the frame decode kernel is the stubbed fake (rows-only
-    query; the policy is pinned by pytest)."""
-    import ray.data as rd
+    stage, one row per sampled frame at a fixed 1000 ms stride capped at
+    16 evenly-spaced integer-arithmetic picks per video. The corpus is
+    derived CLOSED-FORM from the documents table
+    (stages/multimodal.media_from_documents), so the sampling policy is
+    replayed bit-exactly by the SQL oracle; only the frame-decode kernel
+    stays stubbed."""
+    from code_graph_rag_ray.stages.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
 
-    from code_graph_rag_ray.stages.multimodal import make_fake_media_table, sample_frames
-
-    del sf_dir  # media corpus is generated deterministically (seeded)
-    ds = rd.from_arrow(make_fake_media_table(256))
+    ds = media_from_documents(_pq(sf_dir, "documents", ["doc_id", "text"]))
     out = sample_frames(ds, every_ms=1000, max_frames=16)
     return out.map_batches(
         lambda b: pa.table(
-            {"media_id": b["media_id"], "frame_idx": b["frame_idx"],
-             "ts_ms": b["ts_ms"]}
+            {"media_id": b["media_id"],
+             "frame_idx": pc.cast(b["frame_idx"], pa.int64()),
+             "ts_ms": pc.cast(b["ts_ms"], pa.int64())}
         ),
         batch_format="pyarrow",
     )
@@ -3626,19 +3629,24 @@ def media_frames(sf_dir: str):
 
 def media_thumbs(sf_dir: str):
     """Image resize (stages/multimodal.resize_images): aspect-preserving
-    fit inside 64×64, never upscaled — the dimension policy is real and
-    pinned by pytest; the pixel kernel is the stubbed fake (rows-only)."""
-    import ray.data as rd
+    fit inside 64×64, never upscaled, integer floor division — corpus
+    derived closed-form from documents (media_from_documents), so the
+    dimension policy is oracle-replayed bit-exactly; the pixel kernel is
+    the stubbed fake (its output LENGTH out_w×out_h is policy, checked)."""
+    from code_graph_rag_ray.stages.multimodal import (
+        media_from_documents,
+        resize_images,
+    )
 
-    from code_graph_rag_ray.stages.multimodal import make_fake_media_table, resize_images
-
-    del sf_dir
-    ds = rd.from_arrow(make_fake_media_table(256))
+    ds = media_from_documents(_pq(sf_dir, "documents", ["doc_id", "text"]))
     out = resize_images(ds, max_side=64)
     return out.map_batches(
         lambda b: pa.table(
-            {"media_id": b["media_id"], "in_w": b["in_w"], "in_h": b["in_h"],
-             "out_w": b["out_w"], "out_h": b["out_h"],
+            {"media_id": b["media_id"],
+             "in_w": pc.cast(b["in_w"], pa.int64()),
+             "in_h": pc.cast(b["in_h"], pa.int64()),
+             "out_w": pc.cast(b["out_w"], pa.int64()),
+             "out_h": pc.cast(b["out_h"], pa.int64()),
              "thumb_bytes": pa.array(
                  [len(t or b"") for t in b["thumb"].to_pylist()], pa.int64())}
         ),
@@ -4337,8 +4345,48 @@ QUERIES = {
     "events_value_quantiles": events_value_quantiles,
 }
 
+MEDIA_FRAMES_SQL = """
+WITH v AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         100 + (doc_id * 997) % 59900 AS dur
+  FROM documents WHERE doc_id % 3 = 2),
+c AS (
+  SELECT media_id, dur, (dur + 999) // 1000 AS ncand FROM v),
+f AS (
+  SELECT media_id, dur, ncand,
+         unnest(generate_series(0, least(ncand, 16) - 1)) AS j
+  FROM c)
+SELECT media_id, CAST(j AS BIGINT) AS frame_idx,
+       CAST(CASE WHEN ncand <= 16 THEN j * 1000
+                 ELSE ((j * (ncand - 1)) // 15) * 1000 END AS BIGINT) AS ts_ms
+FROM f
+"""
+
+MEDIA_THUMBS_SQL = """
+WITH i AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         16 + (doc_id * 37) % 1904 AS w,
+         16 + (doc_id * 53) % 1064 AS h
+  FROM documents WHERE doc_id % 3 = 0),
+o AS (
+  SELECT media_id, w, h,
+         CASE WHEN greatest(w, h) <= 64 THEN w
+              WHEN w >= h THEN 64
+              ELSE greatest(1, (w * 64) // h) END AS ow,
+         CASE WHEN greatest(w, h) <= 64 THEN h
+              WHEN w >= h THEN greatest(1, (h * 64) // w)
+              ELSE 64 END AS oh
+  FROM i)
+SELECT media_id, CAST(w AS BIGINT) AS in_w, CAST(h AS BIGINT) AS in_h,
+       CAST(ow AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h,
+       CAST(ow * oh AS BIGINT) AS thumb_bytes
+FROM o
+"""
+
 ORACLES = {
     "events_value_quantiles": EVENTS_VALUE_QUANTILES_SQL,
+    "media_frames": MEDIA_FRAMES_SQL,
+    "media_thumbs": MEDIA_THUMBS_SQL,
     "doc_para_dedup": DOC_PARA_DEDUP_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,

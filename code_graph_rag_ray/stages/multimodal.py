@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 MEDIA_SCHEMA = pa.schema(
@@ -153,9 +154,14 @@ class FrameSampler:
         ts = list(range(0, duration_ms, self.every_ms))
         if len(ts) <= self.max_frames:
             return ts
-        # evenly-spaced subset, endpoints kept — deterministic
-        idx = np.linspace(0, len(ts) - 1, self.max_frames).round().astype(int)
-        return [ts[i] for i in dict.fromkeys(idx)]
+        if self.max_frames == 1:
+            return [ts[0]]
+        # evenly-spaced subset, endpoints kept — INTEGER arithmetic
+        # (i·(L−1)//(m−1)), strictly increasing whenever L > m, so the
+        # pick list is duplicate-free and SQL-replayable bit-for-bit
+        L = len(ts)
+        m = self.max_frames
+        return [ts[(i * (L - 1)) // (m - 1)] for i in range(m)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, f_idx, f_ts, feats = [], [], [], []
@@ -273,3 +279,37 @@ def resize_images(ds: Dataset, *, decoder: str = "fake", max_side: int = 64,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def media_from_documents(ds: Dataset) -> Dataset:
+    """Closed-form media corpus derived from the documents table:
+    ``media_id = 'm' || doc_id``, kind/dims/duration are pure integer
+    functions of doc_id, payload = the utf-8 text bytes. Every derivation
+    is replayable in SQL, which is what upgrades the media POLICY queries
+    (frame sampling, thumbnail dims) from rows-only to bit-exact oracle
+    checks — the decode KERNELS stay stubbed regardless.
+    """
+
+    def derive(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kinds = np.array(["image", "audio", "video"], dtype=object)[did % 3]
+        is_img = did % 3 == 0
+        width = np.where(is_img, 16 + (did * 37) % 1904, 0).astype(np.int64)
+        height = np.where(is_img, 16 + (did * 53) % 1064, 0).astype(np.int64)
+        dur = np.where(~is_img, 100 + (did * 997) % 59900, 0).astype(np.int64)
+        mid = pc.binary_join_element_wise(
+            pa.array(["m"] * len(did), pa.string()),
+            pc.cast(b["doc_id"], pa.string()), "",
+        )
+        return pa.table(
+            {
+                "media_id": mid,
+                "kind": pa.array(kinds, pa.string()),
+                "payload": pc.cast(b["text"], pa.binary()),
+                "width": pa.array(width, pa.int64()),
+                "height": pa.array(height, pa.int64()),
+                "duration_ms": pa.array(dur, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
