@@ -4214,6 +4214,185 @@ FROM events
 """
 
 
+def q10_returned_items(sf_dir: str):
+    """TPC-H q10 shape: top-20 customers by revenue lost to returned
+    items in one quarter. Fully distributed — lineitem('R') ⋈
+    window-filtered orders and per-customer sums ⋈ customer both go
+    through the bucketed cogroup join; only nation (25 rows) is a
+    broadcast lookup; 20 rows reach the driver."""
+    import ray
+
+    from code_graph_rag_ray.functions.broadcast import get_broadcast
+    from code_graph_rag_ray.stages.relational import bucketed_join, top_k
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def date_win(b: pa.Table) -> pa.Table:
+        lo = pa.scalar(pd.Timestamp("1996-01-01").to_pydatetime()).cast(
+            b["o_orderdate"].type
+        )
+        hi = pa.scalar(pd.Timestamp("1996-07-01").to_pydatetime()).cast(
+            b["o_orderdate"].type
+        )
+        f = b.filter(
+            pc.and_(pc.greater_equal(b["o_orderdate"], lo),
+                    pc.less(b["o_orderdate"], hi))
+        )
+        return pa.table({"o_orderkey": f["o_orderkey"], "o_custkey": f["o_custkey"]})
+
+    ow = orders.map_batches(date_win, batch_format="pyarrow")
+
+    li = _pq(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).filter(expr="l_returnflag == 'R'")
+
+    def add_rev(b: pa.Table) -> pa.Table:
+        rev_cc = pc.multiply(
+            _cents(b["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(b["l_discount"])),
+        )
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev_cc": rev_cc})
+
+    j = bucketed_join(
+        li.map_batches(add_rev, batch_format="pyarrow"), ow,
+        on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("rev_cc", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]),
+    )
+    custrev = partial_groupby_sum(
+        j.select_columns(["o_custkey", "rev_cc"]), ["o_custkey"],
+        {"rev_cc": "rev_cc"},
+    )
+
+    cust = _pq(sf_dir, "customer",
+               ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    cj = bucketed_join(
+        cust, custrev, on="c_custkey", right_on="o_custkey",
+        left_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_name", pa.string()),
+             ("c_acctbal", pa.float64()), ("c_nationkey", pa.int64())]
+        ),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("rev_cc", pa.int64())]),
+    )
+
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nref = ray.put(pd.Series(dict(zip(nation.n_nationkey, nation.n_name))))
+
+    def resolve(b: pa.Table) -> pa.Table:
+        nmap = get_broadcast(nref)
+        names = pd.Series(
+            b["c_nationkey"].to_numpy(zero_copy_only=False)
+        ).map(nmap).to_numpy()
+        # round to cents BEFORE the top-k: SQL orders by the ROUNDED
+        # revenue, and distinct rev_cc values can collide on it
+        rev_r = pc.divide(
+            pc.add(b["rev_cc"], pa.scalar(50, pa.int64())),
+            pa.scalar(100, pa.int64()),
+        )
+        return pa.table(
+            {"c_custkey": b["c_custkey"], "c_name": b["c_name"],
+             "rev_r": rev_r, "c_acctbal": b["c_acctbal"],
+             "n_name": pa.array(names, pa.string())}
+        )
+
+    # k=60 margin: the exact 20 are resolved on the driver under SQL's
+    # (revenue DESC, c_custkey) order; margin covers boundary ties
+    top = top_k(
+        cj.map_batches(resolve, batch_format="pyarrow"), "rev_r", 60
+    ).to_pandas()
+    top = top.sort_values(["rev_r", "c_custkey"],
+                          ascending=[False, True]).head(20)
+    top["revenue"] = top["rev_r"] / 100.0
+    return top[["c_custkey", "c_name", "revenue", "c_acctbal",
+                "n_name"]].reset_index(drop=True)
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+           AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q12_priority_by_returnflag(sf_dir: str):
+    """TPC-H q12 shape (adapted to the synthetic schema): per returnflag,
+    how many 1996-shipped lineitems belong to high- vs low-priority
+    orders (conditional aggregation over a fact ⋈ fact bucketed join)."""
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def ship_win(b: pa.Table) -> pa.Table:
+        lo = pa.scalar(pd.Timestamp("1996-01-01").to_pydatetime()).cast(
+            b["l_shipdate"].type
+        )
+        hi = pa.scalar(pd.Timestamp("1997-01-01").to_pydatetime()).cast(
+            b["l_shipdate"].type
+        )
+        f = b.filter(
+            pc.and_(pc.greater_equal(b["l_shipdate"], lo),
+                    pc.less(b["l_shipdate"], hi))
+        )
+        return pa.table({"l_orderkey": f["l_orderkey"],
+                         "l_returnflag": f["l_returnflag"]})
+
+    j = bucketed_join(
+        li.map_batches(ship_win, batch_format="pyarrow"), orders,
+        on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_returnflag", pa.string())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderpriority", pa.string())]),
+    )
+
+    def flags(b: pa.Table) -> pa.Table:
+        hi = pc.cast(
+            pc.is_in(b["o_orderpriority"],
+                     value_set=pa.array(["1-URGENT", "2-HIGH"])),
+            pa.int64(),
+        )
+        return pa.table(
+            {"l_returnflag": b["l_returnflag"], "high_count": hi,
+             "low_count": pc.subtract(pa.scalar(1, pa.int64()), hi)}
+        )
+
+    agg = partial_groupby_sum(
+        j.map_batches(flags, batch_format="pyarrow"), ["l_returnflag"],
+        {"high_count": "high_count", "low_count": "low_count"},
+    )
+    out = agg.to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    return out[["l_returnflag", "high_count", "low_count"]]
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4343,6 +4522,8 @@ QUERIES = {
     "doc_para_dedup": doc_para_dedup,
     "doc_boilerplate": doc_boilerplate,
     "events_value_quantiles": events_value_quantiles,
+    "q10_returned_items": q10_returned_items,
+    "q12_priority_by_returnflag": q12_priority_by_returnflag,
 }
 
 MEDIA_FRAMES_SQL = """
@@ -4387,6 +4568,8 @@ ORACLES = {
     "events_value_quantiles": EVENTS_VALUE_QUANTILES_SQL,
     "media_frames": MEDIA_FRAMES_SQL,
     "media_thumbs": MEDIA_THUMBS_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q12_priority_by_returnflag": Q12_SQL,
     "doc_para_dedup": DOC_PARA_DEDUP_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,
