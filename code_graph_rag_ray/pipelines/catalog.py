@@ -4393,6 +4393,44 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def page_neighbor_agg(sf_dir: str):
+    """1-hop neighbor aggregation over the links_to graph
+    (stages/graph_metrics.neighbor_agg): per page, out-neighbor count and
+    the sum of those neighbors' in-degrees — the message-passing / feature
+    propagation primitive."""
+    from code_graph_rag_ray.stages.graph_metrics import neighbor_agg
+
+    _pages, internal = _internal_link_graph(sf_dir)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["src_url"], "dst": b["dst_url"]})
+
+    out = neighbor_agg(internal.map_batches(rename, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda b: pa.table(
+            {"url": b["src"], "n_out": b["n_out"],
+             "sum_nbr_in_deg": b["sum_nbr_in_deg"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+PAGE_NEIGHBOR_AGG_SQL = """
+WITH p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1
+  FROM documents),
+e AS (SELECT a.url AS src, a.t1 AS dst
+      FROM p a JOIN (SELECT url FROM p) b ON a.t1 = b.url),
+d AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg
+      FROM e GROUP BY dst)
+SELECT e.src AS url, CAST(count(*) AS BIGINT) AS n_out,
+       CAST(sum(d.in_deg) AS BIGINT) AS sum_nbr_in_deg
+FROM e JOIN d ON e.dst = d.node
+GROUP BY e.src
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4524,6 +4562,7 @@ QUERIES = {
     "events_value_quantiles": events_value_quantiles,
     "q10_returned_items": q10_returned_items,
     "q12_priority_by_returnflag": q12_priority_by_returnflag,
+    "page_neighbor_agg": page_neighbor_agg,
 }
 
 MEDIA_FRAMES_SQL = """
@@ -4570,6 +4609,7 @@ ORACLES = {
     "media_thumbs": MEDIA_THUMBS_SQL,
     "q10_returned_items": Q10_SQL,
     "q12_priority_by_returnflag": Q12_SQL,
+    "page_neighbor_agg": PAGE_NEIGHBOR_AGG_SQL,
     "doc_para_dedup": DOC_PARA_DEDUP_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,

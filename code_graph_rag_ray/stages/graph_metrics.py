@@ -714,3 +714,46 @@ def sssp_bounded(
                             "dist": pc.divide(b["enc"], 2)}),
         batch_format="pyarrow",
     )
+
+
+def neighbor_agg(
+    edges: Dataset, *, src: str = "src", dst: str = "dst"
+) -> Dataset:
+    """GNN-style 1-hop neighbor aggregation: for every node with
+    out-edges, the count of its out-neighbors and the sum of their
+    IN-degrees — the message-passing primitive (propagate a per-node
+    feature along edges, fold at the receiver) demonstrated on the
+    feature every graph already has.
+
+    Plan: one :func:`degree_stats` pass (single shuffle), the feature
+    joined back onto edge DESTINATIONS through the bucketed cogroup join
+    (edge-scale ⋈ node-scale), then a two-phase grouped sum keyed by the
+    edge source. Nothing materializes on the driver; a whale receiver
+    exchanges O(blocks) partial rows.
+
+    cgr analog: the reference aggregates callee attributes onto callers
+    when scoring resolution candidates (``call_resolver``'s callee-count
+    preferences); re-targeted as link-graph feature propagation.
+    """
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    deg = degree_stats(edges, src=src, dst=dst).select_columns(
+        ["node", "in_deg"]
+    )
+    j = bucketed_join(
+        edges.select_columns([src, dst]), deg, on=dst, right_on="node",
+        left_schema=pa.schema([(src, pa.string()), (dst, pa.string())]),
+        right_schema=pa.schema([("node", pa.string()),
+                                ("in_deg", pa.int64())]),
+    )
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {src: b[src], "one": pa.array(np.ones(b.num_rows, np.int64)),
+             "in_deg": b["in_deg"]}
+        )
+
+    return partial_groupby_sum(
+        j.map_batches(ones, batch_format="pyarrow", batch_size=None),
+        [src], {"one": "n_out", "in_deg": "sum_nbr_in_deg"},
+    )

@@ -223,3 +223,20 @@ def test_sssp_bounded_weighted_improvement_and_truncation():
     got2 = {r["node"]: r["dist"] for r in sssp_bounded(
         rd.from_arrow(t), ["A"], max_hops=2).take_all()}
     assert got2 == {"A": 0, "C": 1, "B": 3, "D": 11}
+
+
+def test_neighbor_agg_hand_graph():
+    import pandas as pd
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.graph_metrics import neighbor_agg
+
+    edges = pd.DataFrame(
+        {"src": ["a", "c", "b", "a"], "dst": ["b", "b", "d", "d"]}
+    )
+    out = {
+        r["src"]: (r["n_out"], r["sum_nbr_in_deg"])
+        for r in neighbor_agg(rd.from_pandas(edges).repartition(3)).take_all()
+    }
+    # in-degrees: b=2, d=2
+    assert out == {"a": (2, 4), "c": (1, 2), "b": (1, 2)}
