@@ -4431,6 +4431,28 @@ GROUP BY e.src
 """
 
 
+def corpus_bigrams(sf_dir: str):
+    """Corpus bigram counts (stages/tfidf.bigram_counts): the n-gram LM
+    count table — vectorized adjacent-pair extraction (pairs never cross
+    a document), two-phase grouped count."""
+    from code_graph_rag_ray.stages.tfidf import bigram_counts
+
+    ds = _pq(sf_dir, "documents", ["text"])
+    return bigram_counts(ds)
+
+
+CORPUS_BIGRAMS_SQL = """
+WITH t AS (
+  SELECT list_filter(string_split(text, ' '), s -> s <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM t WHERE len(toks) > 1)
+SELECT toks[i] AS w1, toks[i + 1] AS w2, CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY w1, w2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4563,6 +4585,7 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
     "q12_priority_by_returnflag": q12_priority_by_returnflag,
     "page_neighbor_agg": page_neighbor_agg,
+    "corpus_bigrams": corpus_bigrams,
 }
 
 MEDIA_FRAMES_SQL = """
@@ -4610,6 +4633,7 @@ ORACLES = {
     "q10_returned_items": Q10_SQL,
     "q12_priority_by_returnflag": Q12_SQL,
     "page_neighbor_agg": PAGE_NEIGHBOR_AGG_SQL,
+    "corpus_bigrams": CORPUS_BIGRAMS_SQL,
     "doc_para_dedup": DOC_PARA_DEDUP_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,

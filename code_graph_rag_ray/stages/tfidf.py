@@ -162,3 +162,46 @@ def inverted_index(
         left_schema=pa.schema([("term", pa.string()), ("postings", pa.string())]),
         right_schema=pa.schema([("term", pa.string()), ("df", pa.int64())]),
     ).select_columns(["term", "df", "postings"])
+
+
+def extract_bigram_batch(b: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """(w1, w2) adjacent-token rows, fully vectorized: Arrow flatten +
+    parent indices, numpy shift for adjacency (pairs never cross a
+    document boundary; empty tokens dropped BEFORE pairing, so adjacency
+    is between consecutive non-empty tokens — the ``list_filter`` +
+    slide semantics a SQL oracle replays). Space-split convention shared
+    with token_counts / the chunker."""
+    empty = pa.table(
+        {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string())}
+    )
+    if b.num_rows == 0:
+        return empty
+    toks = pc.split_pattern(b[text_col], pattern=" ")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    t = flat.to_numpy(zero_copy_only=False)
+    keep = t != ""
+    t, parent = t[keep], parent[keep]
+    if len(t) < 2:
+        return empty
+    same = parent[1:] == parent[:-1]
+    return pa.table(
+        {"w1": pa.array(t[:-1][same], pa.string()),
+         "w2": pa.array(t[1:][same], pa.string())}
+    )
+
+
+def bigram_counts(ds: Dataset, *, text_col: str = "text") -> Dataset:
+    """Corpus bigram counts — the n-gram LM-training table (KenLM-style
+    count collection). One two-phase grouped count over the vectorized
+    pair stream; at open-vocabulary scale the pair space is corpus-sized,
+    so the per-batch Arrow combiner (inside partial_groupby_sum) is what
+    keeps the exchange proportional to DISTINCT pairs per block, and a
+    min-count filter belongs directly after this operator."""
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+
+    pairs = ds.map_batches(
+        lambda b: extract_bigram_batch(b, text_col=text_col),
+        batch_format="pyarrow",
+    )
+    return partial_groupby_sum(pairs, ["w1", "w2"], {}, count_alias="n")

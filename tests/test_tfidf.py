@@ -87,3 +87,18 @@ def test_inverted_index_cap_and_exact_df():
     ds2 = rd.from_arrow(pa.Table.from_pylist(rows2)).repartition(4)
     out2 = {r["term"]: r for r in inverted_index(ds2, max_postings=8).take_all()}
     assert out2["gamma"]["df"] == 3 and out2["gamma"]["postings"] == "100,101,102"
+
+
+def test_bigram_counts_boundaries_and_empties():
+    import pandas as pd
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.tfidf import bigram_counts
+
+    df = pd.DataFrame(
+        {"text": ["a b  c", "c a", "x", ""]}  # double space → empty token
+    )
+    got = {(r["w1"], r["w2"]): r["n"]
+           for r in bigram_counts(rd.from_pandas(df).repartition(3)).take_all()}
+    # "a b  c" → (a,b), (b,c); pairs never cross documents
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1}
