@@ -4453,6 +4453,28 @@ FROM s GROUP BY w1, w2
 """
 
 
+def events_value_quantiles_by_type(sf_dir: str):
+    """Per-event-type EXACT continuous quantiles — the grouped
+    histogram-refinement selection (stages/selection.grouped_quantile_select):
+    one bracket per (type, quantile), one mergeable int64 histogram matrix
+    per round, no shuffle."""
+    from code_graph_rag_ray.stages.selection import grouped_quantile_select
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantile_select(
+        ds, group_col="event_type", value_col="value",
+        qs={"p50": 0.5, "p90": 0.9}, pull_threshold=500,
+    )
+
+
+EVENTS_VALUE_QUANTILES_BY_TYPE_SQL = """
+SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4586,6 +4608,7 @@ QUERIES = {
     "q12_priority_by_returnflag": q12_priority_by_returnflag,
     "page_neighbor_agg": page_neighbor_agg,
     "corpus_bigrams": corpus_bigrams,
+    "events_value_quantiles_by_type": events_value_quantiles_by_type,
 }
 
 MEDIA_FRAMES_SQL = """
@@ -4634,6 +4657,7 @@ ORACLES = {
     "q12_priority_by_returnflag": Q12_SQL,
     "page_neighbor_agg": PAGE_NEIGHBOR_AGG_SQL,
     "corpus_bigrams": CORPUS_BIGRAMS_SQL,
+    "events_value_quantiles_by_type": EVENTS_VALUE_QUANTILES_BY_TYPE_SQL,
     "doc_para_dedup": DOC_PARA_DEDUP_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,

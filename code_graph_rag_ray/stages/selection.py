@@ -209,3 +209,195 @@ def quantile_select_table(
     for a in qs:
         cols[a] = pa.array([res.get(a)], pa.float64())
     return pa.table(cols)
+
+
+def grouped_quantile_select(
+    ds: Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    qs: dict[str, float],
+    bins: int = 2048,
+    pull_threshold: int = 65536,
+    max_rounds: int = 8,
+) -> pa.Table:
+    """Per-GROUP exact ``quantile_disc`` of a double column — the grouped
+    completion of :func:`quantile_select` for dictionary-scale group
+    columns (event types, languages; NOT ids).
+
+    Same histogram-refinement discipline, with one bracket per
+    (group, quantile): pass 0 folds per-group (n, min, max) via a
+    vectorized Arrow group_by per block; each round folds ONE
+    (brackets × bins) int64 matrix (group membership selected by Arrow
+    masks per block); pulls collect per-bracket survivors plus their
+    exact below-counts in a single pass. Driver state is
+    O(groups × quantiles × bins) ints — the operator is wrong for
+    id-cardinality groups, use the discrete histogram or a sketch there.
+
+    Returns one row per group: (group, n, <alias...>), empty groups
+    impossible by construction (a group exists only if it has rows).
+    """
+    from ray.data.aggregate import AggregateFn
+
+    aliases = list(qs)
+
+    # ---- pass 0: per-group count/min/max ----
+    def acc0(state: dict, block) -> dict:
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        t = pa.table({"g": tbl[group_col], "v": tbl[value_col]})
+        t = t.filter(pc.and_(pc.is_valid(t["v"]),
+                             pc.invert(pc.is_nan(pc.cast(t["v"], pa.float64())))))
+        if t.num_rows == 0:
+            return state
+        g = pa.TableGroupBy(t, ["g"], use_threads=False).aggregate(
+            [("v", "count"), ("v", "min"), ("v", "max")]
+        )
+        out = dict(state)
+        for row in g.to_pylist():
+            key = row["g"]
+            cur = out.get(key)
+            st = (int(row["v_count"]), float(row["v_min"]), float(row["v_max"]))
+            if cur is None:
+                out[key] = st
+            else:
+                out[key] = (cur[0] + st[0], min(cur[1], st[1]),
+                            max(cur[2], st[2]))
+        return out
+
+    def merge0(a: dict, b: dict) -> dict:
+        out = dict(a)
+        for k, st in b.items():
+            cur = out.get(k)
+            out[k] = st if cur is None else (
+                cur[0] + st[0], min(cur[1], st[1]), max(cur[2], st[2])
+            )
+        return out
+
+    base = AggregateFn(init=lambda _: {}, accumulate_block=acc0,
+                       merge=merge0, name="gmm")
+    stats = ds.aggregate(base)["gmm"]
+    if not stats:
+        return pa.table(
+            {group_col: pa.array([], pa.string()),
+             "n": pa.array([], pa.int64()),
+             **{a: pa.array([], pa.float64()) for a in aliases}}
+        )
+
+    groups = sorted(stats)
+    # bracket key = (group, alias); pending → (lo, hi, r)
+    pending: dict[tuple, tuple[float, float, int]] = {}
+    result: dict[tuple, float] = {}
+    for g in groups:
+        n, lo, hi = stats[g]
+        for a in aliases:
+            pending[(g, a)] = (lo, hi, _target_rank(qs[a], n))
+    to_pull: dict[tuple, tuple[float, float, int]] = {}
+
+    for _ in range(max_rounds):
+        for key in [k for k, (lo, hi, _r) in pending.items() if lo == hi]:
+            result[key] = pending.pop(key)[0]
+        if not pending:
+            break
+        keys = sorted(pending)
+        klo = np.array([pending[k][0] for k in keys])
+        khi = np.array([pending[k][1] for k in keys])
+        kws = (khi - klo) / bins
+        kgroups = [k[0] for k in keys]
+
+        def acc(state, block, keys=keys, klo=klo, khi=khi, kws=kws,
+                kgroups=kgroups):
+            tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            gcol = tbl[group_col].to_numpy(zero_copy_only=False)
+            v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            ok = ~np.isnan(v)
+            out = state.copy()
+            for i in range(len(keys)):
+                sel = ok & (gcol == kgroups[i])
+                vi = v[sel]
+                if len(vi) == 0:
+                    continue
+                out[i, 0] += np.count_nonzero(vi < klo[i])
+                if kws[i] > 0:
+                    m = vi[(vi >= klo[i]) & (vi <= khi[i])]
+                    b = np.minimum((m - klo[i]) / kws[i], bins - 1).astype(np.int64)
+                    np.add.at(out[i], 1 + b, 1)
+                else:
+                    out[i, 1] += np.count_nonzero((vi >= klo[i]) & (vi <= khi[i]))
+            return out
+
+        agg = AggregateFn(
+            init=lambda _, k=len(keys): np.zeros((k, bins + 1), np.int64),
+            accumulate_block=acc,
+            merge=lambda a, b: a + b,
+            name="ghist",
+        )
+        hists = ds.aggregate(agg)["ghist"]
+
+        for i, key in enumerate(keys):
+            lo, hi, r = pending[key]
+            below = int(hists[i, 0])
+            cum = hists[i, 1:].cumsum()
+            w = kws[i]
+            if lo == hi:
+                result[key] = lo
+                del pending[key]
+                continue
+            if w == 0 or int(cum[-1]) <= pull_threshold:
+                to_pull[key] = (lo, hi, r)
+                del pending[key]
+                continue
+            k = int(np.searchsorted(cum, r - below, side="left"))
+            nlo = lo if k <= 1 else lo + (k - 1) * w
+            nhi = hi if k >= bins - 2 else lo + (k + 2) * w
+            pop3 = int(hists[i, 1 + max(0, k - 1): 1 + min(bins, k + 2)].sum())
+            if pop3 <= pull_threshold:
+                to_pull[key] = (nlo, nhi, r)
+                del pending[key]
+            else:
+                pending[key] = (nlo, nhi, r)
+
+    to_pull.update(pending)
+    pending.clear()
+
+    if to_pull:
+        pkeys = sorted(to_pull)
+        plos = np.array([to_pull[k][0] for k in pkeys])
+        phis = np.array([to_pull[k][1] for k in pkeys])
+        pgroups = [k[0] for k in pkeys]
+
+        def grab(b: pa.Table, pkeys=pkeys, plos=plos, phis=phis,
+                 pgroups=pgroups) -> pa.Table:
+            gcol = b[group_col].to_numpy(zero_copy_only=False)
+            v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            ok = ~np.isnan(v)
+            out_i, out_c, out_v = [], [], []
+            for i in range(len(pkeys)):
+                vi = v[ok & (gcol == pgroups[i])]
+                out_i.append(i)
+                out_c.append(int(np.count_nonzero(vi < plos[i])))
+                out_v.append(vi[(vi >= plos[i]) & (vi <= phis[i])].tolist())
+            return pa.table(
+                {"i": pa.array(out_i, pa.int64()),
+                 "c": pa.array(out_c, pa.int64()),
+                 "v": pa.array(out_v, pa.list_(pa.float64()))}
+            )
+
+        below_by: dict[int, int] = {i: 0 for i in range(len(pkeys))}
+        vals_by: dict[int, list[float]] = {i: [] for i in range(len(pkeys))}
+        for row in ds.map_batches(grab, batch_format="pyarrow").take_all():
+            below_by[row["i"]] += row["c"]
+            vals_by[row["i"]].extend(row["v"])
+        for i, key in enumerate(pkeys):
+            _lo, _hi, r = to_pull[key]
+            vs = np.sort(np.asarray(vals_by[i], np.float64))
+            result[key] = float(vs[r - below_by[i] - 1])
+
+    cols: dict[str, list] = {group_col: groups,
+                             "n": [stats[g][0] for g in groups]}
+    for a in aliases:
+        cols[a] = [result[(g, a)] for g in groups]
+    return pa.table(
+        {group_col: pa.array(cols[group_col]),
+         "n": pa.array(cols["n"], pa.int64()),
+         **{a: pa.array(cols[a], pa.float64()) for a in aliases}}
+    )

@@ -66,3 +66,37 @@ def test_with_nulls_and_nan():
         "SELECT count(v)::BIGINT, quantile_disc(v, 0.5) FROM t WHERE NOT isnan(v)"
     ).fetchone()
     assert got["n"] == n and got["p50"] == p50
+
+
+def test_grouped_quantiles_match_duckdb():
+    from code_graph_rag_ray.stages.selection import grouped_quantile_select
+
+    rng = np.random.default_rng(12)
+    n = 12_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n, p=[0.7, 0.29, 0.01]),
+            "v": rng.lognormal(0, 3, n),
+        }
+    )
+    # a single-row group and a constant-value group
+    df = pd.concat(
+        [df,
+         pd.DataFrame({"g": ["solo"], "v": [3.25]}),
+         pd.DataFrame({"g": ["flat"] * 500, "v": [9.5] * 500})],
+        ignore_index=True,
+    )
+    ds = rd.from_pandas(df).repartition(11)
+    got = grouped_quantile_select(
+        ds, group_col="g", value_col="v",
+        qs={"p50": 0.5, "p90": 0.9}, pull_threshold=150, bins=64,
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        """SELECT g, count(v)::BIGINT AS n, quantile_disc(v, 0.5) AS p50,
+                  quantile_disc(v, 0.9) AS p90
+           FROM t GROUP BY g ORDER BY g"""
+    ).df()
+    exp = exp.astype(got.dtypes.to_dict())
+    assert got.equals(exp), f"\n{got}\n{exp}"
