@@ -4475,6 +4475,43 @@ FROM events GROUP BY event_type
 """
 
 
+def doc_percent_rank(sf_dir: str):
+    """percent_rank + cume_dist over the deterministic (n_chars DESC,
+    doc_id) total order — pure composition: the two-pass range-bucket
+    row_number plus closed-form arithmetic. The order is tie-free, so
+    row_number == rank and both window functions are one IEEE division
+    each — bit-exact vs SQL."""
+    from code_graph_rag_ray.stages.ranking import global_rank
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+    total = ds.count()
+    ranked = global_rank(ds, "n_chars", tiebreak="doc_id", descending=True,
+                         num_buckets=16)
+
+    def derive(b: pa.Table, tot=total) -> pa.Table:
+        r = b["rank"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pr = (r - 1.0) / float(tot - 1) if tot > 1 else np.zeros_like(r)
+        cd = r / float(tot)
+        return pa.table(
+            {"doc_id": b["doc_id"], "n_chars": b["n_chars"],
+             "rank": b["rank"],
+             "pct_rank": pa.array(pr, pa.float64()),
+             "cume_dist": pa.array(cd, pa.float64())}
+        )
+
+    return ranked.map_batches(derive, batch_format="pyarrow")
+
+
+DOC_PERCENT_RANK_SQL = """
+SELECT doc_id, n_chars,
+       row_number() OVER w AS rank,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume_dist
+FROM documents
+WINDOW w AS (ORDER BY n_chars DESC, doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4609,6 +4646,7 @@ QUERIES = {
     "page_neighbor_agg": page_neighbor_agg,
     "corpus_bigrams": corpus_bigrams,
     "events_value_quantiles_by_type": events_value_quantiles_by_type,
+    "doc_percent_rank": doc_percent_rank,
 }
 
 MEDIA_FRAMES_SQL = """
@@ -4658,6 +4696,7 @@ ORACLES = {
     "page_neighbor_agg": PAGE_NEIGHBOR_AGG_SQL,
     "corpus_bigrams": CORPUS_BIGRAMS_SQL,
     "events_value_quantiles_by_type": EVENTS_VALUE_QUANTILES_BY_TYPE_SQL,
+    "doc_percent_rank": DOC_PERCENT_RANK_SQL,
     "doc_para_dedup": DOC_PARA_DEDUP_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,
