@@ -4512,6 +4512,46 @@ WINDOW w AS (ORDER BY n_chars DESC, doc_id)
 """
 
 
+def doc_jaccard_join(sf_dir: str):
+    """EXACT all-pairs 5-token-shingle Jaccard ≥ 4/5 via prefix filtering
+    (stages/dedup.prefix_jaccard_join) — the deterministic ground truth
+    the MinHash+LSH op approximates; integer (inter, uni) output, no
+    floats anywhere."""
+    from code_graph_rag_ray.stages.dedup import prefix_jaccard_join
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = prefix_jaccard_join(ds, shingle=5, tau=(4, 5))
+    return out.map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"], "inter": b["inter"],
+                            "uni": b["uni"]}),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
+DOC_JACCARD_JOIN_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), s -> s <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 5 THEN [text]
+              ELSE list_distinct(list_transform(
+                     range(1, len(toks) - 3),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          || ' ' || toks[i+3] || ' ' || toks[i+4]))
+         END AS sh
+  FROM t),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.sh, b.sh)) AS inter,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+SELECT a, b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
+FROM p WHERE inter * 5 >= 4 * uni
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4647,6 +4687,7 @@ QUERIES = {
     "corpus_bigrams": corpus_bigrams,
     "events_value_quantiles_by_type": events_value_quantiles_by_type,
     "doc_percent_rank": doc_percent_rank,
+    "doc_jaccard_join": doc_jaccard_join,
 }
 
 MEDIA_FRAMES_SQL = """
@@ -4697,6 +4738,7 @@ ORACLES = {
     "corpus_bigrams": CORPUS_BIGRAMS_SQL,
     "events_value_quantiles_by_type": EVENTS_VALUE_QUANTILES_BY_TYPE_SQL,
     "doc_percent_rank": DOC_PERCENT_RANK_SQL,
+    "doc_jaccard_join": DOC_JACCARD_JOIN_SQL,
     "doc_para_dedup": DOC_PARA_DEDUP_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,

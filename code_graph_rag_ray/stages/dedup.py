@@ -718,3 +718,110 @@ def editdist1_pairs(
         return b.filter(ok)
 
     return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def prefix_jaccard_join(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 5,
+    tau: tuple[int, int] = (4, 5),
+    max_group: int = 200,
+) -> Dataset:
+    """EXACT all-pairs shingle-set Jaccard join via PREFIX FILTERING — the
+    deterministic ground-truth counterpart of the probabilistic
+    MinHash+LSH op (same output contract, no recall loss).
+
+    Prefix-filter lemma: order each document's distinct ``shingle``-token
+    shingles by a fixed global total order (md5-low32 of the shingle,
+    then the shingle — a frequency-agnostic order keeps the lemma intact;
+    df-ascending order is only a candidate-count optimization); if
+    J(x, y) ≥ τ then x and y share at least one of their first
+    ``n − ceil(τ·n) + 1`` shingles. So emitting ONLY that prefix (as its
+    32-bit hash — collisions merely merge candidate groups, never drop a
+    true pair) and pairing within equal prefix elements is complete; the
+    exact per-pair verify then removes false candidates.
+
+    Scale shape identical to :func:`minhash_near_dup_pairs`: prefix rows
+    are stateless batch work, candidates come from the hash-bucketed
+    cogroup (``max_group``-capped with recorded truncation — the cap is
+    the ONLY exactness caveat and only binds under adversarial hot
+    shingles), texts reach pairs via two distributed bucketed joins, the
+    integer (inter, uni) verify runs inside the join batches. τ is a
+    rational (num, den) so the threshold compare is pure integer —
+    bit-exact against a brute-force SQL oracle.
+    """
+    import hashlib
+
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    num, den = tau
+
+    def prefix_rows(b: pa.Table) -> pa.Table:
+        ids, ph = [], []
+        hcache: dict[str, int] = {}
+        for rid, txt in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            s = _shingle_set(txt or "", shingle)
+            nsh = len(s)
+            if nsh == 0:
+                continue
+            p = nsh - ((num * nsh + den - 1) // den) + 1
+            def h(x: str) -> int:
+                v = hcache.get(x)
+                if v is None:
+                    v = int.from_bytes(hashlib.md5(x.encode()).digest()[:4], "big")
+                    hcache[x] = v
+                return v
+            ordered = sorted(s, key=lambda x: (h(x), x))
+            for x in ordered[:p]:
+                ids.append(rid)
+                ph.append(h(x))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "ph": pa.array(ph, pa.int64())})
+
+    pr = ds.map_batches(prefix_rows, batch_format="pyarrow")
+    cand = _dedup_pairs_bucketed(
+        _pairs_from_buckets(pr, ["ph"], id_col, max_group=max_group)
+    ).materialize()
+
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "truncated": pa.array([], pa.bool_()),
+         "inter": pa.array([], pa.int64()), "uni": pa.array([], pa.int64())}
+    )
+    if cand.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+
+    texts = ds.select_columns([id_col, text_col])
+    with_a = bucketed_join(cand, texts, on="a", right_on=id_col)
+    with_b = bucketed_join(
+        with_a, texts, on="b", right_on=id_col,
+        left_schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("truncated", pa.bool_()),
+             (text_col, pa.string())]
+        ),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        inter_l, uni_l = [], []
+        for x, y in zip(batch[text_col].to_pylist(),
+                        batch[text_col + "_r"].to_pylist()):
+            sa, sb = _shingle_set(x or "", shingle), _shingle_set(y or "", shingle)
+            i = len(sa & sb)
+            inter_l.append(i)
+            uni_l.append(len(sa) + len(sb) - i)
+        t = pa.table(
+            {"a": batch["a"], "b": batch["b"], "truncated": batch["truncated"],
+             "inter": pa.array(inter_l, pa.int64()),
+             "uni": pa.array(uni_l, pa.int64())}
+        )
+        keep = pc.greater_equal(
+            pc.multiply(t["inter"], pa.scalar(den, pa.int64())),
+            pc.multiply(t["uni"], pa.scalar(num, pa.int64())),
+        )
+        return t.filter(keep)
+
+    return with_b.map_batches(verify, batch_format="pyarrow")

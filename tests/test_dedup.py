@@ -263,3 +263,38 @@ def test_editdist1_pairs_exact_recall_and_verify():
     assert ("acme", "acne") in got and ("acme", "acmes") in got
     assert ("ace", "acme") in got
     assert ("acme", "amce") not in got and ("amce", "acne") not in got
+
+
+def test_prefix_jaccard_join_equals_bruteforce():
+    """Prefix-filter completeness: distributed exact join == brute-force
+    all-pairs on random small-vocab soup (plus planted near-dups)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.dedup import _shingle_set, prefix_jaccard_join
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(6, 40)))
+             for _ in range(120)]
+    texts[7] = texts[3]                         # exact dup
+    texts[11] = texts[5] + " extra token pad"   # near dup
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    got = {
+        (r["a"], r["b"]): (r["inter"], r["uni"])
+        for r in prefix_jaccard_join(
+            rd.from_pandas(df).repartition(7), shingle=5, tau=(4, 5)
+        ).take_all()
+    }
+    exp = {}
+    for i in range(len(texts)):
+        si = _shingle_set(texts[i], 5)
+        for j in range(i + 1, len(texts)):
+            sj = _shingle_set(texts[j], 5)
+            inter = len(si & sj)
+            uni = len(si | sj)
+            if inter * 5 >= 4 * uni:
+                exp[(i, j)] = (inter, uni)
+    assert got == exp and (3, 7) in got
