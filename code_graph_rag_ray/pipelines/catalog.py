@@ -4552,6 +4552,30 @@ FROM p WHERE inter * 5 >= 4 * uni
 """
 
 
+def doc_para_dedup_apply(sf_dir: str):
+    """The APPLY step of paragraph dedup: each document rebuilt from only
+    its globally-first-occurrence 16-token windows, original order kept
+    (stages/paragraphs.paragraph_dedup_apply) — the cleaned corpus a
+    curation pipeline writes out."""
+    from code_graph_rag_ray.stages.paragraphs import paragraph_dedup_apply
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return paragraph_dedup_apply(ds, window=16)
+
+
+DOC_PARA_DEDUP_APPLY_SQL = _PARA_WINDOW_SQL + """
+, k AS (
+  SELECT doc_id, para_idx, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) = 1
+           AS keep
+  FROM w)
+SELECT doc_id,
+       string_agg(para, ' ' ORDER BY para_idx) AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM k WHERE keep GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4688,6 +4712,7 @@ QUERIES = {
     "events_value_quantiles_by_type": events_value_quantiles_by_type,
     "doc_percent_rank": doc_percent_rank,
     "doc_jaccard_join": doc_jaccard_join,
+    "doc_para_dedup_apply": doc_para_dedup_apply,
 }
 
 MEDIA_FRAMES_SQL = """
@@ -4739,6 +4764,7 @@ ORACLES = {
     "events_value_quantiles_by_type": EVENTS_VALUE_QUANTILES_BY_TYPE_SQL,
     "doc_percent_rank": DOC_PERCENT_RANK_SQL,
     "doc_jaccard_join": DOC_JACCARD_JOIN_SQL,
+    "doc_para_dedup_apply": DOC_PARA_DEDUP_APPLY_SQL,
     "doc_para_dedup": DOC_PARA_DEDUP_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,

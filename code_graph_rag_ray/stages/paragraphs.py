@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 from code_graph_rag_ray.functions.hashing import stable_hash_array
@@ -129,4 +130,69 @@ def boilerplate_stats(
     parts = wb.groupby("__bk").map_groups(partial, batch_format="pandas")
     return partial_groupby_sum(
         parts, [id_col], {"np_p": "n_paras", "nb_p": "n_boiler"}
+    )
+
+
+def paragraph_dedup_apply(
+    ds: Dataset,
+    *,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> Dataset:
+    """The APPLY step of paragraph dedup: rebuild each document from only
+    its globally-first-occurrence windows (drop repeated content, keep
+    original window order) — the corpus a curation pipeline actually
+    writes out.
+
+    Two bucketed exchanges, both vectorized: (1) the same content-hash
+    bucket shuffle as :func:`paragraph_dedup`, now carrying the window
+    text forward with its keep flag; (2) a doc-hash bucket shuffle that
+    reassembles surviving windows per document (one pandas sort +
+    group-join per bucket — never one task per document, NOTES fact 25).
+    Documents whose every window was a duplicate vanish from the output,
+    exactly like the SQL ``WHERE keep GROUP BY doc`` replay.
+    """
+    from code_graph_rag_ray.functions.hashing import partition_ids
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["chunk_text", id_col, "chunk_idx"], kind="mergesort")
+        first = ~g["chunk_text"].duplicated()
+        out = g[first]
+        return pd.DataFrame(
+            {
+                id_col: out[id_col].to_numpy(np.int64),
+                "para_idx": out["chunk_idx"].to_numpy(np.int64),
+                "para": out["chunk_text"].to_numpy(object),
+            }
+        )
+
+    wb = _windows_bucketed(
+        ds, window=window, id_col=id_col, text_col=text_col,
+        num_buckets=num_buckets,
+    )
+    kept = wb.groupby("__bk").map_groups(flag, batch_format="pandas")
+
+    def doc_bucket(b: pa.Table) -> pa.Table:
+        bk = partition_ids(pc.cast(b[id_col], pa.string()), num_buckets)
+        return b.append_column("__db", pa.array(bk, pa.int32()))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "para_idx"], kind="mergesort")
+        agg = g.groupby(id_col, as_index=False).agg(
+            clean_text=("para", " ".join), n_kept=("para", "size")
+        )
+        return pd.DataFrame(
+            {
+                id_col: agg[id_col].to_numpy(np.int64),
+                "clean_text": agg["clean_text"].to_numpy(object),
+                "n_kept": agg["n_kept"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        kept.map_batches(doc_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("__db")
+        .map_groups(rebuild, batch_format="pandas")
     )

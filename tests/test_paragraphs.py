@@ -51,3 +51,19 @@ def test_boilerplate_counts_distinct_docs_only():
         1: {"n_paras": 2, "n_boiler": 1},
         2: {"n_paras": 2, "n_boiler": 0},  # repeat is within ONE doc
     }
+
+
+def test_paragraph_dedup_apply_rebuild():
+    from code_graph_rag_ray.stages.paragraphs import paragraph_dedup_apply
+
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in paragraph_dedup_apply(
+            rd.from_pandas(DOCS).repartition(3), window=4
+        ).take_all()
+    }
+    assert out == {
+        0: ("a b c d e f g h", 2),
+        1: ("x y z w", 1),        # its copy of "a b c d" dropped
+        2: ("p q r s", 1),        # intra-doc repeat dropped
+    }
