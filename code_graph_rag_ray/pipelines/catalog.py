@@ -4576,6 +4576,17 @@ FROM k WHERE keep GROUP BY doc_id
 """
 
 
+def doc_compression(sf_dir: str):
+    """zlib redundancy signal per document (rows-only: no SQL zlib):
+    integer (n_bytes, z_bytes) — stages/text_analysis.compression_ratio_batch;
+    semantics pinned by pytest (repetitive text compresses far smaller,
+    determinism across partitionings)."""
+    from code_graph_rag_ray.stages.text_analysis import compression_ratio_batch
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(compression_ratio_batch, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4713,6 +4724,7 @@ QUERIES = {
     "doc_percent_rank": doc_percent_rank,
     "doc_jaccard_join": doc_jaccard_join,
     "doc_para_dedup_apply": doc_para_dedup_apply,
+    "doc_compression": doc_compression,
 }
 
 MEDIA_FRAMES_SQL = """

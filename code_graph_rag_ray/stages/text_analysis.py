@@ -203,3 +203,29 @@ def fingerprint_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str 
             "rolling_min_fp": pa.array(roll, pa.int64()),
         }
     )
+
+
+def compression_ratio_batch(
+    batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text",
+    level: int = 6,
+) -> pa.Table:
+    """Per-document zlib compression size — the classic redundancy /
+    quality signal (Gopher-style: highly compressible text is repetitive
+    boilerplate; incompressible text is often junk bytes). Integer
+    (n_bytes, z_bytes) output; the consumer picks its own ratio cutoffs.
+    Deterministic for a fixed zlib level, but NOT SQL-expressible —
+    rows-only query, semantics pinned by pytest.
+    """
+    import zlib
+
+    texts = batch[text_col].to_pylist()
+    nb, zb = [], []
+    for t in texts:
+        raw = (t or "").encode()
+        nb.append(len(raw))
+        zb.append(len(zlib.compress(raw, level)))
+    return pa.table(
+        {id_col: batch[id_col],
+         "n_bytes": pa.array(nb, pa.int64()),
+         "z_bytes": pa.array(zb, pa.int64())}
+    )

@@ -547,3 +547,24 @@ def test_group_holdout_split_leakfree():
     per_group = out.groupby("source")["split"].nunique()
     assert (per_group == 1).all()
     assert set(out["split"]) == {"train", "val", "test"}  # 37 groups hit all
+
+
+def test_compression_ratio_signal():
+    import pandas as pd
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.text_analysis import compression_ratio_batch
+
+    df = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["spark " * 200, "the quick brown fox " * 3]}
+    )
+    ds = rd.from_pandas(df).repartition(2)
+    out = {r["doc_id"]: r for r in ds.map_batches(
+        compression_ratio_batch, batch_format="pyarrow").take_all()}
+    # 200x-repeated token compresses to a tiny fraction; short varied text less so
+    assert out[0]["z_bytes"] * 20 < out[0]["n_bytes"]
+    assert out[1]["z_bytes"] * 20 > out[1]["n_bytes"]
+    # deterministic across partitionings
+    out2 = {r["doc_id"]: r for r in rd.from_pandas(df).map_batches(
+        compression_ratio_batch, batch_format="pyarrow").take_all()}
+    assert all(out[k]["z_bytes"] == out2[k]["z_bytes"] for k in out)
