@@ -171,7 +171,10 @@ def run_bench() -> dict:
             "doc_pack_sequences", "doc_minhash_pairs",
             "events_heavy_users", "customer_name_ed1",
             "q18_large_volume_customers", "page_sssp",
-            "events_cohort_retention")
+            "events_cohort_retention", "q10_returned_items",
+            "events_transitions", "doc_para_dedup_apply",
+            "doc_jaccard_join", "events_value_quantiles",
+            "corpus_bigrams")
         for name in names:
             t0 = time.perf_counter()
             res = catalog.QUERIES[name](sf_dir)

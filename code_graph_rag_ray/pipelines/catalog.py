@@ -2459,8 +2459,8 @@ def page_sssp(sf_dir: str):
                                           pc.multiply(pc.divide(b["doc_id"], 20),
                                                       20)), 0))
         url = pc.binary_join_element_wise(
-            pa.array(["https://"] * f.num_rows), f["source"],
-            pa.array([".example.org/doc/"] * f.num_rows),
+            pa.array(["https://"] * f.num_rows, pa.string()), f["source"],
+            pa.array([".example.org/doc/"] * f.num_rows, pa.string()),
             pc.cast(f["doc_id"], pa.string()), "")
         return pa.table({"url": url})
 

@@ -440,6 +440,16 @@ def _docs_to_pages_batch(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
     n = len(batch)
+    if n == 0:
+        # typed empty output — `["x"] * 0` literals become NULL-typed
+        # arrays and crash binary_join_element_wise on empty blocks
+        return pa.table(
+            {"url": pa.array([], pa.string()),
+             "warc_ts": pa.array([], pa.timestamp("us")),
+             "html": pa.array([], pa.binary()),
+             "text": pa.array([], pa.string()),
+             "lang": pa.array([], pa.string())}
+        )
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     doc_id = pc.cast(batch["doc_id"], pa.string())
     half_id = pa.array((ids // 2).astype(str), pa.string())
