@@ -4587,6 +4587,47 @@ def doc_compression(sf_dir: str):
     return ds.map_batches(compression_ratio_batch, batch_format="pyarrow")
 
 
+def kg_entity_salience(sf_dir: str):
+    """Top-3 salient ENTITIES per document by tf/df over the mention
+    stream — the KG path composed with the tf-idf ranker
+    (stages/tfidf.topk_from_tf_rows): mention counts are batch-complete
+    per doc, df is the two-phase count, the rank key is one IEEE
+    division."""
+    from code_graph_rag_ray.stages.extract import doc_mentions_batch
+    from code_graph_rag_ray.stages.tfidf import topk_from_tf_rows
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "term": b["surface"],
+                         "tf": b["n_mentions"]})
+
+    tf_rows = ds.map_batches(doc_mentions_batch, batch_format="pyarrow").map_batches(
+        rename, batch_format="pyarrow", batch_size=None
+    )
+    return topk_from_tf_rows(tf_rows, k=3)
+
+
+KG_ENTITY_SALIENCE_SQL = f"""
+WITH m AS (
+  SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w IN {_ENT_SQL}
+  GROUP BY doc_id, w
+), df AS (
+  SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term
+), scored AS (
+  SELECT m.doc_id, m.term, m.tf, df.df,
+         row_number() OVER (
+           PARTITION BY m.doc_id
+           ORDER BY m.tf * 1.0 / df.df DESC, m.term ASC
+         ) AS rank
+  FROM m JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, rank FROM scored WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4725,6 +4766,7 @@ QUERIES = {
     "doc_jaccard_join": doc_jaccard_join,
     "doc_para_dedup_apply": doc_para_dedup_apply,
     "doc_compression": doc_compression,
+    "kg_entity_salience": kg_entity_salience,
 }
 
 MEDIA_FRAMES_SQL = """
@@ -4777,6 +4819,7 @@ ORACLES = {
     "doc_percent_rank": DOC_PERCENT_RANK_SQL,
     "doc_jaccard_join": DOC_JACCARD_JOIN_SQL,
     "doc_para_dedup_apply": DOC_PARA_DEDUP_APPLY_SQL,
+    "kg_entity_salience": KG_ENTITY_SALIENCE_SQL,
     "doc_para_dedup": DOC_PARA_DEDUP_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,

@@ -85,12 +85,25 @@ def tfidf_topk(
     text_col: str = "text",
 ) -> Dataset:
     """Top-k terms per document by tf/df: (id, term, tf, df, rank)."""
-    from code_graph_rag_ray.stages.relational import broadcast_join
-
     tf_rows = docs.map_batches(
         lambda b: extract_tf_batch(b, id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
     )
+    return topk_from_tf_rows(tf_rows, k=k, id_col=id_col)
+
+
+def topk_from_tf_rows(
+    tf_rows: Dataset,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> Dataset:
+    """tf/df top-k rank over ANY (id, term, tf) row stream whose blocks
+    are doc-complete (each document's rows in one block — true for any
+    map_batches derivation from one-row-per-doc input). Lets other term
+    streams (entity mentions, n-grams) reuse the tf-idf ranking."""
+    from code_graph_rag_ray.stages.relational import broadcast_join
+
     df_tbl = document_frequency(tf_rows, id_col=id_col)
     scored = broadcast_join(tf_rows, df_tbl, on="term")
 
