@@ -116,3 +116,23 @@ def test_extract_is_stable_under_shuffle(pages_fixture):
     tb = b.to_pandas().sort_values("url").reset_index(drop=True)
     assert list(ta["url"]) == list(tb["url"])
     assert list(ta["text"]) == list(tb["text"])
+
+
+def test_docs_to_pages_empty_block_is_typed():
+    """Empty blocks reach batch fns (Ray splits/filters produce them); the
+    pages derivation must return a TYPED empty table — pa.array(["x"]*0)
+    literals infer NULL type and crash string kernels (NOTES fact 26)."""
+    import pyarrow as pa
+
+    from code_graph_rag_ray.sources.pages import _docs_to_pages_batch
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "text": pa.array([], pa.string()),
+         "lang": pa.array([], pa.string()),
+         "source": pa.array([], pa.string())}
+    )
+    out = _docs_to_pages_batch(empty)
+    assert out.num_rows == 0
+    assert out.schema.names == ["url", "warc_ts", "html", "text", "lang"]
+    assert out.schema.field("html").type == pa.binary()
