@@ -4628,6 +4628,88 @@ SELECT doc_id, term, tf, df, rank FROM scored WHERE rank <= 3
 """
 
 
+def events_rate_spikes(sf_dir: str):
+    """Hour-over-hour rate-spike detection per event type: n ≥ 2×previous
+    adjacent hour (prev_n = −1 when the prior hour is empty). The hourly
+    count table is a two-phase grouped count (the only corpus-scale
+    exchange); the lag runs vectorized over that inherently small
+    (types × hours) aggregate coalesced to one block."""
+    ds = _pq(sf_dir, "events", ["ts", "event_type"])
+
+    def to_hour(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {"event_type": b["event_type"],
+             "hour": pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))}
+        )
+
+    counts = partial_groupby_sum(
+        ds.map_batches(to_hour, batch_format="pyarrow"),
+        ["event_type", "hour"], {}, count_alias="n",
+    )
+
+    def spikes(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "hour"],
+                            kind="mergesort").reset_index(drop=True)
+        g = df.groupby("event_type")
+        pn = g["n"].shift(1)
+        ph = g["hour"].shift(1)
+        adj = (ph == df["hour"] - 1).to_numpy()
+        prev_n = np.where(adj, pn.fillna(-1).to_numpy(), -1).astype(np.int64)
+        spike = (adj & (df["n"].to_numpy() >= 2 * prev_n)
+                 & (prev_n > 0)).astype(np.int64)
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "hour": df["hour"],
+             "n": df["n"].astype("int64"), "prev_n": prev_n, "spike": spike}
+        )
+
+    return counts.repartition(1).map_batches(
+        spikes, batch_format="pandas", batch_size=None
+    )
+
+
+EVENTS_RATE_SPIKES_SQL = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT event_type, hour, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY hour) AS pn,
+         lag(hour) OVER (PARTITION BY event_type ORDER BY hour) AS ph
+  FROM c)
+SELECT event_type, hour, n,
+       CAST(CASE WHEN ph = hour - 1 THEN pn ELSE -1 END AS BIGINT) AS prev_n,
+       CAST(CASE WHEN ph = hour - 1 AND pn > 0 AND n >= 2 * pn
+                 THEN 1 ELSE 0 END AS BIGINT) AS spike
+FROM l
+"""
+
+
+def doc_lang_confusion(sf_dir: str):
+    """Language-ID evaluation matrix (A5 eval-scoring analog): counts per
+    (declared lang, predicted lang) — the LangId actor pool composed with
+    a two-phase grouped count; the confusion matrix is
+    dictionary-squared-scale."""
+    from code_graph_rag_ray.stages.text_analysis import LangId
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pred = ds.map_batches(LangId, batch_format="pyarrow",
+                          concurrency=2, num_cpus=1)
+    return partial_groupby_sum(
+        pred.select_columns(["lang", "lang_pred"]),
+        ["lang", "lang_pred"], {}, count_alias="n",
+    )
+
+
+DOC_LANG_CONFUSION_SQL = f"""
+SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
+FROM documents d JOIN ({DOC_LANG_PRED_SQL.strip()}) p ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.lang_pred
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4767,6 +4849,8 @@ QUERIES = {
     "doc_para_dedup_apply": doc_para_dedup_apply,
     "doc_compression": doc_compression,
     "kg_entity_salience": kg_entity_salience,
+    "events_rate_spikes": events_rate_spikes,
+    "doc_lang_confusion": doc_lang_confusion,
 }
 
 MEDIA_FRAMES_SQL = """
@@ -4820,6 +4904,8 @@ ORACLES = {
     "doc_jaccard_join": DOC_JACCARD_JOIN_SQL,
     "doc_para_dedup_apply": DOC_PARA_DEDUP_APPLY_SQL,
     "kg_entity_salience": KG_ENTITY_SALIENCE_SQL,
+    "events_rate_spikes": EVENTS_RATE_SPIKES_SQL,
+    "doc_lang_confusion": DOC_LANG_CONFUSION_SQL,
     "doc_para_dedup": DOC_PARA_DEDUP_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,
