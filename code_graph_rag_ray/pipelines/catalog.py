@@ -4710,6 +4710,34 @@ GROUP BY d.lang, p.lang_pred
 """
 
 
+def events_funnel_strict(sf_dir: str):
+    """Strict-order 3-step funnel view → click → purchase
+    (stages/windows.strict_funnel): chained first-occurrence-after-prev
+    per user, one key-hash bucket shuffle, vectorized inside buckets."""
+    from code_graph_rag_ray.stages.windows import strict_funnel
+
+    ds = _pq(sf_dir, "events", ["ts", "user_id", "event_type"])
+    return strict_funnel(ds, ["view", "click", "purchase"])
+
+
+EVENTS_FUNNEL_STRICT_SQL = """
+WITH a AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+b AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN a ON e.user_id = a.user_id
+  WHERE e.event_type = 'click' AND e.ts > a.t GROUP BY e.user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN b ON e.user_id = b.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > b.t GROUP BY e.user_id)
+SELECT '1_view' AS step, count(*)::BIGINT AS n_keys FROM a
+UNION ALL SELECT '2_click', count(*)::BIGINT FROM b
+UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4851,6 +4879,7 @@ QUERIES = {
     "kg_entity_salience": kg_entity_salience,
     "events_rate_spikes": events_rate_spikes,
     "doc_lang_confusion": doc_lang_confusion,
+    "events_funnel_strict": events_funnel_strict,
 }
 
 MEDIA_FRAMES_SQL = """
@@ -4906,6 +4935,7 @@ ORACLES = {
     "kg_entity_salience": KG_ENTITY_SALIENCE_SQL,
     "events_rate_spikes": EVENTS_RATE_SPIKES_SQL,
     "doc_lang_confusion": DOC_LANG_CONFUSION_SQL,
+    "events_funnel_strict": EVENTS_FUNNEL_STRICT_SQL,
     "doc_para_dedup": DOC_PARA_DEDUP_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,

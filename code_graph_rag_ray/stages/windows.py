@@ -842,3 +842,61 @@ def transition_counts(
     return partial_groupby_sum(
         pairs, ["prev_type", "next_type"], {}, count_alias=count_alias
     )
+
+
+def strict_funnel(
+    events: Dataset,
+    steps: list[str],
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Strict-order funnel: how many keys performed step 1, then step 2
+    STRICTLY after their first step 1, then step 3 strictly after that
+    first step 2, … (SQL: chained ``min(ts) … WHERE ts > prev_step_ts``
+    per key). Returns one row per step: (step, n_keys), step labelled
+    ``<i>_<type>`` so the output orders by funnel position.
+
+    Scale shape: rows not in the step set are dropped at the scan; ONE
+    key-hash bucket shuffle (64-ish groups — never a per-key group, NOTES
+    fact 25); inside each bucket the chained first-occurrence times are
+    pure vectorized pandas groupby-mins + merges; per-bucket partial
+    counts fold through the two-phase grouped sum.
+    """
+    from code_graph_rag_ray.functions.hashing import partition_ids
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+
+    step_set = pa.array(steps, pa.string())
+
+    def prep(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_in(b[type_col], value_set=step_set))
+        bk = partition_ids(pc.cast(f[key_col], pa.string()), num_buckets)
+        return pa.table(
+            {key_col: f[key_col], ts_col: f[ts_col], type_col: f[type_col],
+             "__bk": pa.array(bk, pa.int32())}
+        )
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        cur = None  # per-key time of the previous step's first occurrence
+        out_steps, out_n = [], []
+        for i, st in enumerate(steps):
+            rows = g[g[type_col] == st]
+            if cur is not None:
+                rows = rows.merge(cur, on=key_col)
+                rows = rows[rows[ts_col] > rows["__prev"]]
+            first = rows.groupby(key_col, as_index=False)[ts_col].min()
+            out_steps.append(f"{i + 1}_{st}")
+            out_n.append(len(first))
+            cur = first.rename(columns={ts_col: "__prev"})
+        return pd.DataFrame(
+            {"step": out_steps, "n_p": np.asarray(out_n, np.int64)}
+        )
+
+    parts = (
+        events.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bk")
+        .map_groups(funnel, batch_format="pandas")
+    )
+    return partial_groupby_sum(parts, ["step"], {"n_p": "n_keys"})

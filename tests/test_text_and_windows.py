@@ -568,3 +568,32 @@ def test_compression_ratio_signal():
     out2 = {r["doc_id"]: r for r in rd.from_pandas(df).map_batches(
         compression_ratio_batch, batch_format="pyarrow").take_all()}
     assert all(out[k]["z_bytes"] == out2[k]["z_bytes"] for k in out)
+
+
+def test_strict_funnel_hand_case():
+    """Order strictness: a click BEFORE the first view must not count; a
+    purchase between view and click must not count."""
+    import pandas as pd
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.windows import strict_funnel
+
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t0, "view"), (1, t0 + m, "click"), (1, t0 + 2 * m, "purchase"),
+        # user 2: click precedes the first view → stops after step 1
+        (2, t0, "click"), (2, t0 + m, "view"),
+        # user 3: purchase before click → steps 1-2 only
+        (3, t0, "view"), (3, t0 + m, "purchase"), (3, t0 + 2 * m, "click"),
+        # user 4: never views → contributes nothing
+        (4, t0, "click"), (4, t0 + m, "purchase"),
+        # user 5: equal-ts click with the view (strict > excludes it)
+        (5, t0, "view"), (5, t0, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    out = {r["step"]: r["n_keys"] for r in strict_funnel(
+        rd.from_pandas(df).repartition(4),
+        ["view", "click", "purchase"]).take_all()}
+    assert out == {"1_view": 4, "2_click": 2, "3_purchase": 1}
