@@ -87,6 +87,17 @@ def main(argv: list[str] | None = None) -> int:
     ln.add_argument("--pages", required=True)
     ln.add_argument("--out", required=True)
 
+    c = sub.add_parser(
+        "clean",
+        help="paragraph-dedup the corpus: keep first-occurrence windows, "
+             "write (id, clean_text, n_kept) parquet",
+    )
+    c.add_argument("--docs", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--window", type=int, default=16)
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--text-col", default="text")
+
     q = sub.add_parser(
         "query",
         help="point lookups over a materialized store (partition-pruned subj reads)",
@@ -122,6 +133,17 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     try:
+        if args.cmd == "clean":
+            from code_graph_rag_ray.stages.paragraphs import paragraph_dedup_apply
+
+            docs = rd.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+            out = paragraph_dedup_apply(
+                docs, window=args.window, id_col=args.id_col,
+                text_col=args.text_col,
+            )
+            out.write_parquet(args.out)
+            print(json.dumps({"out": args.out}))
+            return 0
         pages = rd.read_parquet(args.pages)
         if args.cmd == "links":
             import os
