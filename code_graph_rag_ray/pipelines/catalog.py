@@ -4738,6 +4738,83 @@ UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM c
 """
 
 
+def events_bounce_rate(sf_dir: str):
+    """Session bounce rollup: total sessions and single-event ("bounce")
+    sessions — pure composition over the skew-safe chunked sessionizer,
+    folded with a batch-local partial sum (integer counts only; the rate
+    is the consumer's division)."""
+    from code_graph_rag_ray.stages.windows import session_windows_chunked
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    sess = session_windows_chunked(ds, gap_s=1800)
+
+    def tag(b: pa.Table) -> pa.Table:
+        one = pc.cast(pc.equal(b["n_events"], 1), pa.int64())
+        return pa.table(
+            {"k": pa.array([0] * b.num_rows, pa.int64()),
+             "s": pa.array(np.ones(b.num_rows, np.int64)), "b": one}
+        )
+
+    out = partial_groupby_sum(
+        sess.map_batches(tag, batch_format="pyarrow", batch_size=None),
+        ["k"], {"s": "n_sessions", "b": "n_bounce"},
+    )
+    return out.map_batches(
+        lambda t: pa.table({"n_sessions": t["n_sessions"],
+                            "n_bounce": t["n_bounce"]}),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
+EVENTS_BOUNCE_RATE_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), g AS (
+  SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+FROM g
+"""
+
+
+def customer_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the (nation, segment) quasi-identifier:
+    combinations with fewer than 8 members are re-identification risks —
+    one two-phase grouped count + an Arrow filter (the privacy-audit
+    pre-release gate a curation pipeline runs before publishing)."""
+    cust = _pq(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    counts = partial_groupby_sum(
+        cust, ["c_nationkey", "c_mktsegment"], {}, count_alias="n"
+    )
+    def risky(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.less(b["n"], 8))
+        # typed projection: an all-empty filter must not lose its schema
+        return pa.table(
+            {"c_nationkey": pc.cast(f["c_nationkey"], pa.int64()),
+             "c_mktsegment": pc.cast(f["c_mktsegment"], pa.string()),
+             "n": pc.cast(f["n"], pa.int64())}
+        )
+
+    return counts.map_batches(risky, batch_format="pyarrow", batch_size=None)
+
+
+CUSTOMER_K_ANONYMITY_SQL = """
+SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+FROM customer GROUP BY c_nationkey, c_mktsegment
+HAVING count(*) < 8
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4880,6 +4957,8 @@ QUERIES = {
     "events_rate_spikes": events_rate_spikes,
     "doc_lang_confusion": doc_lang_confusion,
     "events_funnel_strict": events_funnel_strict,
+    "events_bounce_rate": events_bounce_rate,
+    "customer_k_anonymity": customer_k_anonymity,
 }
 
 MEDIA_FRAMES_SQL = """
@@ -4936,6 +5015,8 @@ ORACLES = {
     "events_rate_spikes": EVENTS_RATE_SPIKES_SQL,
     "doc_lang_confusion": DOC_LANG_CONFUSION_SQL,
     "events_funnel_strict": EVENTS_FUNNEL_STRICT_SQL,
+    "events_bounce_rate": EVENTS_BOUNCE_RATE_SQL,
+    "customer_k_anonymity": CUSTOMER_K_ANONYMITY_SQL,
     "doc_para_dedup": DOC_PARA_DEDUP_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,
