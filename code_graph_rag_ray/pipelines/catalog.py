@@ -4815,6 +4815,104 @@ HAVING count(*) < 8
 """
 
 
+def events_dow_hour_heatmap(sf_dir: str):
+    """Traffic heatmap: event counts per (day-of-week, hour-of-day) —
+    pure integer epoch arithmetic (dow 0=Monday via (days+3)%7 from the
+    1970-01-01 Thursday anchor) folded two-phase, so the oracle replays
+    the same closed form instead of trusting SQL calendar conventions."""
+    ds = _pq(sf_dir, "events", ["ts"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        s = pc.divide(
+            pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+            pa.scalar(1_000_000, pa.int64()),
+        )
+        days = pc.divide(s, pa.scalar(86400, pa.int64()))
+        dow = pc.subtract(
+            pc.add(days, pa.scalar(3, pa.int64())),
+            pc.multiply(
+                pc.divide(pc.add(days, pa.scalar(3, pa.int64())),
+                          pa.scalar(7, pa.int64())),
+                pa.scalar(7, pa.int64()),
+            ),
+        )
+        hod = pc.divide(
+            pc.subtract(s, pc.multiply(days, pa.scalar(86400, pa.int64()))),
+            pa.scalar(3600, pa.int64()),
+        )
+        return pa.table({"dow": dow, "hour_of_day": hod})
+
+    return partial_groupby_sum(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["dow", "hour_of_day"], {}, count_alias="n",
+    )
+
+
+EVENTS_DOW_HOUR_HEATMAP_SQL = """
+WITH s AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+c AS (
+  SELECT (sec // 86400 + 3) % 7 AS dow,
+         (sec % 86400) // 3600 AS hour_of_day
+  FROM s)
+SELECT CAST(dow AS BIGINT) AS dow,
+       CAST(hour_of_day AS BIGINT) AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n
+FROM c GROUP BY dow, hour_of_day
+"""
+
+
+def nation_revenue_pareto(sf_dir: str):
+    """Cumulative revenue share by nation (Pareto/ABC analysis): the
+    distributed q5-style revenue aggregate ordered desc, with cumulative
+    integer cents and the exact total carried per row (share = cum/total
+    is the consumer's division; integers keep the oracle bit-exact). The
+    cumulative pass runs on the 25-row aggregate — inherently tiny."""
+    agg = q5_nation_revenue(sf_dir)  # (n_name, revenue) exact cents/100
+
+    def pareto(b: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = b.to_pandas().sort_values(
+            ["revenue", "n_name"], ascending=[False, True]
+        ).reset_index(drop=True)
+        cents = (df["revenue"] * 100).round().astype("int64")
+        return pa.table(
+            {"n_name": pa.array(df["n_name"], pa.string()),
+             "rev_c": pa.array(cents.to_numpy(), pa.int64()),
+             "cum_rev_c": pa.array(cents.cumsum().to_numpy(), pa.int64()),
+             "total_rev_c": pa.array(
+                 np.full(len(df), cents.sum(), np.int64), pa.int64())}
+        )
+
+    return agg.repartition(1).map_batches(
+        pareto, batch_format="pyarrow", batch_size=None
+    )
+
+
+NATION_REVENUE_PARETO_SQL = """
+WITH r AS (
+  SELECT n_name,
+         round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+           AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_nationkey = s_nationkey
+  GROUP BY n_name),
+c AS (
+  SELECT n_name, CAST(round(revenue * 100) AS BIGINT) AS rev_c FROM r)
+SELECT n_name, rev_c,
+       sum(rev_c) OVER (ORDER BY rev_c DESC, n_name
+                        ROWS UNBOUNDED PRECEDING) AS cum_rev_c,
+       sum(rev_c) OVER () AS total_rev_c
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4959,6 +5057,8 @@ QUERIES = {
     "events_funnel_strict": events_funnel_strict,
     "events_bounce_rate": events_bounce_rate,
     "customer_k_anonymity": customer_k_anonymity,
+    "events_dow_hour_heatmap": events_dow_hour_heatmap,
+    "nation_revenue_pareto": nation_revenue_pareto,
 }
 
 MEDIA_FRAMES_SQL = """
@@ -5017,6 +5117,8 @@ ORACLES = {
     "events_funnel_strict": EVENTS_FUNNEL_STRICT_SQL,
     "events_bounce_rate": EVENTS_BOUNCE_RATE_SQL,
     "customer_k_anonymity": CUSTOMER_K_ANONYMITY_SQL,
+    "events_dow_hour_heatmap": EVENTS_DOW_HOUR_HEATMAP_SQL,
+    "nation_revenue_pareto": NATION_REVENUE_PARETO_SQL,
     "doc_para_dedup": DOC_PARA_DEDUP_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,
