@@ -4913,6 +4913,30 @@ FROM c
 """
 
 
+def corpus_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth (stages/tfidf.vocab_growth): per
+    document, how many corpus-new terms it introduces (term's first
+    occurrence = min doc id) — per-batch Arrow min partials, term-hash
+    bucket cogroup fold, two-phase per-doc count."""
+    from code_graph_rag_ray.stages.tfidf import vocab_growth
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return vocab_growth(ds)
+
+
+CORPUS_VOCAB_GROWTH_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+f AS (
+  SELECT term, min(doc_id) AS first_doc
+  FROM tok WHERE term <> '' GROUP BY term)
+SELECT first_doc, CAST(count(*) AS BIGINT) AS n_new_terms
+FROM f GROUP BY first_doc
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5059,6 +5083,7 @@ QUERIES = {
     "customer_k_anonymity": customer_k_anonymity,
     "events_dow_hour_heatmap": events_dow_hour_heatmap,
     "nation_revenue_pareto": nation_revenue_pareto,
+    "corpus_vocab_growth": corpus_vocab_growth,
 }
 
 MEDIA_FRAMES_SQL = """
@@ -5119,6 +5144,7 @@ ORACLES = {
     "customer_k_anonymity": CUSTOMER_K_ANONYMITY_SQL,
     "events_dow_hour_heatmap": EVENTS_DOW_HOUR_HEATMAP_SQL,
     "nation_revenue_pareto": NATION_REVENUE_PARETO_SQL,
+    "corpus_vocab_growth": CORPUS_VOCAB_GROWTH_SQL,
     "doc_para_dedup": DOC_PARA_DEDUP_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,

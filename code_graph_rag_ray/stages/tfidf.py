@@ -218,3 +218,61 @@ def bigram_counts(ds: Dataset, *, text_col: str = "text") -> Dataset:
         batch_format="pyarrow",
     )
     return partial_groupby_sum(pairs, ["w1", "w2"], {}, count_alias="n")
+
+
+def vocab_growth(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Heaps-law vocabulary growth: for each document (under the corpus
+    doc-id order), how many terms it is the FIRST to introduce — term's
+    first occurrence = min doc id, then a grouped count per introducing
+    document.
+
+    Scale shape: per-batch Arrow groupby emits one (term, min-doc)
+    partial per term per batch; the global min folds inside a term-hash
+    bucket cogroup (64-ish groups — vocabulary is corpus-scale, so never
+    a per-term group, NOTES fact 25); the per-doc introduction counts are
+    the usual two-phase grouped count. Tokenizer = the tf-idf convention
+    (lowercase, ``[^a-z0-9]+`` split).
+    """
+    from code_graph_rag_ray.functions.hashing import partition_ids
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "mn": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(pc.utf8_lower(b[text_col]),
+                                      pattern=_TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        ids = pc.take(b[id_col], pc.list_parent_indices(toks))
+        pairs = pa.table({"term": flat, "d": ids}).filter(
+            pc.not_equal(flat, ""))
+        if pairs.num_rows == 0:
+            return empty
+        g = pa.TableGroupBy(pairs, ["term"], use_threads=False).aggregate(
+            [("d", "min")])
+        return pa.table({"term": g["term"],
+                         "mn": pc.cast(g["d_min"], pa.int64())})
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        bk = partition_ids(b["term"], num_buckets)
+        return b.append_column("__bk", pa.array(bk, pa.int32()))
+
+    def first_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", as_index=False)["mn"].min()
+        return pd.DataFrame({"first_doc": out["mn"].to_numpy(np.int64)})
+
+    firsts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+        .groupby("__bk")
+        .map_groups(first_doc, batch_format="pandas")
+    )
+    return partial_groupby_sum(firsts, ["first_doc"], {},
+                               count_alias="n_new_terms")

@@ -102,3 +102,31 @@ def test_bigram_counts_boundaries_and_empties():
            for r in bigram_counts(rd.from_pandas(df).repartition(3)).take_all()}
     # "a b  c" → (a,b), (b,c); pairs never cross documents
     assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1}
+
+
+def test_vocab_growth_matches_bruteforce():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.tfidf import vocab_growth
+
+    rng = np.random.default_rng(31)
+    texts = []
+    for i in range(200):
+        # mix of old vocabulary and genuinely new terms per doc
+        old = [f"w{rng.integers(0, 1 + i)}" for _ in range(10)]
+        new = [f"n{i}x{j}" for j in range(int(rng.integers(0, 4)))]
+        texts.append(" ".join(old + new))
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                       "text": texts})
+    got = {r["first_doc"]: r["n_new_terms"] for r in vocab_growth(
+        rd.from_pandas(df).repartition(9)).take_all()}
+    seen: set[str] = set()
+    exp: dict[int, int] = {}
+    for i, t in enumerate(texts):
+        new_terms = {w for w in t.lower().split() if w} - seen
+        if new_terms:
+            exp[i] = len(new_terms)
+        seen |= new_terms
+    assert got == exp
