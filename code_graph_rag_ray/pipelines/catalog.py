@@ -4301,11 +4301,21 @@ def q10_returned_items(sf_dir: str):
 
     # k=60 margin: the exact 20 are resolved on the driver under SQL's
     # (revenue DESC, c_custkey) order; margin covers boundary ties
-    top = top_k(
-        cj.map_batches(resolve, batch_format="pyarrow"), "rev_r", 60
-    ).to_pandas()
-    top = top.sort_values(["rev_r", "c_custkey"],
-                          ascending=[False, True]).head(20)
+    resolved = cj.map_batches(resolve, batch_format="pyarrow")
+    top = top_k(resolved, "rev_r", 60).to_pandas()
+    top = top.sort_values(["rev_r", "c_custkey"], ascending=[False, True])
+    if len(top) >= 60 and top["rev_r"].iloc[59] == top["rev_r"].iloc[19]:
+        # the tie group at the cut may extend past the margin: re-pull
+        # every row at or above the boundary value (streaming filter —
+        # bounded by the tie-group size, not the table)
+        bound = int(top["rev_r"].iloc[19])
+        full = resolved.map_batches(
+            lambda b, bound=bound: b.filter(pc.greater_equal(b["rev_r"], bound)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        top = full.sort_values(["rev_r", "c_custkey"],
+                               ascending=[False, True])
+    top = top.head(20)
     top["revenue"] = top["rev_r"] / 100.0
     return top[["c_custkey", "c_name", "revenue", "c_acctbal",
                 "n_name"]].reset_index(drop=True)
@@ -4521,11 +4531,18 @@ def doc_jaccard_join(sf_dir: str):
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     out = prefix_jaccard_join(ds, shingle=5, tau=(4, 5))
-    return out.map_batches(
-        lambda b: pa.table({"a": b["a"], "b": b["b"], "inter": b["inter"],
-                            "uni": b["uni"]}),
-        batch_format="pyarrow", batch_size=None,
-    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        # the max_group candidate cap is the ONE exactness caveat: fail
+        # loud if it ever bound rather than silently losing pairs
+        if pc.any(b["truncated"]).as_py():
+            raise ValueError(
+                "prefix_jaccard_join candidate group truncated — raise "
+                "max_group for exact output")
+        return pa.table({"a": b["a"], "b": b["b"], "inter": b["inter"],
+                         "uni": b["uni"]})
+
+    return out.map_batches(strip, batch_format="pyarrow", batch_size=None)
 
 
 DOC_JACCARD_JOIN_SQL = """

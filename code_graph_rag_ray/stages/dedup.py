@@ -761,18 +761,22 @@ def prefix_jaccard_join(
     def prefix_rows(b: pa.Table) -> pa.Table:
         ids, ph = [], []
         hcache: dict[str, int] = {}
+
+        def h(x: str) -> int:
+            # md5-low32 — the same auditable convention as
+            # functions/hashing.md5_low32_array, scalar-cached per batch
+            v = hcache.get(x)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(x.encode()).digest()[:4], "big")
+                hcache[x] = v
+            return v
+
         for rid, txt in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
             s = _shingle_set(txt or "", shingle)
             nsh = len(s)
             if nsh == 0:
                 continue
             p = nsh - ((num * nsh + den - 1) // den) + 1
-            def h(x: str) -> int:
-                v = hcache.get(x)
-                if v is None:
-                    v = int.from_bytes(hashlib.md5(x.encode()).digest()[:4], "big")
-                    hcache[x] = v
-                return v
             ordered = sorted(s, key=lambda x: (h(x), x))
             for x in ordered[:p]:
                 ids.append(rid)

@@ -152,7 +152,8 @@ def chunk_documents(
                 ns.append(len(piece))
                 texts.append(" ".join(piece))
         return pa.table({
-            id_col: pa.array(ids, pa.int64()),
+            # id dtype preserved (int doc ids and string urls both work)
+            id_col: pa.array(ids, b[id_col].type),
             "chunk_idx": pa.array(cis, pa.int64()),
             "start_tok": pa.array(starts, pa.int64()),
             "n_tokens": pa.array(ns, pa.int64()),

@@ -48,6 +48,15 @@ def _windows_bucketed(
     return w.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
 
 
+def _winner_sort(g: pd.DataFrame, id_col: str) -> tuple[pd.DataFrame, np.ndarray]:
+    """Shared winner rule: rows ordered (content, id, idx) — id order is
+    numeric for int ids, lexicographic for string ids (both deterministic
+    and SQL-replayable) — and a first-occurrence mask. The id column's
+    dtype is preserved end to end, so string ids (urls) work."""
+    g = g.sort_values(["chunk_text", id_col, "chunk_idx"], kind="mergesort")
+    return g, (~g["chunk_text"].duplicated()).to_numpy()
+
+
 def paragraph_dedup(
     ds: Dataset,
     *,
@@ -66,15 +75,12 @@ def paragraph_dedup(
     """
 
     def flag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["chunk_text", id_col, "chunk_idx"], kind="mergesort"
-        )
-        first = ~g["chunk_text"].duplicated()
+        g, first = _winner_sort(g, id_col)
         return pd.DataFrame(
             {
-                id_col: g[id_col].to_numpy(np.int64),
+                id_col: g[id_col].to_numpy(),
                 "para_idx": g["chunk_idx"].to_numpy(np.int64),
-                "keep": first.to_numpy().astype(np.int64),
+                "keep": first.astype(np.int64),
             }
         )
 
@@ -115,7 +121,7 @@ def boilerplate_stats(
         )
         return pd.DataFrame(
             {
-                id_col: out[id_col].to_numpy(np.int64),
+                id_col: out[id_col].to_numpy(),
                 "np_p": out["np_p"].to_numpy(np.int64),
                 "nb_p": out["nb_p"].to_numpy(np.int64),
             }
@@ -157,12 +163,11 @@ def paragraph_dedup_apply(
     from code_graph_rag_ray.functions.hashing import partition_ids
 
     def flag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["chunk_text", id_col, "chunk_idx"], kind="mergesort")
-        first = ~g["chunk_text"].duplicated()
+        g, first = _winner_sort(g, id_col)
         out = g[first]
         return pd.DataFrame(
             {
-                id_col: out[id_col].to_numpy(np.int64),
+                id_col: out[id_col].to_numpy(),
                 "para_idx": out["chunk_idx"].to_numpy(np.int64),
                 "para": out["chunk_text"].to_numpy(object),
             }
@@ -185,7 +190,7 @@ def paragraph_dedup_apply(
         )
         return pd.DataFrame(
             {
-                id_col: agg[id_col].to_numpy(np.int64),
+                id_col: agg[id_col].to_numpy(),
                 "clean_text": agg["clean_text"].to_numpy(object),
                 "n_kept": agg["n_kept"].to_numpy(np.int64),
             }

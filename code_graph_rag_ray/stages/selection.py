@@ -29,7 +29,9 @@ cumulative count satisfies ``cum/n >= q`` under one int/int IEEE double
 division — reduced here to an integer target rank r(q, n) computed once,
 which is what makes the oracle comparison bit-exact on doubles.
 
-NaNs and NULLs are excluded (SQL aggregate semantics; NaN has no rank).
+NaNs, NULLs and ±inf are excluded (NaN/NULL per SQL aggregate
+semantics; non-finite values would poison the float bin arithmetic —
+pre-clamp infinities upstream if they must participate).
 
 cgr analog: the reference's analyzers compute summary statistics on
 in-process lists (``analyzers/`` metrics); this is the cluster-scale
@@ -60,7 +62,7 @@ def _target_rank(q: float, n: int) -> int:
 
 def _clean(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     v = pc.drop_null(col).to_numpy(zero_copy_only=False).astype(np.float64)
-    return v[~np.isnan(v)]
+    return v[np.isfinite(v)]
 
 
 def quantile_select(
@@ -236,6 +238,8 @@ def grouped_quantile_select(
 
     Returns one row per group: (group, n, <alias...>), empty groups
     impossible by construction (a group exists only if it has rows).
+    NULL group keys are excluded (SQL keeps a NULL group — filter or
+    fill upstream if that group matters).
     """
     from ray.data.aggregate import AggregateFn
 
@@ -245,8 +249,11 @@ def grouped_quantile_select(
     def acc0(state: dict, block) -> dict:
         tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
         t = pa.table({"g": tbl[group_col], "v": tbl[value_col]})
-        t = t.filter(pc.and_(pc.is_valid(t["v"]),
-                             pc.invert(pc.is_nan(pc.cast(t["v"], pa.float64())))))
+        t = t.filter(pc.and_(
+            pc.is_valid(t["g"]),  # NULL group keys excluded (docstring)
+            pc.and_(pc.is_valid(t["v"]),
+                    pc.is_finite(pc.cast(t["v"], pa.float64()))),
+        ))
         if t.num_rows == 0:
             return state
         g = pa.TableGroupBy(t, ["g"], use_threads=False).aggregate(
@@ -309,7 +316,7 @@ def grouped_quantile_select(
             tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
             gcol = tbl[group_col].to_numpy(zero_copy_only=False)
             v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-            ok = ~np.isnan(v)
+            ok = np.isfinite(v)
             out = state.copy()
             for i in range(len(keys)):
                 sel = ok & (gcol == kgroups[i])
@@ -369,7 +376,7 @@ def grouped_quantile_select(
                  pgroups=pgroups) -> pa.Table:
             gcol = b[group_col].to_numpy(zero_copy_only=False)
             v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-            ok = ~np.isnan(v)
+            ok = np.isfinite(v)
             out_i, out_c, out_v = [], [], []
             for i in range(len(pkeys)):
                 vi = v[ok & (gcol == pgroups[i])]

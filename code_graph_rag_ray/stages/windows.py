@@ -813,15 +813,19 @@ def transition_counts(
     vocab = partial_groupby_sum(
         events.select_columns([type_col]), [type_col], {}, count_alias="c"
     )
-    types = sorted(r[type_col] for r in vocab.take_all())
+    # NULL types are excluded (SQL's lag/GROUP BY would keep NULL rows —
+    # filter or fill upstream if those transitions matter)
+    types = sorted(r[type_col] for r in vocab.take_all()
+                   if r[type_col] is not None)
     tref = ray.put(pa.array(types, pa.string()))
 
     def enc(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b[type_col]))
         code = pc.cast(
-            pc.index_in(b[type_col], value_set=get_broadcast(tref)), pa.int64()
+            pc.index_in(f[type_col], value_set=get_broadcast(tref)), pa.int64()
         )
         return pa.table(
-            {id_col: b[id_col], ts_col: b[ts_col], key_col: b[key_col],
+            {id_col: f[id_col], ts_col: f[ts_col], key_col: f[key_col],
              "type_c": code}
         )
 

@@ -67,3 +67,22 @@ def test_paragraph_dedup_apply_rebuild():
         1: ("x y z w", 1),        # its copy of "a b c d" dropped
         2: ("p q r s", 1),        # intra-doc repeat dropped
     }
+
+
+def test_paragraph_dedup_apply_string_ids():
+    """The clean CLI advertises --id-col: string ids (urls) must work —
+    winner order becomes lexicographic on the id, documented."""
+    import pandas as pd
+
+    from code_graph_rag_ray.stages.paragraphs import paragraph_dedup_apply
+
+    df = pd.DataFrame(
+        {"url": ["u/a", "u/b"], "text": ["a b c d e f g h", "x y z w a b c d"]}
+    )
+    out = {
+        r["url"]: (r["clean_text"], r["n_kept"])
+        for r in paragraph_dedup_apply(
+            rd.from_pandas(df).repartition(2), window=4, id_col="url"
+        ).take_all()
+    }
+    assert out == {"u/a": ("a b c d e f g h", 2), "u/b": ("x y z w", 1)}
