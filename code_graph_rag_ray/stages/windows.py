@@ -810,22 +810,26 @@ def transition_counts(
 
     from code_graph_rag_ray.functions.broadcast import get_broadcast
 
+    # NULL types are excluded up front (SQL's lag/GROUP BY would keep
+    # NULL rows — filter or fill upstream if those transitions matter);
+    # the filter must precede the vocab groupby: Ray's sort cannot
+    # compare None with str keys
+    events = events.map_batches(
+        lambda b: b.filter(pc.is_valid(b[type_col])),
+        batch_format="pyarrow",
+    )
     vocab = partial_groupby_sum(
         events.select_columns([type_col]), [type_col], {}, count_alias="c"
     )
-    # NULL types are excluded (SQL's lag/GROUP BY would keep NULL rows —
-    # filter or fill upstream if those transitions matter)
-    types = sorted(r[type_col] for r in vocab.take_all()
-                   if r[type_col] is not None)
+    types = sorted(r[type_col] for r in vocab.take_all())
     tref = ray.put(pa.array(types, pa.string()))
 
     def enc(b: pa.Table) -> pa.Table:
-        f = b.filter(pc.is_valid(b[type_col]))
         code = pc.cast(
-            pc.index_in(f[type_col], value_set=get_broadcast(tref)), pa.int64()
+            pc.index_in(b[type_col], value_set=get_broadcast(tref)), pa.int64()
         )
         return pa.table(
-            {id_col: f[id_col], ts_col: f[ts_col], key_col: f[key_col],
+            {id_col: b[id_col], ts_col: b[ts_col], key_col: b[key_col],
              "type_c": code}
         )
 

@@ -100,3 +100,35 @@ def test_grouped_quantiles_match_duckdb():
     ).df()
     exp = exp.astype(got.dtypes.to_dict())
     assert got.equals(exp), f"\n{got}\n{exp}"
+
+
+def test_nonfinite_and_null_groups_excluded():
+    """Hardening pins: ±inf values are excluded (they'd poison the float
+    bin arithmetic), and NULL group keys are dropped rather than crashing
+    the driver-side sort."""
+    from code_graph_rag_ray.stages.selection import (
+        grouped_quantile_select,
+        quantile_select,
+    )
+
+    rng = np.random.default_rng(17)
+    v = rng.uniform(0, 10, 3000)
+    df = pd.DataFrame({"v": v})
+    df.loc[::11, "v"] = np.inf
+    df.loc[1::13, "v"] = -np.inf
+    got = quantile_select(rd.from_pandas(df).repartition(7),
+                          value_col="v", qs={"p50": 0.5},
+                          pull_threshold=100, bins=32)
+    con = duckdb.connect(); con.register("t", df)
+    n, p50 = con.execute(
+        "SELECT count(v)::BIGINT, quantile_disc(v, 0.5) FROM t WHERE isfinite(v)"
+    ).fetchone()
+    assert got["n"] == n and got["p50"] == p50
+
+    gdf = pd.DataFrame({"g": ["a", None, "b", "a", None, "b"] * 50,
+                        "v": rng.uniform(0, 5, 300)})
+    out = grouped_quantile_select(
+        rd.from_pandas(gdf).repartition(5), group_col="g", value_col="v",
+        qs={"p50": 0.5}, pull_threshold=50, bins=16,
+    ).to_pandas()
+    assert set(out["g"]) == {"a", "b"}  # NULL group dropped, no crash

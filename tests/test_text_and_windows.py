@@ -597,3 +597,21 @@ def test_strict_funnel_hand_case():
         rd.from_pandas(df).repartition(4),
         ["view", "click", "purchase"]).take_all()}
     assert out == {"1_view": 4, "2_click": 2, "3_purchase": 1}
+
+
+def test_transition_counts_null_types_dropped():
+    import pandas as pd
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.windows import transition_counts
+
+    df = pd.DataFrame(
+        {"event_id": [0, 1, 2, 3],
+         "user_id": [1, 1, 1, 1],
+         "ts": pd.to_datetime([0, 1, 2, 3], unit="s"),
+         "event_type": ["a", None, "b", "a"]}
+    )
+    got = {(r["prev_type"], r["next_type"]): r["n_transitions"]
+           for r in transition_counts(rd.from_pandas(df)).take_all()}
+    # null row dropped entirely: sequence is a -> b -> a
+    assert got == {("a", "b"): 1, ("b", "a"): 1}
