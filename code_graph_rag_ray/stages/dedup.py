@@ -781,7 +781,9 @@ def prefix_jaccard_join(
             for x in ordered[:p]:
                 ids.append(rid)
                 ph.append(h(x))
-        return pa.table({id_col: pa.array(ids, pa.int64()),
+        # ids keep the input dtype (string doc ids work — same
+        # generalization as packing.chunk_documents)
+        return pa.table({id_col: pa.array(ids, b[id_col].type),
                          "ph": pa.array(ph, pa.int64())})
 
     pr = ds.map_batches(prefix_rows, batch_format="pyarrow")
@@ -789,22 +791,26 @@ def prefix_jaccard_join(
         _pairs_from_buckets(pr, ["ph"], id_col, max_group=max_group)
     ).materialize()
 
-    empty = pa.table(
-        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-         "truncated": pa.array([], pa.bool_()),
-         "inter": pa.array([], pa.int64()), "uni": pa.array([], pa.int64())}
-    )
+    from code_graph_rag_ray.stages.relational import _arrow_schema
+
     if cand.count() == 0:
         import ray.data as rd
 
-        return rd.from_arrow(empty)
+        # empty-result id dtype mirrors the input's
+        id_t = _arrow_schema(ds).field(id_col).type
+        return rd.from_arrow(pa.table(
+            {"a": pa.array([], id_t), "b": pa.array([], id_t),
+             "truncated": pa.array([], pa.bool_()),
+             "inter": pa.array([], pa.int64()), "uni": pa.array([], pa.int64())}
+        ))
 
+    id_t = _arrow_schema(cand).field("a").type
     texts = ds.select_columns([id_col, text_col])
     with_a = bucketed_join(cand, texts, on="a", right_on=id_col)
     with_b = bucketed_join(
         with_a, texts, on="b", right_on=id_col,
         left_schema=pa.schema(
-            [("a", pa.int64()), ("b", pa.int64()), ("truncated", pa.bool_()),
+            [("a", id_t), ("b", id_t), ("truncated", pa.bool_()),
              (text_col, pa.string())]
         ),
     )

@@ -23,72 +23,128 @@ from code_graph_rag_ray.stages.relational import partial_groupby_sum
 # sentinel for rolled-up key levels — matches SQL ROLLUP's NULL fill
 ROLLUP_ALL = None
 
+# Internal stand-in for "this key is rolled up" while the rows ride a
+# groupby (Ray's sort shuffle mishandles genuinely-null keys); converted
+# back to SQL NULL in the final map. Contains \x00 so no real key collides.
+_ALL = "\x00\x01__ROLLUP_ALL__\x01\x00"
+
+
+def grouping_sets_sum(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    sets: list[tuple[str, ...]],
+    *,
+    out_col: str = "total",
+) -> Dataset:
+    """SUM(value) GROUP BY GROUPING SETS(sets) in ONE two-phase pass.
+
+    Each input batch is locally aggregated once per grouping set (Arrow
+    group_by combiner), rolled-up keys filled with a sentinel string, and
+    all sets' partials ride a SINGLE global groupby — one shuffle total,
+    regardless of how many sets there are, and the exchange carries only
+    (sets × groups-per-batch) partial rows, never the input. The earlier
+    design (one cascade aggregation per level + union) paid k+1 shuffles
+    and emitted schema-less empty blocks from the tiny unions; this one is
+    warning-clean and strictly cheaper.
+
+    SQL semantics pinned: the ``()`` grand-total set (when present) always
+    emits exactly one row, even over EMPTY input (sum NULL then) — a
+    typed seed row with a NULL partial rides the same groupby and is
+    ignored by the null-skipping Sum otherwise.
+
+    Key columns must be castable to string (SQL ROLLUP's NULL fill is
+    typed here as string nulls); values must be int64 (the engine's
+    fixed-point convention — exactly re-aggregatable partial sums).
+
+    Reference parity: the reference's stats pass aggregates node/edge
+    counts per label then totals them in process (``graph_service.py``
+    summary queries); this is the distributed equivalent.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    sets = [tuple(s) for s in sets]
+    p_col = f"{out_col}__p"
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {**{k: pa.array([], pa.string()) for k in keys},
+             p_col: pa.array([], pa.int64())}
+        )
+
+    def partial_sets(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty()
+        parts: list[pa.Table] = []
+        for kept in sets:
+            if kept:
+                t = pa.TableGroupBy(
+                    b.select(list(kept) + [value_col]), list(kept),
+                    use_threads=False,
+                ).aggregate([(value_col, "sum")])
+                n = t.num_rows
+                vals = pc.cast(t[f"{value_col}_sum"], pa.int64())
+                kept_cols = {k: pc.cast(t[k], pa.string()) for k in kept}
+            else:
+                n = 1
+                vals = pa.array([pc.sum(b[value_col]).as_py()], pa.int64())
+                kept_cols = {}
+            cols = {
+                k: kept_cols[k] if k in kept_cols
+                else pa.array([_ALL] * n, pa.string())
+                for k in keys
+            }
+            cols[p_col] = vals
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    partials = ds.map_batches(partial_sets, batch_format="pyarrow")
+    if () in sets:
+        # seed guarantees the grand-total row exists on empty input (its
+        # NULL partial is otherwise ignored by the null-skipping Sum)
+        seed = pa.table(
+            {**{k: pa.array([_ALL], pa.string()) for k in keys},
+             p_col: pa.array([None], pa.int64())}
+        )
+        partials = partials.union(rd.from_arrow(seed))
+    try:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:  # pragma: no cover
+        ncpu = 16
+    # partials are tiny (one row per set per group per block) — coalesce
+    # before the groupby (per-input-block sort cost, NOTES.md fact 6)
+    partials = partials.repartition(max(8, ncpu // 2))
+    agg = partials.groupby(keys).aggregate(Sum(p_col, alias_name=out_col))
+
+    def unsentinel(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or not b.column_names:
+            return pa.table(
+                {**{k: pa.array([], pa.string()) for k in keys},
+                 out_col: pa.array([], pa.int64())}
+            )
+        cols = {
+            k: pc.if_else(pc.equal(b[k], pa.scalar(_ALL)),
+                          pa.scalar(None, pa.string()), b[k])
+            for k in keys
+        }
+        cols[out_col] = b[out_col]
+        return pa.table(cols)
+
+    return agg.map_batches(unsentinel, batch_format="pyarrow")
+
 
 def rollup_sum(
     ds: Dataset, keys: list[str], value_col: str, *, out_col: str = "total"
 ) -> Dataset:
     """SUM(value) GROUP BY ROLLUP(keys): one row per prefix level of
     ``keys``, coarser levels carrying NULL in the rolled-up columns
-    (SQL ROLLUP semantics). The base data is aggregated ONCE (two-phase);
-    each coarser level re-aggregates the previous level's output — already
-    group-cardinality-sized, so the cascade is near-free.
-
-    Sums must be exactly re-aggregatable: use int64 values (the engine's
-    fixed-point convention) — float partial sums would drift between
-    levels.
-
-    Key columns must be strings (SQL ROLLUP's NULL fill is typed here as
-    string nulls). Each level is materialized — group-cardinality-sized,
-    NOT input-sized — because it feeds both the union and the next-coarser
-    aggregation; without it the lazy base pipeline would re-execute per
-    level."""
-    finest = partial_groupby_sum(ds, keys, {value_col: out_col}).materialize()
-    levels = [
-        finest.map_batches(
-            lambda b: b.select(keys + [out_col]), batch_format="pyarrow"
-        )
-    ]
-    prev = finest
-    for depth in range(len(keys) - 1, -1, -1):
-        kept = keys[:depth]
-        if kept:
-            coarser = partial_groupby_sum(
-                prev, kept, {out_col: out_col}
-            ).materialize()
-        else:
-            from ray.data.aggregate import Sum
-
-            total = prev.aggregate(Sum(out_col, alias_name=out_col))[out_col]
-            coarser = None
-        rolled = keys[depth:]
-
-        def fill(b: pa.Table, _rolled=tuple(rolled), _kept=tuple(kept)) -> pa.Table:
-            cols = {k: b[k] for k in _kept}
-            for k in _rolled:
-                cols[k] = pa.nulls(len(b), pa.string())
-            cols[out_col] = b[out_col]
-            return pa.table(cols)
-
-        if coarser is not None:
-            levels.append(
-                coarser.map_batches(fill, batch_format="pyarrow")
-            )
-            prev = coarser
-        else:
-            grand = pa.table(
-                {**{k: pa.nulls(1, pa.string()) for k in keys},
-                 out_col: pa.array([total])}
-            )
-            import ray.data as rd
-
-            levels.append(rd.from_arrow(grand))
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.union(lv)
-    # normalize block types (NOTES.md fact 14) and column order
-    return out.map_batches(
-        lambda b: b.select(keys + [out_col]), batch_format="pyarrow"
-    )
+    (SQL ROLLUP semantics). One two-phase pass over the input — all k+1
+    levels ride a single shuffle (see grouping_sets_sum)."""
+    sets = [tuple(keys[:d]) for d in range(len(keys), -1, -1)]
+    return grouping_sets_sum(ds, keys, value_col, sets, out_col=out_col)
 
 
 def cube_sum(
@@ -96,48 +152,14 @@ def cube_sum(
 ) -> Dataset:
     """SUM(value) GROUP BY CUBE(keys): one row per SUBSET of ``keys``
     (all 2^k grouping sets), absent keys NULL-filled — ROLLUP's
-    all-subsets sibling. Same scale story: the input is aggregated ONCE
-    into the finest level; every other grouping set re-aggregates the
-    finest output (group-cardinality-sized), so 2^k sets cost 2^k cheap
-    passes over the SMALL table, never over the data. Key columns must be
-    strings; values int64 (exactly re-aggregatable)."""
-    import ray.data as rd
-    from ray.data.aggregate import Sum
-
-    finest = partial_groupby_sum(ds, keys, {value_col: out_col}).materialize()
-    levels = [
-        finest.map_batches(
-            lambda b: b.select(keys + [out_col]), batch_format="pyarrow"
-        )
-    ]
+    all-subsets sibling, again in ONE two-phase pass (grouping_sets_sum);
+    2^k sets only multiply the tiny partial rows, never the input."""
     n = len(keys)
-    for mask in range(2**n - 2, -1, -1):  # every proper subset, incl. {}
-        kept = [k for i, k in enumerate(keys) if mask & (1 << i)]
-        dropped = [k for k in keys if k not in kept]
-        if kept:
-            sub = partial_groupby_sum(finest, kept, {out_col: out_col})
-
-            def fill(b: pa.Table, _kept=tuple(kept), _dropped=tuple(dropped)) -> pa.Table:
-                cols = {}
-                for k in keys:
-                    cols[k] = b[k] if k in _kept else pa.nulls(len(b), pa.string())
-                cols[out_col] = b[out_col]
-                return pa.table(cols)
-
-            levels.append(sub.map_batches(fill, batch_format="pyarrow"))
-        else:
-            total = finest.aggregate(Sum(out_col, alias_name=out_col))[out_col]
-            grand = pa.table(
-                {**{k: pa.nulls(1, pa.string()) for k in keys},
-                 out_col: pa.array([total])}
-            )
-            levels.append(rd.from_arrow(grand))
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.union(lv)
-    return out.map_batches(
-        lambda b: b.select(keys + [out_col]), batch_format="pyarrow"
-    )
+    sets = [
+        tuple(k for i, k in enumerate(keys) if mask & (1 << i))
+        for mask in range(2**n - 1, -1, -1)
+    ]
+    return grouping_sets_sum(ds, keys, value_col, sets, out_col=out_col)
 
 
 def pivot_sum(

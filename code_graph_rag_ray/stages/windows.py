@@ -907,4 +907,15 @@ def strict_funnel(
         .groupby("__bk")
         .map_groups(funnel, batch_format="pandas")
     )
-    return partial_groupby_sum(parts, ["step"], {"n_p": "n_keys"})
+    # constant zero seed per step: SQL's chained-CTE funnel always emits
+    # one row per step even when NO step-type events exist; without it
+    # this would return an empty dataset on that degenerate input. Seed
+    # is a pandas block — map_groups emits pandas, and a mixed-type union
+    # fails at execution (NOTES.md facts 14/23).
+    import ray.data as rd
+
+    seed = rd.from_pandas(pd.DataFrame(
+        {"step": [f"{i + 1}_{st}" for i, st in enumerate(steps)],
+         "n_p": np.zeros(len(steps), np.int64)}
+    ))
+    return partial_groupby_sum(parts.union(seed), ["step"], {"n_p": "n_keys"})

@@ -298,3 +298,23 @@ def test_prefix_jaccard_join_equals_bruteforce():
             if inter * 5 >= 4 * uni:
                 exp[(i, j)] = (inter, uni)
     assert got == exp and (3, 7) in got
+
+
+def test_prefix_jaccard_join_string_ids():
+    # id dtype generalization: string doc ids flow through prefix rows,
+    # bucketed candidates and the verify joins (ADVICE round-2)
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.dedup import prefix_jaccard_join
+
+    text = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    near = text + " w10"  # high-overlap shingle sets
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["docA", "docB", "docC"], pa.string()),
+        "text": pa.array([text, near, "zz aa bb cc dd ee ff gg hh ii"],
+                         pa.string()),
+    }))
+    out = prefix_jaccard_join(ds, tau=(1, 2)).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert ("docA", "docB") in pairs
+    assert all(isinstance(a, str) for a in out["a"])

@@ -57,3 +57,26 @@ def test_cube_all_grouping_sets_exact():
             (None, None): 11111,
         }
         assert len(out) == 10
+
+
+def test_rollup_empty_input_emits_grand_total_row():
+    # SQL ROLLUP over an empty table still returns the () grouping set:
+    # one row, all keys NULL, sum NULL
+    empty = rd.from_arrow(pa.table(
+        {"k1": pa.array([], pa.string()), "k2": pa.array([], pa.string()),
+         "v": pa.array([], pa.int64())}
+    ))
+    out = rollup_sum(empty, ["k1", "k2"], "v").take_all()
+    assert len(out) == 1
+    assert out[0]["k1"] is None and out[0]["k2"] is None
+    assert out[0]["total"] is None
+
+
+def test_grouping_sets_single_shuffle_matches_manual():
+    from code_graph_rag_ray.stages.reshape import grouping_sets_sum
+
+    ds = rd.from_arrow(pa.Table.from_pylist(ROWS)).repartition(2)
+    out = grouping_sets_sum(ds, ["k1", "k2"], "v",
+                            [("k1",), ()], out_col="t").take_all()
+    got = {(r["k1"], r["k2"]): r["t"] for r in out}
+    assert got == {("a", None): 111, ("b", None): 11000, (None, None): 11111}

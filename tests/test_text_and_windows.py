@@ -615,3 +615,21 @@ def test_transition_counts_null_types_dropped():
            for r in transition_counts(rd.from_pandas(df)).take_all()}
     # null row dropped entirely: sequence is a -> b -> a
     assert got == {("a", "b"): 1, ("b", "a"): 1}
+
+
+def test_strict_funnel_no_step_events_emits_zero_rows():
+    # degenerate input: no step-type events at all — SQL's chained-CTE
+    # funnel still emits one zero-count row per step (ADVICE round-2)
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.windows import strict_funnel
+
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["other", "noise"], pa.string()),
+    }))
+    out = {r["step"]: r["n_keys"]
+           for r in strict_funnel(ds, ["view", "cart", "buy"]).take_all()}
+    assert out == {"1_view": 0, "2_cart": 0, "3_buy": 0}

@@ -35,6 +35,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 EXACT = "--exact" in sys.argv  # driver-style bit-exact value compare
+# --physical additionally requires identical pandas dtypes and identical
+# pd.util.hash_pandas_object digests — the driver's value hash is
+# physical-representation-sensitive (int64 vs float64, pd.NA vs NaN), so
+# a query can pass --exact yet fail the driver (round-2's rollup/cube/
+# outer-join lesson). Run the full sweep with --physical before a round
+# ends.
+PHYSICAL = "--physical" in sys.argv
 
 
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
@@ -44,6 +51,27 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
         return problems
     if len(ray_df) != len(sql_df):
         problems.append(f"rows: ray={len(ray_df)} sql={len(sql_df)}")
+    if PHYSICAL:
+        rd_ = ray_df[sorted(ray_df.columns)]
+        sd_ = sql_df[sorted(sql_df.columns)]
+        dt_a = {c: str(rd_[c].dtype) for c in rd_.columns}
+        dt_b = {c: str(sd_[c].dtype) for c in sd_.columns}
+        if dt_a != dt_b:
+            problems.append(
+                "physical dtypes: " + ", ".join(
+                    f"{c}: ray={dt_a[c]} sql={dt_b[c]}"
+                    for c in dt_a if dt_a[c] != dt_b[c]))
+        elif len(rd_) == len(sd_):
+            key = list(rd_.columns)
+            a_s = rd_.sort_values(key, kind="mergesort",
+                                  na_position="last").reset_index(drop=True)
+            b_s = sd_.sort_values(key, kind="mergesort",
+                                  na_position="last").reset_index(drop=True)
+            ha = pd.util.hash_pandas_object(a_s, index=False).sum()
+            hb = pd.util.hash_pandas_object(b_s, index=False).sum()
+            if ha != hb:
+                problems.append("physical hash: pandas value-hash differs "
+                                "(null representation or raw bytes)")
     a, b = canon(ray_df), canon(sql_df)
     if len(a) == len(b):
         try:
@@ -62,7 +90,7 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
 def main() -> int:
     import ray
 
-    argv = [a for a in sys.argv[1:] if a != "--exact"]
+    argv = [a for a in sys.argv[1:] if a not in ("--exact", "--physical")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
 
