@@ -175,18 +175,24 @@ def q3_top_revenue_orders(sf_dir: str):
         )
         return pa.table({"l_orderkey": b["l_orderkey"], "rev_cc": rev_cc})
 
-    # lineitem streams against the (filtered) join OUTPUT held in the
-    # object store — worker-side broadcast, never on the driver. The
-    # broadcast side is the date+segment-filtered orders projection; if
-    # that outgrows a worker heap, switch to bucketed_join.
-    joined = broadcast_join(
+    # lineitem streams against the (filtered) join OUTPUT: adaptive_join
+    # measures the date+segment-filtered orders projection and broadcasts
+    # it (object-store blocks, never the driver) only while it fits the
+    # worker budget — past that it degrades to the bucketed exchange
+    # automatically, so the plan survives any scale unchanged.
+    from code_graph_rag_ray.stages.relational import adaptive_join
+
+    joined = adaptive_join(
         li.map_batches(add_rev, batch_format="pyarrow"),
         oc, on="l_orderkey", right_on="o_orderkey",
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.string())]),
     )
     agg = partial_groupby_sum(
-        joined, ["o_orderkey", "o_orderdate"], {"rev_cc": "rev_cc"},
+        joined, ["l_orderkey", "o_orderdate"], {"rev_cc": "rev_cc"},
     )
     top = top_k(agg, "rev_cc", 10).to_pandas()
+    top = top.rename(columns={"l_orderkey": "o_orderkey"})
     top = top.sort_values(["rev_cc", "o_orderkey"], ascending=[False, True]).head(10)
     # integer half-away rounding to cents — exact, tie-mode independent
     top["revenue"] = ((top["rev_cc"] + 50) // 100) / 100.0
@@ -241,13 +247,18 @@ def q5_nation_revenue(sf_dir: str):
              "rev_cc": rev_cc}
         )
 
-    # lineitem streams against the orders⋈customer OUTPUT via worker-side
-    # broadcast (object-store blocks, never the driver); at a scale where
-    # the orderkey→nationkey projection outgrows a worker heap, switch to
-    # bucketed_join.
-    joined = broadcast_join(
+    # lineitem joins the orders⋈customer OUTPUT through adaptive_join:
+    # the orderkey→nationkey projection is measured, broadcast while it
+    # fits the worker budget (object-store blocks, never the driver) and
+    # exchanged through the bucketed cogroup once it doesn't — the
+    # 100×-scale plan needs no code change.
+    from code_graph_rag_ray.stages.relational import adaptive_join
+
+    joined = adaptive_join(
         li.map_batches(prep, batch_format="pyarrow"),
         oc, on="l_orderkey", right_on="o_orderkey",
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]),
     )
 
     def resolve(b: pa.Table) -> pa.Table:

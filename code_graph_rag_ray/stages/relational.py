@@ -395,6 +395,71 @@ def bucketed_join(
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
+#: default worker-heap budget for a broadcast join side. One broadcast
+#: copy is pinned per worker process, so the budget must be a fraction of
+#: a worker's heap, not of the node: 256 MB keeps 8-16 workers/node safe.
+BROADCAST_BUDGET_BYTES = 256 << 20
+
+
+def adaptive_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    broadcast_budget_bytes: int | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Equi-join that PICKS its physical plan from the right side's
+    measured size: broadcast (map-side hash lookup, zero shuffle of the
+    left) when the right side fits ``broadcast_budget_bytes``, else the
+    bucketed cogroup shuffle join — so the scale-safe plan is the
+    default, not a comment telling the user to switch.
+
+    The right side is materialized once to measure it; both physical
+    plans consume those same object-store blocks (the broadcast path
+    reads them via ``to_arrow_refs``, the bucketed path re-streams them),
+    so the probe costs no extra pass — only pinning, which the object
+    store spills if the side turns out large. At 10^12-doc scale a
+    fact-scale right side blows the budget and the plan degrades to the
+    bucketed exchange automatically; on a laptop-scale run the broadcast
+    fast path wins. Only ``inner``/``left`` are eligible for broadcast
+    (a broadcast right side cannot produce right-unmatched rows).
+
+    Env override ``GRAFT_BROADCAST_BUDGET`` (bytes) tunes the threshold
+    without code changes — set it per deployment to ~1/8 of a worker
+    heap.
+    """
+    import os
+
+    if broadcast_budget_bytes is None:
+        broadcast_budget_bytes = int(
+            os.environ.get("GRAFT_BROADCAST_BUDGET", BROADCAST_BUDGET_BYTES)
+        )
+    right = right.materialize()
+    size = right.size_bytes() or 0
+    if how in ("inner", "left") and size <= broadcast_budget_bytes:
+        out = broadcast_join(left, right, on=on, right_on=right_on, how=how)
+        rkey = right_on or on
+        if rkey != on:
+            # match bucketed_join's output contract: the right key column
+            # is redundant with the left's and dropped, so both physical
+            # plans present one schema to the consumer
+            out = out.map_batches(
+                lambda df: df.drop(columns=[rkey], errors="ignore"),
+                batch_format="pandas",
+            )
+        return out
+    return bucketed_join(
+        left, right, on=on, right_on=right_on, how=how,
+        left_schema=left_schema, right_schema=right_schema,
+        num_buckets=num_buckets,
+    )
+
+
 def partial_groupby_sum(
     ds: Dataset,
     keys: list[str],

@@ -319,3 +319,37 @@ def test_grouped_trimmed_sum_exact_vs_brute():
         assert set(got) == {"w", "one"}
         for name in ("w", "one"):
             assert got[name] == brute(name), (name, blocks)
+
+
+def test_adaptive_join_both_plans_identical():
+    # budget=0 forces the bucketed exchange; a huge budget picks the
+    # broadcast fast path — both physical plans must present the SAME
+    # schema and rows (VERDICT r2: scale-safe plan as the default)
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.relational import adaptive_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, 5], pa.int64()),
+        "v": pa.array([10, 20, 21, 30, 50], pa.int64()),
+    })).repartition(2)
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([1, 2, 4], pa.int64()),
+        "w": pa.array(["a", "b", "d"], pa.string()),
+    }))
+
+    def run(budget):
+        df = adaptive_join(
+            left, right, on="k", right_on="rk",
+            broadcast_budget_bytes=budget,
+            right_schema=pa.schema([("rk", pa.int64()), ("w", pa.string())]),
+        ).to_pandas()
+        return df.sort_values(["k", "v"]).reset_index(drop=True)
+
+    a, b = run(1 << 40), run(0)
+    assert sorted(a.columns) == sorted(b.columns)
+    assert len(a) == 3  # k=1 once, k=2 twice, k=3/5 unmatched
+    import pandas as pd
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)],
+                                  check_dtype=False)
