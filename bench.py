@@ -174,7 +174,8 @@ def run_bench() -> dict:
             "events_cohort_retention", "q10_returned_items",
             "events_transitions", "doc_para_dedup_apply",
             "doc_jaccard_join", "events_value_quantiles",
-            "corpus_bigrams")
+            "corpus_bigrams", "doc_minhash_pairs_fast",
+            "doc_dup_spans_fast")
         for name in names:
             t0 = time.perf_counter()
             res = catalog.QUERIES[name](sf_dir)

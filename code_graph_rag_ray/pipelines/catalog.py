@@ -2837,7 +2837,9 @@ def doc_minhash_pairs(sf_dir: str):
     from code_graph_rag_ray.stages.dedup import minhash_near_dup_pairs
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
-    out = minhash_near_dup_pairs(ds, verify_threshold=0.8).to_pandas()
+    # md5 audit family: the DuckDB oracle replays these exact hash values
+    out = minhash_near_dup_pairs(ds, verify_threshold=0.8,
+                                 hash_family="md5").to_pandas()
     return _ensure_cols(
         out, {"a": "int64", "b": "int64", "truncated": "bool",
               "jaccard": "float64"}
@@ -2851,7 +2853,8 @@ def doc_simhash(sf_dir: str):
     from code_graph_rag_ray.stages.dedup import simhash_batch_factory
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(simhash_batch_factory(), batch_format="pyarrow")
+    return ds.map_batches(simhash_batch_factory(hash_family="md5"),
+                          batch_format="pyarrow")
 
 
 # Shared CTE: per-doc SimHash recomputed exactly — md5-low32 of word-bigram
@@ -3028,7 +3031,8 @@ def doc_simhash_pairs(sf_dir: str):
     from code_graph_rag_ray.stages.dedup import simhash_near_dup_pairs
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
-    out = simhash_near_dup_pairs(ds, max_hamming=3).to_pandas()
+    out = simhash_near_dup_pairs(ds, max_hamming=3,
+                                 hash_family="md5").to_pandas()
     return _ensure_cols(out, {"a": "int64", "b": "int64", "hamming": "int64"})
 
 
@@ -3310,6 +3314,49 @@ def doc_dup_spans(sf_dir: str):
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     return dup_ngram_spans(ds, w=8, min_docs=2)
+
+
+def doc_minhash_pairs_fast(sf_dir: str):
+    """MinHash+LSH near-dup pairs on the PRODUCTION hash family — fully
+    vectorized shingling (dict-encoded siphash tokens, rolling polynomial
+    windows) and batch signatures; ~3.7× the md5 audit family's per-core
+    throughput. Rows-only check by design: siphash isn't replayable in
+    SQL — `doc_minhash_pairs` (md5 family, same code path) carries the
+    bit-exact oracle, and a pytest pins the fast family's planted-pair
+    recall + structural parity with md5."""
+    from code_graph_rag_ray.stages.dedup import minhash_near_dup_pairs
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_near_dup_pairs(ds, verify_threshold=0.8,
+                                 hash_family="fast").to_pandas()
+    return _ensure_cols(
+        out, {"a": "int64", "b": "int64", "truncated": "bool",
+              "jaccard": "float64"}
+    )
+
+
+def doc_simhash_pairs_fast(sf_dir: str):
+    """SimHash near-dup pairs on the production hash family (vectorized
+    bit votes via per-bit reduceat). Rows-only: `doc_simhash_pairs` (md5)
+    is the SQL-replayable audit twin."""
+    from code_graph_rag_ray.stages.dedup import simhash_near_dup_pairs
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = simhash_near_dup_pairs(ds, max_hamming=3,
+                                 hash_family="fast").to_pandas()
+    return _ensure_cols(out, {"a": "int64", "b": "int64", "hamming": "int64"})
+
+
+def doc_dup_spans_fast(sf_dir: str):
+    """Duplicated-span detection on the production rolling-hash family —
+    one vectorized pass per batch (no per-window md5). Rows-only:
+    `doc_dup_spans` (md5-high-60) is the SQL-replayable audit twin; a
+    pytest pins structural parity ((n_docs, min_doc) multiset) between
+    the families."""
+    from code_graph_rag_ray.stages.dedup import dup_ngram_spans
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return dup_ngram_spans(ds, w=8, min_docs=2, hash_family="fast")
 
 
 DOC_DUP_SPANS_SQL = """
@@ -5148,6 +5195,11 @@ QUERIES = {
     "knn_ivf_recall": knn_ivf_recall,
     "media_features": media_features,
     "doc_compression": doc_compression,
+    # production (siphash) hash family — md5 twins above carry the
+    # bit-exact oracles; pytest pins cross-family structural parity
+    "doc_minhash_pairs_fast": doc_minhash_pairs_fast,
+    "doc_simhash_pairs_fast": doc_simhash_pairs_fast,
+    "doc_dup_spans_fast": doc_dup_spans_fast,
 }
 
 MEDIA_FRAMES_SQL = """

@@ -25,10 +25,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from code_graph_rag_ray.functions.hashing import md5_hex_array
+from code_graph_rag_ray.functions.hashing import (
+    _MULT,
+    _splitmix,
+    md5_hex_array,
+)
 from code_graph_rag_ray.stages.components import connected_components
 
 _M61 = (1 << 61) - 1
+_MASK32 = np.uint64(0xFFFFFFFF)
 
 
 def _token_hashes(text: str, n: int = 3) -> np.ndarray:
@@ -58,6 +63,101 @@ def _token_hashes(text: str, n: int = 3) -> np.ndarray:
     )
 
 
+def _fast_shingle_hashes_flat(
+    texts, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-VECTORIZED word-n-gram shingle hashes — the fast hash family.
+
+    Returns ``(hashes, offsets)``: ``hashes`` is the flat uint64 array of
+    per-window hashes (masked to 32 bits, preserving MinHasher's
+    exact-product property), doc ``d``'s windows live at
+    ``hashes[offsets[d]:offsets[d+1]]``. Docs with fewer than ``n`` tokens
+    contribute ONE whole-text hash (mirroring the md5 family's fallback),
+    so every doc has at least one hash.
+
+    Zero Python-per-row work: Arrow splits tokens and dictionary-encodes
+    the flat token array (C++), ``pd.util.hash_array`` (cython siphash
+    with pandas' fixed default key — deterministic across
+    processes/platforms) hashes only the UNIQUE tokens (vocab ≪ token
+    count), an int gather fans the hashes back out, the n-gram combine is
+    ``n-1`` fused multiply-adds over the flat token-hash array, and the
+    ragged per-doc gather is a repeat/cumsum index build. This is the
+    default family for the dedup signatures; ``hash_family="md5"``
+    selects the per-shingle md5 loop whose values DuckDB can replay (the
+    audit/oracle variant — same split as ``stages/bloom.py``).
+    """
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(pc.cast(texts, pa.string()), "")
+    toks = pc.utf8_split_whitespace(texts)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    off = off - off[0]
+    ndocs = len(texts)
+    # Arrow keeps empty boundary tokens (" a b " → ["","a","b",""]);
+    # Python .split() drops them — filter to match that tokenization
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    # kept-token count per doc via one cumsum (no astype copy / reduceat)
+    kc = np.zeros(len(keep_np) + 1, dtype=np.int64)
+    np.cumsum(keep_np, dtype=np.int64, out=kc[1:])
+    counts = kc[off[1:]] - kc[off[:-1]]
+    flat = flat.filter(keep)
+    # hash the vocabulary once, gather per token — identical values to
+    # hashing every token (hash_array is element-independent), but the
+    # python-object hashing cost is O(vocab) not O(tokens)
+    d = pc.dictionary_encode(flat)
+    uh = pd.util.hash_array(d.dictionary.to_numpy(zero_copy_only=False))
+    th = uh[d.indices.to_numpy(zero_copy_only=False)]
+
+    m = len(th) - (n - 1)
+    acc = np.empty(0, dtype=np.uint64)
+    if m > 0:
+        acc = th[:m].copy()
+        for k in range(1, n):
+            acc *= _MULT
+            acc += th[k : k + m]
+        acc = _splitmix(acc) & _MASK32
+    tok_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+
+    out_counts = np.where(counts >= n, counts - n + 1, 1)
+    out_off = np.concatenate(([0], np.cumsum(out_counts)))
+    total = int(out_off[-1])
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), out_counts)
+    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(
+        out_off[:-1], out_counts
+    )
+    out = np.empty(total, dtype=np.uint64)
+    is_win = (counts >= n)[doc_of]
+    if is_win.any():
+        out[is_win] = acc[(tok_starts[doc_of] + pos_in_doc)[is_win]]
+    if not is_win.all():
+        short = np.flatnonzero(counts < n)  # one fallback hash per short doc
+        fb = _splitmix(pd.util.hash_array(
+            texts.take(pa.array(short)).to_numpy(zero_copy_only=False)
+        )) & _MASK32
+        out[~is_win] = fb  # out_counts is exactly 1 for every short doc
+    return out, out_off
+
+
+def _token_hashes_fast(text: str, n: int = 3) -> np.ndarray:
+    """Single-doc wrapper over :func:`_fast_shingle_hashes_flat`."""
+    h, _ = _fast_shingle_hashes_flat([text], n)
+    return h
+
+
+def _token_hashes_family(text: str, n: int, hash_family: str) -> np.ndarray:
+    if hash_family == "fast":
+        return _token_hashes_fast(text, n)
+    if hash_family != "md5":
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    return _token_hashes(text, n)
+
+
 class MinHasher:
     """num_perm universal-hash minhash signatures ((a*x+b) mod p)."""
 
@@ -76,14 +176,59 @@ class MinHasher:
         vals = (np.outer(self.a, x) + self.b[:, None]) % _M61
         return vals.min(axis=1)
 
+    def signatures_flat(
+        self, hashes: np.ndarray, offsets: np.ndarray,
+        *, chunk: int = 8192,
+    ) -> np.ndarray:
+        """(ndocs, num_perm) signatures for a WHOLE batch in one shot.
+
+        One (num_perm × chunk) universal-hash matrix at a time over the
+        flat shingle array, per-doc mins via ``minimum.reduceat`` — no
+        Python-per-doc loop. Every doc must own ≥ 1 hash (the flat
+        producer guarantees a fallback hash), so reduceat segments are
+        never empty. Bounded peak memory: chunked along the shingle axis.
+        """
+        ndocs = len(offsets) - 1
+        P = len(self.a)
+        sig = np.full((ndocs, P), np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = hashes & _MASK32
+        starts = offsets[:-1]
+        m61 = np.uint64(_M61)
+        for lo in range(0, len(x), chunk):
+            hi = min(lo + chunk, len(x))
+            # (a*x+b) mod M61 via the Mersenne fold — a is 31-bit and x
+            # 32-bit so a*x+b < 2^64 never overflows; fold ≡ mod for
+            # inputs < 2^64 here and skips uint64 division (~1.4×)
+            vals = self.a[:, None] * x[None, lo:hi]
+            vals += self.b[:, None]
+            folded = vals & m61
+            folded += vals >> np.uint64(61)
+            np.subtract(folded, m61, out=folded, where=folded >= m61)
+            # docs whose windows intersect [lo, hi)
+            d0 = int(np.searchsorted(starts, lo, side="right") - 1)
+            d1 = int(np.searchsorted(starts, hi, side="left"))
+            seg = np.clip(starts[d0:d1], lo, hi) - lo
+            part = np.minimum.reduceat(folded, seg, axis=1).T
+            np.minimum(sig[d0:d1], part, out=sig[d0:d1])
+        return sig
+
 
 def minhash_bands_batch_factory(*, num_perm: int = 64, bands: int = 16, shingle: int = 3,
-                                id_col: str = "doc_id", text_col: str = "text"):
-    """Stateless batch fn: docs → (id, band, band_hash) rows (LSH explode)."""
+                                id_col: str = "doc_id", text_col: str = "text",
+                                hash_family: str = "fast"):
+    """Stateless batch fn: docs → (id, band, band_hash) rows (LSH explode).
+
+    ``hash_family="fast"`` (default) is fully vectorized end to end:
+    batch shingle hashes (:func:`_fast_shingle_hashes_flat`), batch
+    signatures (``MinHasher.signatures_flat``), and a polynomial band
+    fold — no Python loop anywhere. ``"md5"`` keeps the per-shingle md5 +
+    per-band crc32 values that the DuckDB oracle replays bit-exactly
+    (the audit variant; same fast/md5 split as ``stages/bloom.py``).
+    """
     hasher = MinHasher(num_perm)
     rows_per_band = num_perm // bands
 
-    def fn(batch: pa.Table) -> pa.Table:
+    def fn_md5(batch: pa.Table) -> pa.Table:
         import zlib
 
         ids, bands_out, hashes = [], [], []
@@ -99,14 +244,47 @@ def minhash_bands_batch_factory(*, num_perm: int = 64, bands: int = 16, shingle:
              "band_hash": pa.array(hashes, pa.int64())}
         )
 
-    return fn
+    def fn_fast(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {id_col: pa.array([], batch[id_col].type),
+                 "band": pa.array([], pa.int32()),
+                 "band_hash": pa.array([], pa.int64())}
+            )
+        h, off = _fast_shingle_hashes_flat(batch[text_col], shingle)
+        sig = hasher.signatures_flat(h, off)          # (n, num_perm)
+        grp = sig.reshape(n, bands, rows_per_band)    # fold each band
+        acc = grp[:, :, 0].copy()
+        for k in range(1, rows_per_band):
+            acc *= _MULT
+            acc += grp[:, :, k]
+        bh = (_splitmix(acc) >> np.uint64(1)).astype(np.int64)  # int64-safe
+        ids = batch[id_col].take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), bands)))
+        return pa.table(
+            {id_col: ids,
+             "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+             "band_hash": pa.array(bh.reshape(-1))}
+        )
+
+    if hash_family == "fast":
+        return fn_fast
+    if hash_family != "md5":
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    return fn_md5
 
 
 def simhash_batch_factory(*, bits: int = 64, shingle: int = 2,
-                          id_col: str = "doc_id", text_col: str = "text"):
-    """Stateless batch fn: docs → (id, simhash) 64-bit signatures."""
+                          id_col: str = "doc_id", text_col: str = "text",
+                          hash_family: str = "fast"):
+    """Stateless batch fn: docs → (id, simhash) 64-bit signatures.
 
-    def fn(batch: pa.Table) -> pa.Table:
+    ``hash_family="fast"`` (default) computes bit votes for the whole
+    batch with one (total_shingles × bits) unpack + per-doc ``reduceat``;
+    ``"md5"`` is the oracle-replayable audit variant (per-shingle md5)."""
+
+    def fn_md5(batch: pa.Table) -> pa.Table:
         out = []
         for t in batch[text_col].to_pylist():
             hs = _token_hashes(t or "", shingle)
@@ -117,7 +295,31 @@ def simhash_batch_factory(*, bits: int = 64, shingle: int = 2,
             out.append(sim & 0x7FFFFFFFFFFFFFFF)
         return pa.table({id_col: batch[id_col], "simhash": pa.array(out, pa.int64())})
 
-    return fn
+    def fn_fast(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], batch[id_col].type),
+                             "simhash": pa.array([], pa.int64())})
+        h, off = _fast_shingle_hashes_flat(batch[text_col], shingle)
+        counts = np.diff(off)
+        sims = np.zeros(n, dtype=np.uint64)
+        # one small reduceat pass per bit position (hashes are 32-bit, so
+        # higher bits always vote 0) — a single (shingles × bits) vote
+        # matrix would be a >100 MB allocation, which this VM class pays
+        # dearly for; 32 cache-sized passes are strictly faster
+        for b in range(min(bits, 32)):
+            bitvals = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            ones = np.add.reduceat(bitvals, off[:-1])
+            sims |= ((ones * 2 - counts) > 0).astype(np.uint64) << np.uint64(b)
+        sims &= np.uint64(0x7FFFFFFFFFFFFFFF)
+        return pa.table({id_col: batch[id_col],
+                         "simhash": pa.array(sims.astype(np.int64))})
+
+    if hash_family == "fast":
+        return fn_fast
+    if hash_family != "md5":
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    return fn_md5
 
 
 def simhash_near_dup_pairs(
@@ -128,6 +330,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     shingle: int = 2,
     max_group: int = 500,
+    hash_family: str = "fast",
 ) -> Dataset:
     """SimHash near-dup pairs: (a, b, hamming) with hamming ≤ ``max_hamming``.
 
@@ -145,7 +348,8 @@ def simhash_near_dup_pairs(
 
     n_bands = max_hamming + 1
     band_bits = 64 // n_bands
-    sig_fn = simhash_batch_factory(shingle=shingle, id_col=id_col, text_col=text_col)
+    sig_fn = simhash_batch_factory(shingle=shingle, id_col=id_col,
+                                   text_col=text_col, hash_family=hash_family)
 
     def explode(batch: pa.Table) -> pa.Table:
         sigs = sig_fn(batch)
@@ -189,8 +393,9 @@ def simhash_near_dup_pairs(
     return exact_dedup(cand, keys=["a", "b"], columns=["a", "b", "hamming"])
 
 
-def jaccard(a: str, b: str, n: int = 3) -> float:
-    sa, sb = set(_token_hashes(a, n).tolist()), set(_token_hashes(b, n).tolist())
+def jaccard(a: str, b: str, n: int = 3, hash_family: str = "md5") -> float:
+    sa = set(_token_hashes_family(a, n, hash_family).tolist())
+    sb = set(_token_hashes_family(b, n, hash_family).tolist())
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(1, len(sa | sb))
@@ -366,6 +571,7 @@ def minhash_near_dup_pairs(
     shingle: int = 3,
     verify_threshold: float = 0.8,
     max_group: int = 200,
+    hash_family: str = "fast",
 ) -> Dataset:
     """MinHash+LSH near-dup: candidate pairs verified by true Jaccard.
 
@@ -384,7 +590,7 @@ def minhash_near_dup_pairs(
     bucket_rows = ds.map_batches(
         minhash_bands_batch_factory(
             num_perm=num_perm, bands=bands, shingle=shingle,
-            id_col=id_col, text_col=text_col,
+            id_col=id_col, text_col=text_col, hash_family=hash_family,
         ),
         batch_format="pyarrow",
     )
@@ -418,7 +624,8 @@ def minhash_near_dup_pairs(
     def verify(batch: pa.Table) -> pa.Table:
         ta = batch[text_col].to_pylist()
         tb = batch[text_col + "_r"].to_pylist()
-        js = [jaccard(x or "", y or "", shingle) for x, y in zip(ta, tb)]
+        js = [jaccard(x or "", y or "", shingle, hash_family)
+              for x, y in zip(ta, tb)]
         t = pa.table(
             {"a": batch["a"], "b": batch["b"], "truncated": batch["truncated"],
              "jaccard": pa.array(js, pa.float64())}
@@ -512,19 +719,32 @@ def embedding_near_dup_pairs(
 def minhash_signature_rows(
     ds: Dataset, *, num_perm: int = 64, shingle: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
+    hash_family: str = "md5",
 ) -> Dataset:
     """docs → (id, perm, sig) unnested MinHash signature rows.
 
-    The oracle-facing form of the MinHash family: md5-low32 shingles and
-    31-bit ``a`` keep every (a*x+b) product exact, so DuckDB can replay the
-    identical universal-hash min per permutation (HUGEINT product, mod
-    M61) — upgrading MinHash from rows-only/pytest-pinned to a bit-exact
-    oracle check. Signature values < 2^61 fit int64."""
+    The oracle-facing form of the MinHash family, so ``hash_family``
+    defaults to ``"md5"``: md5-low32 shingles and 31-bit ``a`` keep every
+    (a*x+b) product exact, so DuckDB can replay the identical
+    universal-hash min per permutation (HUGEINT product, mod M61) —
+    upgrading MinHash from rows-only/pytest-pinned to a bit-exact oracle
+    check. Signature values < 2^61 fit int64. ``"fast"`` computes the
+    same shape from the vectorized hash family (no SQL replay)."""
     hasher = MinHasher(num_perm)
 
     def fn(batch: pa.Table) -> pa.Table:
         ids, perms, sigs = [], [], []
         prange = np.arange(num_perm, dtype=np.int32)
+        if hash_family == "fast" and batch.num_rows:
+            h, off = _fast_shingle_hashes_flat(batch[text_col], shingle)
+            sig = hasher.signatures_flat(h, off).astype(np.int64)
+            n = batch.num_rows
+            return pa.table(
+                {id_col: batch[id_col].take(pa.array(
+                    np.repeat(np.arange(n, dtype=np.int64), num_perm))),
+                 "perm": pa.array(np.tile(prange, n)),
+                 "sig": pa.array(sig.reshape(-1))}
+            )
         for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
             sig = hasher.signature(_token_hashes(t or "", shingle))
             ids.extend([i] * num_perm)
@@ -550,6 +770,7 @@ def dup_ngram_spans(
     text_col: str = "text",
     w: int = 8,
     min_docs: int = 2,
+    hash_family: str = "md5",
 ) -> Dataset:
     """Corpus-wide duplicated w-token span detection — the distributed
     n-gram-fingerprint analog of exact-substring training-data dedup
@@ -565,10 +786,11 @@ def dup_ngram_spans(
     (rows out ≈ tokens in — the known cost of the algorithm); per-doc
     distinctness is FREE (a doc's windows are deduped inside its own
     batch), so the single shuffle groups pre-reduced (fp, doc) incidence
-    rows. Fingerprints are md5-high-60-bit (int64-safe) so DuckDB replays
-    them exactly (``('0x' || substr(md5(s),1,15))::UBIGINT``); a
-    production run chasing throughput would swap in a rolling hash at the
-    cost of the SQL-auditable oracle.
+    rows. ``hash_family="md5"`` (default — the oracle-facing form) keeps
+    fingerprints md5-high-60-bit (int64-safe) so DuckDB replays them
+    exactly (``('0x' || substr(md5(s),1,15))::UBIGINT``); ``"fast"`` is
+    the vectorized rolling-hash family for production throughput (same
+    output contract, no SQL replay).
     """
     import hashlib
 
@@ -577,7 +799,7 @@ def dup_ngram_spans(
 
     from code_graph_rag_ray.stages.tfidf import _TOKEN_SPLIT
 
-    def fps(b: pa.Table) -> pa.Table:
+    def fps_md5(b: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(pc.utf8_lower(b[text_col]), pattern=_TOKEN_SPLIT)
         ids_out: list[int] = []
         fp_out: list[int] = []
@@ -595,11 +817,76 @@ def dup_ngram_spans(
             {"fp": pa.array(fp_out, pa.int64()), id_col: pa.array(ids_out, pa.int64())}
         )
 
+    def fps_fast(b: pa.Table) -> pa.Table:
+        empty = pa.table({"fp": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(b[text_col], "")), pattern=_TOKEN_SPLIT)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        kc = np.zeros(len(keep_np) + 1, dtype=np.int64)
+        np.cumsum(keep_np, dtype=np.int64, out=kc[1:])
+        counts = kc[off[1:]] - kc[off[:-1]]
+        d = pc.dictionary_encode(flat.filter(keep))
+        uh = pd.util.hash_array(d.dictionary.to_numpy(zero_copy_only=False))
+        th = uh[d.indices.to_numpy(zero_copy_only=False)]
+        m = len(th) - (w - 1)
+        if m <= 0 or not (counts >= w).any():
+            return empty
+        acc = th[:m].copy()
+        for k in range(1, w):
+            acc *= _MULT
+            acc += th[k : k + m]
+        # >>1 keeps fingerprints int64-positive like the md5-60-bit family
+        acc = (_splitmix(acc) >> np.uint64(1)).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        nwin = np.maximum(counts - (w - 1), 0)
+        doc_idx = np.repeat(np.arange(b.num_rows, dtype=np.int64), nwin)
+        win_pos = (np.arange(int(nwin.sum()), dtype=np.int64)
+                   - np.repeat(np.cumsum(nwin) - nwin, nwin))
+        fps_all = acc[starts[doc_idx] + win_pos]
+        ids_all = b[id_col].to_numpy(zero_copy_only=False)[doc_idx]
+        # per-doc distinct: lexsort then first-occurrence mask (vectorized)
+        order = np.lexsort((fps_all, ids_all))
+        fa, ia = fps_all[order], ids_all[order]
+        first = np.ones(len(fa), dtype=bool)
+        first[1:] = (fa[1:] != fa[:-1]) | (ia[1:] != ia[:-1])
+        return pa.table({"fp": pa.array(fa[first]),
+                         id_col: pa.array(ia[first].astype(np.int64))})
+
+    fps = fps_fast if hash_family == "fast" else fps_md5
+    if hash_family not in ("fast", "md5"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+
     rows = ds.map_batches(fps, batch_format="pyarrow")
-    agg = rows.groupby("fp").aggregate(
-        Count(alias_name="n_docs"), Min(id_col, alias_name="min_doc")
+    # fingerprint cardinality ≈ corpus tokens, and Ray's sort-aggregate
+    # pays a fixed per-GROUP cost that dominates there (NOTES fact 25):
+    # hash-bucket the fps (they're already uniform hashes) and run ONE
+    # vectorized pandas groupby per bucket instead — same single shuffle,
+    # per-bucket cost O(rows) not O(groups)
+    def bucket(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("__bk", pa.array([], pa.int32()))
+        bk = (b["fp"].to_numpy().astype(np.uint64) % np.uint64(64)).astype(np.int32)
+        return b.append_column("__bk", pa.array(bk))
+
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("fp", as_index=False).agg(
+            n_docs=(id_col, "size"), min_doc=(id_col, "min"))
+        return r[r.n_docs >= min_docs]
+
+    return (
+        rows.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bk")
+        .map_groups(agg_bucket, batch_format="pandas")
     )
-    return agg.filter(expr=f"n_docs >= {min_docs}")
 
 
 def _ed_le1(a: str, b: str) -> bool:

@@ -42,11 +42,14 @@ def test_minhash_near_dup_finds_planted_pair():
     near = BASE.replace("lazy", "sleepy")  # high-Jaccard near duplicate
     far = "completely different text about ray data pipelines and arrow batches " * 2
     ds = _docs([(1, BASE), (2, near), (3, far), (4, "tiny")])
-    pairs = minhash_near_dup_pairs(ds, verify_threshold=0.5).to_pandas()
-    got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
-    assert (1, 2) in got
-    assert all(p == (1, 2) for p in got)  # no false positives here
-    assert jaccard(BASE, near) >= 0.5
+    for family in ("md5", "fast"):
+        pairs = minhash_near_dup_pairs(
+            ds, verify_threshold=0.5, hash_family=family
+        ).to_pandas()
+        got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
+        assert (1, 2) in got, family
+        assert all(p == (1, 2) for p in got), family  # no false positives
+        assert jaccard(BASE, near, hash_family=family) >= 0.5
 
 
 def test_near_dup_clusters_from_pairs():
@@ -89,7 +92,10 @@ def test_embedding_near_dup_pairs():
 
 def test_simhash_near_dup_pairs_planted():
     """Planted near-identical texts must pair within the Hamming budget;
-    unrelated docs must not."""
+    unrelated docs must not. Both hash families are deterministic, so the
+    per-family budgets below are fixed facts of the fixture, not tuning:
+    the planted pair sits at Hamming 3 (md5) / 5 (fast) and the nearest
+    token-disjoint filler pair at 8 under both."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -106,14 +112,17 @@ def test_simhash_near_dup_pairs_planted():
         pa.table({"doc_id": pa.array(range(30), pa.int64()),
                   "text": pa.array(texts)})
     )
-    out = simhash_near_dup_pairs(ds, max_hamming=4).to_pandas()
-    got = set(map(tuple, out[["a", "b"]].itertuples(index=False)))
-    assert (4, 19) in got
-    row = out[(out.a == 4) & (out.b == 19)].iloc[0]
-    assert 0 <= row.hamming <= 4
-    # no token-disjoint pair sneaks in below the budget
-    for a, b in got:
-        assert (a, b) == (4, 19)
+    for family, budget in (("md5", 4), ("fast", 6)):
+        out = simhash_near_dup_pairs(
+            ds, max_hamming=budget, hash_family=family
+        ).to_pandas()
+        got = set(map(tuple, out[["a", "b"]].itertuples(index=False)))
+        assert (4, 19) in got, family
+        row = out[(out.a == 4) & (out.b == 19)].iloc[0]
+        assert 0 <= row.hamming <= budget
+        # no token-disjoint pair sneaks in below the budget
+        for a, b in got:
+            assert (a, b) == (4, 19), family
 
 
 def test_ngram_jaccard_pairs_consecutive_and_grouped():
@@ -190,8 +199,42 @@ def test_dup_ngram_spans_null_and_short_texts():
         "doc_id": pa.array([1, 2, 3], pa.int64()),
         "text": pa.array([None, "too short", "also short"], pa.string()),
     })
-    out = dup_ngram_spans(rd.from_arrow(tbl).repartition(2), w=8).take_all()
-    assert out == []  # no window reaches w tokens; null text never raises
+    for family in ("md5", "fast"):
+        out = dup_ngram_spans(
+            rd.from_arrow(tbl).repartition(2), w=8, hash_family=family
+        ).take_all()
+        assert out == [], family  # no window reaches w; nulls never raise
+
+
+def test_dup_ngram_spans_fast_family_matches_md5_structure():
+    """The fast rolling-hash family must surface the SAME duplicated
+    windows as the md5 audit family — fingerprint VALUES differ by
+    design, but the multiset of (n_docs, min_doc) per surfaced span and
+    the per-doc incidence structure are properties of the window texts,
+    not the hash."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.dedup import dup_ngram_spans
+
+    boiler = "all rights reserved contact us for more information today now"
+    docs = [
+        (1, "alpha beta gamma delta " + boiler + " epsilon zeta"),
+        (2, "one two three four five " + boiler + " six seven"),
+        (3, "totally unrelated words nine ten eleven twelve thirteen fourteen"),
+        (4, boiler + " filler filler " + boiler),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+    shape = {}
+    for family in ("md5", "fast"):
+        out = dup_ngram_spans(ds, w=8, hash_family=family).take_all()
+        assert len({r["fp"] for r in out}) == len(out), family
+        shape[family] = sorted((r["n_docs"], r["min_doc"]) for r in out)
+    assert shape["fast"] == shape["md5"]
 
 
 def test_minhash_pairs_sql_oracle_parity_on_planted_dups(tmp_path):
