@@ -617,6 +617,32 @@ def test_transition_counts_null_types_dropped():
     assert got == {("a", "b"): 1, ("b", "a"): 1}
 
 
+def test_transition_counts_bridges_empty_chunks():
+    """Cross-chunk stitching must connect consecutive NONEMPTY chunks:
+    a key with one event per far-apart day (every chunk boundary a gap)
+    still yields the full bigram chain."""
+    import pandas as pd
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.windows import transition_counts
+
+    # user 1: single events on days 0, 5, 9 -> a->b, b->a across gaps
+    # user 2: two events inside one chunk + one 3 days later
+    df = pd.DataFrame(
+        {"event_id": [0, 1, 2, 10, 11, 12],
+         "user_id": [1, 1, 1, 2, 2, 2],
+         "ts": pd.to_datetime(
+             [0, 5 * 86400, 9 * 86400, 100, 200, 3 * 86400],
+             unit="s"),
+         "event_type": ["a", "b", "a", "x", "y", "x"]}
+    )
+    got = {(r["prev_type"], r["next_type"]): r["n_transitions"]
+           for r in transition_counts(
+               rd.from_pandas(df).repartition(3)).take_all()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1,
+                   ("x", "y"): 1, ("y", "x"): 1}
+
+
 def test_strict_funnel_no_step_events_emits_zero_rows():
     # degenerate input: no step-type events at all — SQL's chained-CTE
     # funnel still emits one zero-count row per step (ADVICE round-2)
