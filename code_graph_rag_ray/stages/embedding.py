@@ -8,12 +8,20 @@ fixed-size batches (``graph_updater.py:2051-2181``, batch size
 ``__init__``, vectorized batch inference in ``__call__``, output written as
 a partitioned embeddings table consumed by the kNN / near-dup operators.
 
-No model weights exist in this environment, so the embedder is a
-deterministic feature-hashing vectorizer (word uni+bigram hashing with the
-sign trick, L2-normalized) — a real, pinnable embedding function whose Ray
-plumbing (actor signature, batch size, schema, downstream ANN compat) is
-exactly what a learned model stage needs; swap ``__init__`` for a model
-load to productionize.
+Two embedder tiers share one stage contract ((id, text) → (id, embedding),
+L2-normalized float32 list):
+
+- :class:`FeatureHashEmbedder` — deterministic feature-hashing vectorizer
+  (word uni+bigram hashing with the sign trick), the default in this
+  container: no model weights exist here, and it is the pinnable function
+  the tests/oracles check.
+- :class:`SentenceModelEmbedder` — the REAL learned-model path,
+  import-gated on ``sentence_transformers``/``torch``: model loaded ONCE
+  per actor in ``__init__`` (the reference's UniXcoder load,
+  ``graph_updater.py:2051-2181``), batched ``encode`` in ``__call__``.
+  ``NotImplementedError`` is reachable only from the ImportError handler;
+  when the lib exists the stage is drop-in (`embed_documents(
+  embedder="model", model_name=...)`).
 """
 
 from __future__ import annotations
@@ -94,6 +102,44 @@ class FeatureHashEmbedder:
         )
 
 
+class SentenceModelEmbedder:  # pragma: no cover - model libs not in container
+    """Actor-pool stage around a REAL sentence-embedding model.
+
+    Import-gated, not stubbed: when ``sentence_transformers`` is
+    importable the model loads once per actor and ``__call__`` runs
+    batched inference; the only unreachable-with-libs path is the
+    ImportError → NotImplementedError handler. Same output contract as
+    :class:`FeatureHashEmbedder` (L2-normalized float32 list column), so
+    every downstream ANN / near-dup operator is unchanged.
+    """
+
+    def __init__(self, model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 device: str = "cpu"):
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError as e:
+            raise NotImplementedError(
+                "sentence_transformers not available in this environment; "
+                "use embedder='hash' (FeatureHashEmbedder)"
+            ) from e
+        self.id_col = id_col
+        self.text_col = text_col
+        # once per actor — the expensive state the pool exists for
+        self.model = SentenceTransformer(model_name, device=device)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch[self.text_col].to_pylist()]
+        mat = self.model.encode(
+            texts, convert_to_numpy=True, normalize_embeddings=True,
+            show_progress_bar=False,
+        ).astype(np.float32)
+        return pa.table(
+            {self.id_col: batch[self.id_col],
+             "embedding": pa.array(list(mat), pa.list_(pa.float32()))}
+        )
+
+
 def embed_documents(
     ds: Dataset,
     *,
@@ -104,14 +150,31 @@ def embed_documents(
     batch_size: int | None = 256,
     num_cpus: float = 1,
     hash_mode: str = "stable",
+    embedder: str = "hash",
+    model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
 ) -> Dataset:
     """Wire the embedding stage as a bounded actor pool.
 
-    ``concurrency=None`` degrades to stateless tasks (fine for the hashing
-    embedder; keep the pool when the per-actor state is a real model).
-    ``batch_size`` bounds per-inference memory — the analog of the
-    reference's batches-of-50 store writes.
+    ``embedder="hash"`` (default) is the deterministic feature-hashing
+    vectorizer; ``"model"`` selects the import-gated real-model actor
+    (``model_name``, loaded once per actor — raise ``concurrency`` /
+    ``num_cpus`` to size the pool for inference). ``concurrency=None``
+    degrades to stateless tasks (fine for the hashing embedder; keep the
+    pool when the per-actor state is a real model). ``batch_size`` bounds
+    per-inference memory — the analog of the reference's batches-of-50
+    store writes.
     """
+    if embedder == "model":  # pragma: no cover - model libs not in container
+        return ds.map_batches(
+            SentenceModelEmbedder,
+            fn_constructor_args=(model_name, id_col, text_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or 2,
+            num_cpus=num_cpus,
+        )
+    if embedder != "hash":
+        raise ValueError(f"unknown embedder {embedder!r}")
     if concurrency is None:
         fn = FeatureHashEmbedder(dim, id_col, text_col, hash_mode)
         return ds.map_batches(

@@ -2,12 +2,13 @@
 
 Images/audio/video ride as ``binary`` columns with metadata struct columns;
 decode / feature-extract stages are actor pools sized for heavy payloads
-(small ``batch_size``, one CPU per actor). The decode kernels themselves are
-STUBBED — the image/audio libs are not in this container — behind
-``decoder="fake"`` (deterministic fake features for tests) or
-``decoder="pil"``/... which raise ``NotImplementedError`` until the real lib
-is importable. The Ray-side plumbing (schema, batch sizing, actor
-signature, output layout) is real and tested.
+(small ``batch_size``, one CPU per actor). Each kernel has two variants:
+``decoder="fake"`` (deterministic payload-seeded features — the test/bench
+default, since the media libs are not in this container) and the REAL
+import-gated path (``decoder="pil"`` / ``"pyav"``) that decodes with the
+library when it is importable; ``NotImplementedError`` is reachable only
+from the ImportError handler. The Ray-side plumbing (schema, batch sizing,
+actor signature, output layout) is identical for both and fully tested.
 """
 
 from __future__ import annotations
@@ -42,13 +43,16 @@ class MediaDecoder:
         if decoder == "fake":
             self.decode = self._fake_decode
         elif decoder == "pil":  # pragma: no cover - lib not in container
+            # genuinely import-only gate: when PIL exists the REAL decode
+            # runs; NotImplementedError is reachable only on ImportError
             try:
-                from PIL import Image  # noqa: F401
+                from PIL import Image
             except ImportError as e:
                 raise NotImplementedError(
                     "PIL not available in this environment; use decoder='fake'"
                 ) from e
-            raise NotImplementedError("real image decode not wired yet")
+            self._Image = Image
+            self.decode = self._pil_decode
         else:
             raise ValueError(f"unknown decoder {decoder!r}")
 
@@ -58,6 +62,16 @@ class MediaDecoder:
         seed = zlib.crc32(payload or b"")
         rng = np.random.default_rng(seed)  # deterministic per payload
         return rng.standard_normal(self.feature_dim).astype(np.float32)
+
+    def _pil_decode(self, payload: bytes) -> np.ndarray:  # pragma: no cover
+        """Real image feature: decode, grayscale, resize to (dim, 1) with
+        the deterministic BILINEAR filter, normalize pixels to [0, 1]."""
+        import io
+
+        img = self._Image.open(io.BytesIO(payload)).convert("L")
+        small = img.resize((self.feature_dim, 1), self._Image.BILINEAR)
+        px = np.asarray(small, dtype=np.float32).reshape(-1)
+        return (px / 255.0).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = [self.decode(p) for p in batch["payload"].to_pylist()]
@@ -131,13 +145,15 @@ class FrameSampler:
         if decoder == "fake":
             self.decode = self._fake_frame
         elif decoder == "pyav":  # pragma: no cover - lib not in container
+            # import-only gate: real seek+decode when PyAV exists
             try:
-                import av  # noqa: F401
+                import av
             except ImportError as e:
                 raise NotImplementedError(
                     "PyAV not available in this environment; use decoder='fake'"
                 ) from e
-            raise NotImplementedError("real frame decode not wired yet")
+            self._av = av
+            self.decode = self._pyav_frame
         else:
             raise ValueError(f"unknown decoder {decoder!r}")
 
@@ -147,6 +163,25 @@ class FrameSampler:
         seed = zlib.crc32((payload or b"") + ts_ms.to_bytes(8, "big"))
         rng = np.random.default_rng(seed)
         return rng.standard_normal(self.feature_dim).astype(np.float32)
+
+    def _pyav_frame(self, payload: bytes, ts_ms: int) -> np.ndarray:  # pragma: no cover
+        """Real frame pick: seek to ts_ms, decode the next frame, grayscale
+        row-mean feature (same (dim,) contract as the fake kernel)."""
+        import io
+
+        with self._av.open(io.BytesIO(payload)) as container:
+            stream = container.streams.video[0]
+            # av seeks in stream time_base units
+            offset = int(ts_ms / 1000 / stream.time_base)
+            container.seek(offset, stream=stream)
+            for frame in container.decode(stream):
+                arr = frame.to_ndarray(format="gray").astype(np.float32)
+                # (H, W) → fixed-dim: mean over feature_dim row bands
+                bands = np.array_split(arr, self.feature_dim, axis=0)
+                return np.array(
+                    [b.mean() / 255.0 for b in bands], dtype=np.float32
+                )
+        return np.zeros(self.feature_dim, dtype=np.float32)
 
     def sample_times(self, duration_ms: int) -> list[int]:
         if duration_ms <= 0:
@@ -217,15 +252,25 @@ class ImageResizer:
         if decoder == "fake":
             self.resize = self._fake_resize
         elif decoder == "pil":  # pragma: no cover - lib not in container
+            # import-only gate: real resize when PIL exists
             try:
-                from PIL import Image  # noqa: F401
+                from PIL import Image
             except ImportError as e:
                 raise NotImplementedError(
                     "PIL not available in this environment; use decoder='fake'"
                 ) from e
-            raise NotImplementedError("real image resize not wired yet")
+            self._Image = Image
+            self.resize = self._pil_resize
         else:
             raise ValueError(f"unknown decoder {decoder!r}")
+
+    def _pil_resize(self, payload: bytes, ow: int, oh: int) -> bytes:  # pragma: no cover
+        """Real thumbnail: decode, grayscale, BILINEAR resize to the
+        policy-computed (ow, oh), raw L-mode bytes (ow×oh) like the fake."""
+        import io
+
+        img = self._Image.open(io.BytesIO(payload)).convert("L")
+        return img.resize((ow, oh), self._Image.BILINEAR).tobytes()
 
     def target_size(self, w: int, h: int) -> tuple[int, int]:
         if w <= 0 or h <= 0:

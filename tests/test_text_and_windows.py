@@ -163,12 +163,43 @@ def test_multimodal_decode_plumbing():
 
 
 def test_multimodal_real_decoder_gated():
+    """The real kernels are IMPORT-gated: in this container (PIL / PyAV /
+    sentence_transformers absent) construction raises NotImplementedError
+    from the ImportError handler — that handler is the ONLY unreal path;
+    with the libs present the same constructors wire the real decode."""
     import pytest
 
-    with pytest.raises((NotImplementedError, ValueError)):
-        from code_graph_rag_ray.stages.multimodal import MediaDecoder
+    from code_graph_rag_ray.stages.embedding import SentenceModelEmbedder
+    from code_graph_rag_ray.stages.multimodal import (
+        FrameSampler,
+        ImageResizer,
+        MediaDecoder,
+    )
 
-        MediaDecoder(decoder="pil")
+    for ctor in (lambda: MediaDecoder(decoder="pil"),
+                 lambda: FrameSampler(decoder="pyav"),
+                 lambda: ImageResizer(decoder="pil"),
+                 lambda: SentenceModelEmbedder()):
+        with pytest.raises(NotImplementedError):
+            ctor()
+
+    # unknown names are a ValueError, not a gate
+    with pytest.raises(ValueError):
+        MediaDecoder(decoder="nope")
+
+
+def test_embed_documents_embedder_switch():
+    import pytest
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.embedding import embed_documents
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                 "text": pa.array(["hello world"])}))
+    with pytest.raises(ValueError):
+        embed_documents(ds, embedder="nope")
+    out = embed_documents(ds, concurrency=None).take_all()
+    assert len(out) == 1 and len(out[0]["embedding"]) == 64
 
 
 def test_repetition_batch_planted():
