@@ -154,11 +154,20 @@ def _build_entities(n_entities: int, rng: np.random.Generator):
     return entities, alias_map, alias_tbl
 
 
+def _acronym(name: str) -> str:
+    """Initials of a multi-token name ('Acme Systems' → 'AS') — the news
+    acronym convention. Must stay bit-identical to the linker's binding
+    rule (``stages/linking.py`` records the same initials per known
+    multi-word mention)."""
+    return "".join(t[0] for t in name.split())
+
+
 def _pick_alias(
     ent: dict,
     rng: np.random.Generator,
     recent_full: dict[str, str],
     recent_prefix: dict[str, str],
+    recent_acr: dict[str, str],
 ) -> str:
     """Mention surface for an entity, page-state aware.
 
@@ -166,16 +175,27 @@ def _pick_alias(
     entity is the MOST RECENT entity fully named with that noun on the page —
     the standard news-coreference shape, and exactly the rule the linker's
     recency cascade resolves (the analog of cgr's trie suffix lookup,
-    ``function_registry.py`` ``find_ending_with``). Otherwise the full name
-    is used and recorded as the page-local suffix AND prefix antecedent
-    (the fixture mirrors the linker's two recency maps exactly).
+    ``function_registry.py`` ``find_ending_with``). An ACRONYM alias ("AS")
+    is only used when this entity is the page's most recent full mention
+    with those initials — the J3 sentence-scope/acronym-expansion plant:
+    acronyms are NOT in the alias dictionary (and collide across entities:
+    'Acme Systems'/'Apex Software' share 'AS'), so resolving them requires
+    the linker's acronym-antecedent context feature; without it they mint
+    spurious ``ext::`` subjects and break P/R. Otherwise the full name is
+    used and recorded as the page-local suffix, prefix AND acronym
+    antecedent (the fixture mirrors the linker's three recency maps
+    exactly).
     """
     name = ent["name"]
     noun = name.rsplit(" ", 1)[1]
     if rng.random() < 0.3 and recent_full.get(noun) == ent["entity_id"]:
         return noun
+    acr = _acronym(name)
+    if rng.random() < 0.2 and recent_acr.get(acr) == ent["entity_id"]:
+        return acr
     recent_full[noun] = ent["entity_id"]
     recent_prefix[name.split(" ", 1)[0]] = ent["entity_id"]
+    recent_acr[acr] = ent["entity_id"]
     return name
 
 
@@ -229,6 +249,7 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
         n_pars = 1 + int(rng.integers(3))
         recent_full: dict[str, str] = {}    # noun -> entity_id of latest full mention
         recent_prefix: dict[str, str] = {}  # first token -> entity_id (linker mirror)
+        recent_acr: dict[str, str] = {}     # initials -> entity_id (linker mirror)
 
         def sample_entity() -> dict:
             # entities[1] is the forced name-collision twin of entities[0]: it
@@ -278,7 +299,8 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
                                 and recent_prefix.get(adj) == subj["entity_id"]):
                             s_alias = adj
                         else:
-                            s_alias = _pick_alias(subj, rng, recent_full, recent_prefix)
+                            s_alias = _pick_alias(subj, rng, recent_full,
+                                                  recent_prefix, recent_acr)
                     if par_text_toks:
                         start = par_cursor + 1
                     else:
@@ -301,7 +323,8 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
                     if obj_external:
                         o_alias = UNKNOWN_ENTITIES[int(rng.integers(len(UNKNOWN_ENTITIES)))]
                     else:
-                        o_alias = _pick_alias(obj, rng, recent_full, recent_prefix)
+                        o_alias = _pick_alias(obj, rng, recent_full,
+                                              recent_prefix, recent_acr)
                     start = par_cursor + 1
                     emit(o_alias)
                     mention_rows.append(

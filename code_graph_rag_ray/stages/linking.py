@@ -24,7 +24,11 @@ exact qn → receiver-type chain → suffix fallback; registry
   the builtin-table tier + fallback gates, ``call_resolver.py:33-44``)
   → page-local *prefix* antecedent (single token matching the first
   token of an earlier full mention, the registry's prefix-query analog,
-  ``function_registry.py:18-283``) → External minting,
+  ``function_registry.py:18-283``) → page-local *acronym* antecedent
+  (all-caps token matching the initials of an earlier full mention —
+  the J3 receiver-type-chain analog for web text,
+  ``parsers/type_inference.py``; 'Acme Systems … AS sued X')
+  → External minting,
 - **unknown** proper-noun runs surviving both gates and participating in
   a relation pattern mint ``ext::<normalized>`` External entities (cgr's
   deferred-import rule: unknown target ⇒ ExternalModule node,
@@ -36,7 +40,7 @@ exact qn → receiver-type chain → suffix fallback; registry
 
 Output schema (one row per detected mention):
     url, start, end, surface, entity_id, method, rel, obj_entity_id, lang
-``method`` ∈ {exact, recency, unique, context, prior, external}.
+``method`` ∈ {exact, recency, unique, context, acronym, prior, external}.
 """
 
 from __future__ import annotations
@@ -201,6 +205,7 @@ class MentionLinker:
         # dict per mention dominated the profile)
         recent_full: dict[str, str] = {}    # suffix token -> entity_id
         recent_prefix: dict[str, str] = {}  # first token  -> entity_id
+        recent_acr: dict[str, str] = {}     # initials     -> entity_id
         seen: set[str] = set()              # entity ids resolved on this page
         n = len(spans)
         eids: list[str] = [""] * n
@@ -212,13 +217,25 @@ class MentionLinker:
             if not known:
                 # prefix-antecedent step: a bare capitalized token matching
                 # the FIRST token of an earlier full mention on this page
-                # resolves to that entity (registry prefix query analog) —
+                # resolves to that entity (registry prefix query analog);
+                # then the acronym-antecedent step: an all-caps token
+                # matching the INITIALS of an earlier full mention resolves
+                # to it (the J3 context feature — the receiver-type-chain
+                # analog for web text: 'Acme Systems … AS sued X'; the
+                # most recent binding wins, like the other recency maps) —
                 # only then does External minting apply
-                eid = recent_prefix.get(surface) if " " not in surface else None
-                if eid is not None:
-                    eids[i] = eid
-                    methods[i] = "context"
-                else:
+                eid = None
+                if " " not in surface:
+                    eid = recent_prefix.get(surface)
+                    if eid is not None:
+                        eids[i] = eid
+                        methods[i] = "context"
+                    elif len(surface) >= 2 and surface.isupper():
+                        eid = recent_acr.get(surface)
+                        if eid is not None:
+                            eids[i] = eid
+                            methods[i] = "acronym"
+                if eid is None:
                     eids[i] = "ext::" + normalize_surface(surface)
                     methods[i] = "external"
                 continue
@@ -247,6 +264,9 @@ class MentionLinker:
             if " " in surface:
                 recent_full[surface.rsplit(" ", 1)[1]] = eid
                 recent_prefix[surface.split(" ", 1)[0]] = eid
+                # acronym binding: initials of every known multi-word
+                # mention (must stay bit-identical to sources/pages._acronym)
+                recent_acr["".join(t[0] for t in surface.split())] = eid
             seen.add(eid)
             eids[i] = eid
             methods[i] = method

@@ -194,6 +194,70 @@ def test_cascade_prefix_context_and_builtin_gate():
     assert out3.rel.notna().sum() == 0
 
 
+def test_cascade_acronym_antecedent():
+    """J3 context feature: an all-caps token matching the INITIALS of an
+    earlier full mention resolves to it (acronym expansion — the
+    receiver-type-chain analog); collisions resolve by recency; with no
+    antecedent the token mints an external as before."""
+    import pyarrow as pa
+
+    from code_graph_rag_ray.stages.linking import MentionLinker
+
+    alias = pa.Table.from_pylist(
+        [{"alias": "Acme Systems", "entity_id": "E0", "prior": 1.0},
+         {"alias": "Apex Software", "entity_id": "E1", "prior": 1.0},
+         {"alias": "Orbit Media", "entity_id": "E2", "prior": 1.0}],
+        schema=pa.schema([("alias", pa.string()), ("entity_id", pa.string()),
+                          ("prior", pa.float64())]),
+    )
+    linker = MentionLinker(alias)
+
+    def run(text):
+        return linker(pa.table({
+            "url": pa.array(["https://x/1"]), "text": pa.array([text]),
+            "lang": pa.array(["en"]),
+        })).to_pandas()
+
+    # basic expansion: AS -> Acme Systems; the triple carries E0
+    out = run("Acme Systems sued Orbit Media . AS acquired Orbit Media .")
+    acr = out[out.method == "acronym"]
+    assert len(acr) == 1 and acr.iloc[0].entity_id == "E0"
+    assert acr.iloc[0].surface == "AS"
+    triples = set(map(tuple, out[out.rel.notna()][
+        ["entity_id", "rel", "obj_entity_id"]].itertuples(index=False)))
+    assert ("E0", "acquired", "E2") in triples
+
+    # collision recency: Acme Systems and Apex Software both bind 'AS';
+    # the most recent full mention wins
+    out2 = run("Acme Systems sued Orbit Media . Apex Software sued "
+               "Orbit Media . AS acquired Orbit Media .")
+    acr2 = out2[out2.method == "acronym"]
+    assert len(acr2) == 1 and acr2.iloc[0].entity_id == "E1"
+
+    # no antecedent on the page -> external mint (only kept in a triple)
+    out3 = run("AS acquired Orbit Media .")
+    assert (out3.method == "acronym").sum() == 0
+    assert set(out3[out3.method == "external"].entity_id) == {"ext::as"}
+
+    # lowercase or mixed-case bare tokens never take the acronym path
+    out4 = run("Acme Systems sued Orbit Media . As acquired Orbit Media .")
+    assert (out4.method == "acronym").sum() == 0
+
+
+def test_fixture_plants_acronym_mentions():
+    """The hardened fixture must actually exercise the acronym feature:
+    planted all-caps acronym mentions exist, and the end-to-end gate
+    (test_kg_triples_meet_pr_gate / kg_fixture_pr) therefore covers the
+    acronym cascade step. Guards against the plant silently vanishing."""
+    from code_graph_rag_ray.sources.pages import generate_pages
+
+    fx = generate_pages(300, 42)
+    m = fx.expected_mentions.to_pandas()
+    acr = m[(m.surface.str.len() >= 2) & (m.surface.str.len() <= 3)
+            & m.surface.str.isupper() & (m.type == "ENTITY")]
+    assert len(acr) >= 10, f"acronym plants disappeared: {len(acr)}"
+
+
 def test_cascade_unique_seen_redirect():
     """J2 cascade step: an ambiguous alias whose candidate set contains
     exactly ONE entity already resolved on this page redirects to it, even
