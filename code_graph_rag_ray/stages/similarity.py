@@ -18,10 +18,29 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 
 def _to_matrix(col) -> np.ndarray:
+    """(n, dim) float32 matrix from an Arrow list column — zero-copy-ish
+    fast path (flatten + reshape) when the rows are null-free and
+    uniform-width (always true for embedding columns); the per-row Python
+    stack survives only as the ragged/null fallback."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count == 0 and len(col):
+        if pa.types.is_fixed_size_list(col.type):
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(np.float32, copy=False).reshape(
+                len(col), col.type.list_size)
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            off = np.asarray(col.offsets, dtype=np.int64)
+            widths = np.diff(off)
+            if (widths == widths[0]).all():
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                return flat.astype(np.float32, copy=False).reshape(
+                    len(col), int(widths[0]))
     return np.stack([np.asarray(v, dtype=np.float32) for v in col.to_pylist()])
 
 
@@ -132,25 +151,39 @@ def knn_lsh(
         return b.append_column("bucket", pa.array(bucket_of(vecs).astype(np.int64), pa.int64()))
 
     def bucket_scan(batch: pa.Table) -> pa.Table:
+        # Arrow/numpy end to end: sort by bucket, one matrix build for the
+        # whole batch, per-bucket contiguous slices — no pandas conversion
+        # and no per-row vector stacking (round-2 review item)
         q, qids, bq = get_broadcast(ref)
         out_q, out_v, out_s = [], [], []
-        df = batch.to_pandas()
-        for bucket, g in df.groupby("bucket"):
-            qis = bq.get(int(bucket))
-            if not qis:
-                continue
-            vecs = _normalize(np.stack([np.asarray(v, np.float32) for v in g[vec_col]]))
-            ids = g[id_col].tolist()
-            sims = q[qis] @ vecs.T
-            kk = min(k, sims.shape[1])
-            for row_i, qi in enumerate(qis):
-                row = sims[row_i]
-                order = np.lexsort((np.asarray(ids), -row))[:kk]
-                out_q.extend([qids[qi]] * len(order))
-                out_v.extend([ids[j] for j in order])
-                out_s.extend(row[order].astype(float).tolist())
+        if batch.num_rows:
+            idx = pc.sort_indices(batch, sort_keys=[("bucket", "ascending")])
+            s = batch.take(idx)
+            buckets = s["bucket"].to_numpy(zero_copy_only=False)
+            mat = _normalize(_to_matrix(s[vec_col]))
+            ids_np = s[id_col].to_numpy(zero_copy_only=False)
+            ubuckets, starts = np.unique(buckets, return_index=True)
+            bounds = np.append(starts, len(buckets))
+            for bi, bucket in enumerate(ubuckets):
+                qis = bq.get(int(bucket))
+                if not qis:
+                    continue
+                lo, hi = int(bounds[bi]), int(bounds[bi + 1])
+                ids = ids_np[lo:hi]
+                sims = q[qis] @ mat[lo:hi].T
+                kk = min(k, sims.shape[1])
+                for row_i, qi in enumerate(qis):
+                    row = sims[row_i]
+                    order = np.lexsort((ids, -row))[:kk]
+                    out_q.extend([qids[qi]] * len(order))
+                    out_v.extend(ids[order].tolist())
+                    out_s.extend(row[order].astype(float).tolist())
+        # typed arrays even when empty (NOTES fact 26): id dtype mirrors
+        # the input column, query_id dtype mirrors the broadcast qids
+        qid_t = pa.array(list(qids)).type if len(qids) else pa.string()
         return pa.table(
-            {"query_id": pa.array(out_q), id_col: pa.array(out_v),
+            {"query_id": pa.array(out_q, qid_t),
+             id_col: pa.array(out_v, batch[id_col].type),
              "cosine": pa.array(out_s, pa.float64())}
         )
 
