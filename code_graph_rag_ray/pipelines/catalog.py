@@ -1889,14 +1889,23 @@ def _kmeans_sql(k: int = 8, iters: int = 2, scale: int = 1000,
     the distributed stage runs. DuckDB round() is half-away-from-zero
     (= pc.round half_towards_infinity); `//` truncates toward zero, so the
     centroid mean uses floor() explicitly to match np.floor_divide."""
-    dist = (f"CAST(list_sum(list_transform(range(1, {dim} + 1), "
-            "j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))) AS BIGINT)")
-    head = f"""
-WITH q AS (
+    q_cte = f"""
   SELECT vec_id,
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> CAST(round(x * {scale}) AS BIGINT)) AS qv
-  FROM embeddings),
+  FROM embeddings"""
+    return ("WITH " + _kmeans_ctes(k, iters, scale, dim, q_cte)
+            + "\nSELECT vec_id, cluster, dist FROM asg")
+
+
+def _kmeans_ctes(k: int, iters: int, scale: int, dim: int, q_cte: str) -> str:
+    """CTE chain (``q`` → ``c0`` → unrolled Lloyd steps → ``asg`` final
+    assignment) shared by the k-means oracle and the SemDeDup oracle,
+    parameterized over the quantized-input CTE body."""
+    dist = (f"CAST(list_sum(list_transform(range(1, {dim} + 1), "
+            "j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))) AS BIGINT)")
+    head = f"""
+q AS ({q_cte}),
 c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
   FROM q ORDER BY vec_id LIMIT {k})"""
@@ -1919,14 +1928,97 @@ c{i} AS (
   GROUP BY cluster)"""
         )
     final = f"""
-SELECT q.vec_id, c.cluster, {dist} AS dist
-FROM q CROSS JOIN c{iters} c
-QUALIFY row_number() OVER (PARTITION BY q.vec_id
-                           ORDER BY dist, c.cluster) = 1"""
-    return head + "," + ",".join(steps) + final
+asg AS (
+  SELECT q.vec_id, c.cluster, {dist} AS dist
+  FROM q CROSS JOIN c{iters} c
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY dist, c.cluster) = 1)"""
+    return head + "," + ",".join(steps) + "," + final
 
 
 DOC_KMEANS_SQL = _kmeans_sql()
+
+
+_SEMDEDUP_DELTA = 0.0078125  # 1/128 — exact in binary float64
+_SEMDEDUP_PLANT = 40
+_SEMDEDUP_OFFSET = 1000
+
+
+def _plant_near_copies(b: pa.Table) -> pa.Table:
+    """Deterministic near-duplicate fixture (the doc_components pattern of
+    synthesizing structure from ids): for vec_id < 40, also emit a copy at
+    vec_id+1000 with dim0 nudged by exactly 1/128 — cosine ≈ 0.9999, so
+    SemDeDup must drop precisely the 40 planted copies."""
+    base = pa.table({
+        "vec_id": b["vec_id"],
+        "embedding": pc.cast(b["embedding"], pa.list_(pa.float64())),
+    })
+    sel = b.filter(pc.less(b["vec_id"], _SEMDEDUP_PLANT))
+    if sel.num_rows == 0:
+        return base
+    m = np.array(sel["embedding"].to_pylist(), dtype=np.float64)
+    m[:, 0] += _SEMDEDUP_DELTA
+    cp = pa.table({
+        "vec_id": pc.add(sel["vec_id"], pa.scalar(_SEMDEDUP_OFFSET, pa.int64())),
+        "embedding": pa.array([list(r) for r in m], pa.list_(pa.float64())),
+    })
+    return pa.concat_tables([base, cp])
+
+
+def doc_semdedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): fixed-point
+    k-means bucketing, then exact within-cluster integer-lattice cosine —
+    a row is dropped when a lower-id same-cluster row has cos ≥ 0.9. The
+    embeddings table has no natural near-dups (max pairwise cos ≈ 0.51),
+    so 40 near-copies are planted deterministically; DuckDB replays the
+    augmentation, the unrolled Lloyd rounds AND the HUGEINT cosine test
+    bit-exactly (stages/dedup.semantic_dedup)."""
+    from code_graph_rag_ray.stages.dedup import semantic_dedup
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    aug = ds.map_batches(_plant_near_copies, batch_format="pyarrow")
+    return semantic_dedup(aug)
+
+
+def _semdedup_sql(k: int = 8, iters: int = 2, scale: int = 1000,
+                  dim: int = 64, mg: int = 4096,
+                  num: int = 9, den: int = 10) -> str:
+    base = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings"
+    q_cte = f"""
+  SELECT vec_id, list_transform(e, x -> CAST(round(x * {scale}) AS BIGINT)) AS qv
+  FROM ({base}
+        UNION ALL
+        SELECT vec_id + {_SEMDEDUP_OFFSET},
+               list_prepend(e[1] + {_SEMDEDUP_DELTA!r}, e[2:{dim}])
+        FROM ({base}) WHERE vec_id < {_SEMDEDUP_PLANT})"""
+    tail = f""",
+rk AS (SELECT vec_id, cluster,
+              row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn
+       FROM asg),
+nn AS (SELECT vec_id,
+              CAST(list_sum(list_transform(qv, x -> x::HUGEINT * x)) AS HUGEINT) AS n2
+       FROM q),
+pr AS (
+  SELECT y.vec_id AS b,
+         CAST(list_sum(list_transform(range(1, {dim} + 1),
+                                      j -> qx.qv[j]::HUGEINT * qy.qv[j])) AS HUGEINT) AS dot,
+         nx.n2 AS na, ny.n2 AS nb
+  FROM rk x JOIN rk y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        AND x.rn <= {mg} AND y.rn <= {mg}
+  JOIN q qx ON qx.vec_id = x.vec_id
+  JOIN q qy ON qy.vec_id = y.vec_id
+  JOIN nn nx ON nx.vec_id = x.vec_id
+  JOIN nn ny ON ny.vec_id = y.vec_id),
+dropped AS (SELECT DISTINCT b FROM pr
+            WHERE dot > 0 AND dot * dot * {den * den} >= {num * num} * na * nb)
+SELECT r.vec_id, r.cluster,
+       r.vec_id NOT IN (SELECT b FROM dropped) AS keep,
+       r.rn > {mg} AS truncated
+FROM rk r"""
+    return "WITH " + _kmeans_ctes(k, iters, scale, dim, q_cte) + tail
+
+
+DOC_SEMDEDUP_SQL = _semdedup_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -2931,6 +3023,17 @@ def _minhash_pairs_sql(num_perm: int = 64, bands: int = 16, seed: int = 7,
     grouping → hashed-shingle Jaccard ≥ threshold. The engine buckets on
     crc32(band sig bytes); equality of the underlying 4-sig tuples is the
     same predicate modulo crc32 collisions (none at oracle scale)."""
+    return f"""
+WITH {_minhash_body_sql(num_perm, bands, seed)}
+SELECT a, b, truncated, jaccard FROM scored
+WHERE jaccard >= {threshold}::DOUBLE
+"""
+
+
+def _minhash_body_sql(num_perm: int = 64, bands: int = 16, seed: int = 7) -> str:
+    """Shared CTE chain (through ``scored``) replaying signatures → band
+    candidates → Jaccard — consumed by both the pairs oracle and the
+    dedup-apply oracle."""
     from code_graph_rag_ray.stages.dedup import MinHasher
 
     h = MinHasher(num_perm, seed)
@@ -2939,7 +3042,7 @@ def _minhash_pairs_sql(num_perm: int = 64, bands: int = 16, seed: int = 7,
     )
     rows_per_band = num_perm // bands
     return f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
   SELECT doc_id,
          ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8))::UBIGINT::BIGINT AS h
@@ -2982,13 +3085,44 @@ scored AS (
   LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
   JOIN sizes sa ON sa.doc_id = c.a
   JOIN sizes sb ON sb.doc_id = c.b
-)
-SELECT a, b, truncated, jaccard FROM scored
-WHERE jaccard >= {threshold}::DOUBLE
-"""
+)"""
 
 
 DOC_MINHASH_PAIRS_SQL = _minhash_pairs_sql()
+
+
+def doc_minhash_dedup_apply(sf_dir: str):
+    """End-to-end MinHash dedup APPLICATION — the row-survival answer a
+    training pipeline consumes: LSH pairs → connected-component clusters →
+    numeric-min-id keeper per cluster → one ``(doc_id, keep)`` row per
+    document. Bit-exact DuckDB oracle: the pairs CTE chain is shared with
+    ``doc_minhash_pairs`` verbatim; the cluster step is a recursive-CTE
+    transitive closure with ``min(reach)`` keeper (stages/dedup.
+    minhash_dedup_apply — zero-padded CC labels make the distributed
+    min-string label equal this numeric min)."""
+    from code_graph_rag_ray.stages.dedup import minhash_dedup_apply
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    # md5 audit family: the oracle replays these exact hash values
+    return minhash_dedup_apply(ds, verify_threshold=0.8, hash_family="md5")
+
+
+def _minhash_apply_sql(threshold: float = 0.8) -> str:
+    return f"""
+WITH RECURSIVE {_minhash_body_sql()},
+p2 AS (SELECT a, b FROM scored WHERE jaccard >= {threshold}::DOUBLE),
+sym AS (SELECT a AS s, b AS d FROM p2 UNION SELECT b, a FROM p2),
+r AS (
+  SELECT s AS node, s AS reach FROM (SELECT DISTINCT s FROM sym)
+  UNION
+  SELECT r.node, sym.d FROM r JOIN sym ON r.reach = sym.s),
+dropped AS (SELECT node FROM r GROUP BY node HAVING node != min(reach))
+SELECT doc_id, doc_id NOT IN (SELECT node FROM dropped) AS keep
+FROM documents
+"""
+
+
+DOC_MINHASH_DEDUP_APPLY_SQL = _minhash_apply_sql()
 
 
 def doc_jaccard_pairs(sf_dir: str):
@@ -5097,6 +5231,8 @@ QUERIES = {
     "doc_dup_spans": doc_dup_spans,
     "doc_boilerplate": doc_boilerplate,
     "doc_exact_dup_clusters": doc_exact_dup_clusters,
+    "doc_minhash_dedup_apply": doc_minhash_dedup_apply,
+    "doc_semdedup": doc_semdedup,
     # --- strongest round-2 operators ---
     "events_attribution": events_attribution,
     "events_sessions": events_sessions,
@@ -5359,6 +5495,8 @@ ORACLES = {
     "cooccur_triangles": COOCCUR_TRIANGLES_SQL,
     "doc_minhash_sig": DOC_MINHASH_SIG_SQL,
     "doc_minhash_pairs": DOC_MINHASH_PAIRS_SQL,
+    "doc_minhash_dedup_apply": DOC_MINHASH_DEDUP_APPLY_SQL,
+    "doc_semdedup": DOC_SEMDEDUP_SQL,
     "doc_embedding_vectors": DOC_EMBEDDING_VECTORS_SQL,
     "doc_kmeans": DOC_KMEANS_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,

@@ -1122,3 +1122,164 @@ def prefix_jaccard_join(
         return t.filter(keep)
 
     return with_b.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_dedup_apply(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    verify_threshold: float = 0.8,
+    max_group: int = 200,
+    hash_family: str = "fast",
+) -> Dataset:
+    """End-to-end MinHash dedup APPLICATION: pairs → clusters → keep flag.
+
+    The detection ops (``minhash_near_dup_pairs``) answer "which documents
+    are near-duplicates?"; this operator answers the question a training
+    pipeline actually asks — "which ROWS survive?". Per near-dup cluster
+    the NUMERICALLY smallest id wins (content/id-determined, so the result
+    is independent of block layout and parallelism); every other cluster
+    member is dropped. Output is one row per input document:
+    ``(id_col, keep bool)``.
+
+    Scale shape: pairs come from the distributed LSH pipeline; clusters
+    from pointer-jumping CC over the pair edges (ids are zero-padded to
+    make the CC's min-STRING label equal the min-NUMERIC id — no extra
+    keeper groupby); the drop set flows back to the corpus through a
+    bucketed left join, never a driver-side set. Reference analog: the
+    MERGE-on-qualified-name node dedup (graph_updater.py:1483-1520), which
+    is exact-key only — near-dup apply is the web-corpus generalization.
+    """
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    pairs = minhash_near_dup_pairs(
+        ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        bands=bands, shingle=shingle, verify_threshold=verify_threshold,
+        max_group=max_group, hash_family=hash_family,
+    )
+
+    # zero-pad ids so the CC min-label IS the numeric min (ids are
+    # non-negative int64: 19 digits suffice)
+    def to_edges(b: pa.Table) -> pa.Table:
+        pad = 19
+        return pa.table({
+            "src": pc.utf8_lpad(pc.cast(b["a"], pa.string()), pad, "0"),
+            "dst": pc.utf8_lpad(pc.cast(b["b"], pa.string()), pad, "0"),
+        })
+
+    comp = connected_components(
+        pairs.map_batches(to_edges, batch_format="pyarrow"), "src", "dst"
+    )
+
+    def non_keepers(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b["node"], b["component"]))
+        return pa.table({
+            id_col: pc.cast(t["node"], pa.int64()),
+            "__dup": pa.array([1] * t.num_rows, pa.int8()),
+        })
+
+    dropped = comp.map_batches(non_keepers, batch_format="pyarrow").materialize()
+    docs = ds.select_columns([id_col])
+    if dropped.count() == 0:
+        return docs.map_batches(
+            lambda b: pa.table(
+                {id_col: b[id_col],
+                 "keep": pa.array([True] * b.num_rows, pa.bool_())}
+            ),
+            batch_format="pyarrow",
+        )
+    joined = bucketed_join(docs, dropped, on=id_col, how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b[id_col],
+                         "keep": pc.is_null(b["__dup"])})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    ds: Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    max_group: int = 4096,
+) -> Dataset:
+    """SemDeDup-style semantic dedup: k-means bucketing, then exact
+    within-cluster cosine; a row is dropped when a LOWER-id row in the
+    same cluster has cosine ≥ threshold_num/threshold_den.
+
+    All arithmetic is integer-exact on the k-means quantization lattice
+    (``round(x*scale)``): the cosine test ``cos ≥ n/d`` is evaluated as
+    ``dot > 0 AND dot²·d² ≥ n²·‖a‖²·‖b‖²`` in unbounded Python ints, so
+    the result is bit-replayable by a DuckDB HUGEINT oracle and invariant
+    to block layout (greedy SemDeDup with deterministic id order replaces
+    the paper's RNG-seeded keep policy).
+
+    Scale shape: clustering is the fixed-point distributed k-means
+    (broadcast centroid matrix, two-phase update); the pairwise stage is
+    a ``groupby(cluster).map_groups`` whose quadratic work is confined to
+    one cluster — ``max_group`` caps degenerate clusters (rows ranked by
+    id beyond the cap skip the pairwise check and survive with
+    ``truncated=true``, the same recorded-truncation discipline as the
+    LSH band cap). Reference analog: semantic grouping is absent from the
+    reference (exact MERGE only); this is the embedding-space member of
+    the near-dup family (SemDeDup, Abbas et al. 2023, arXiv:2303.09540).
+    """
+    from code_graph_rag_ray.stages.clustering import _quantize, kmeans_train
+
+    cent_ids, cent = kmeans_train(
+        ds, k=k, iters=iters, scale=scale, id_col=id_col, vec_col=vec_col
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        q = _quantize(b[vec_col], scale)
+        if q.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "qv": pa.array([], pa.list_(pa.int64()))})
+        qq = (q * q).sum(axis=1)[:, None]
+        cc = (cent * cent).sum(axis=1)[None, :]
+        d = qq + cc - 2 * (q @ cent.T)
+        j = np.argmin(d, axis=1)  # first min = smallest cluster id
+        return pa.table({
+            id_col: b[id_col],
+            "cluster": pa.array(cent_ids[j].astype(np.int64)),
+            "qv": pa.array(list(q), pa.list_(pa.int64())),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    n2, d2 = threshold_num * threshold_num, threshold_den * threshold_den
+
+    def pairwise(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        m = len(g)
+        head = min(m, max_group)
+        q = np.stack(g["qv"].to_numpy()[:head]).astype(object)
+        dot = q @ q.T  # object ints: overflow-proof exact arithmetic
+        norms = np.diag(dot).copy()
+        # dropped iff ANY lower-id row (row index < col index after the id
+        # sort) clears the threshold — a plain EXISTS, replayed 1:1 in SQL
+        mask = np.asarray(
+            (dot > 0) & (dot * dot * d2 >= n2 * np.outer(norms, norms)),
+            dtype=bool,
+        )
+        keep = np.ones(m, dtype=bool)
+        keep[:head] = ~np.triu(mask, 1).any(axis=0)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "cluster": g["cluster"].to_numpy(),
+            "keep": keep,
+            "truncated": np.arange(m) >= max_group,
+        })
+
+    return assigned.groupby("cluster").map_groups(pairwise)

@@ -361,3 +361,76 @@ def test_prefix_jaccard_join_string_ids():
     pairs = set(zip(out["a"], out["b"]))
     assert ("docA", "docB") in pairs
     assert all(isinstance(a, str) for a in out["a"])
+
+
+def test_minhash_dedup_apply_keeps_numeric_min_per_cluster():
+    from code_graph_rag_ray.stages.dedup import minhash_dedup_apply
+
+    # ids straddle the 1-digit/3-digit boundary where a STRING min would
+    # pick "100" over "9" — the zero-padded CC labels must not
+    ds = _docs([(9, BASE), (100, BASE + " x"), (101, BASE + " y"),
+                (5, "unrelated " * 30), (7, "tiny")])
+    out = minhash_dedup_apply(ds, verify_threshold=0.5).to_pandas()
+    keep = dict(zip(out.doc_id, out.keep))
+    assert len(out) == 5
+    assert keep[9] and not keep[100] and not keep[101]  # numeric min wins
+    assert keep[5] and keep[7]  # non-dups all survive
+
+
+def test_minhash_dedup_apply_no_pairs_all_keep():
+    from code_graph_rag_ray.stages.dedup import minhash_dedup_apply
+
+    ds = _docs([(1, "alpha " * 20), (2, "beta unrelated " * 15)])
+    out = minhash_dedup_apply(ds).to_pandas()
+    assert len(out) == 2 and out.keep.all()
+    assert str(out.doc_id.dtype) == "int64"
+
+
+def _vecs(rows):
+    return rd.from_arrow(
+        pa.Table.from_pylist(
+            [{"vec_id": i, "embedding": list(map(float, v))} for i, v in rows],
+            schema=pa.schema([("vec_id", pa.int64()),
+                              ("embedding", pa.list_(pa.float64()))]),
+        )
+    )
+
+
+def test_semantic_dedup_drops_higher_id_near_copy():
+    from code_graph_rag_ray.stages.dedup import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 8))
+    rows = [(i, base[i]) for i in range(6)]
+    rows.append((10, base[2] + 1e-4))  # near-copy of vec 2
+    rows.append((11, -base[3]))        # anti-parallel: cos = -1, never a dup
+    out = semantic_dedup(_vecs(rows), k=3, iters=1).to_pandas()
+    keep = dict(zip(out.vec_id, out.keep))
+    assert len(out) == 8
+    assert keep[2] and not keep[10]  # copy dropped, original kept
+    assert keep[3] and keep[11]
+    assert not out.truncated.any()
+
+
+def test_semantic_dedup_max_group_truncation_recorded():
+    from code_graph_rag_ray.stages.dedup import semantic_dedup
+
+    # one tight cluster of 5 identical vectors, cap at 3: ranks 4-5 skip
+    # the pairwise check and survive with truncated=true
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(5)]
+    out = semantic_dedup(_vecs(rows), k=1, iters=1, max_group=3).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    assert list(out.keep) == [True, False, False, True, True]
+    assert list(out.truncated) == [False, False, False, True, True]
+
+
+def test_semantic_dedup_exists_semantics_not_greedy():
+    from code_graph_rag_ray.stages.dedup import semantic_dedup
+
+    # chain 0~1~2 where all three are mutually similar: EXISTS semantics
+    # drop BOTH 1 and 2 (each has a lower-id match), keep only 0
+    v = [1.0, 1.0, 0.0]
+    rows = [(0, v), (1, v), (2, v)]
+    out = semantic_dedup(_vecs(rows), k=1, iters=1).to_pandas()
+    keep = dict(zip(out.vec_id, out.keep))
+    assert keep == {0: True, 1: False, 2: False}
