@@ -3204,6 +3204,38 @@ FROM b
 """
 
 
+def doc_source_mix(sf_dir: str):
+    """Source-mix rebalancing (curriculum mixing): thin each source to hit
+    integer target ratios derived from the source name (``(idx % 4) + 1``
+    — deterministic non-uniform targets over the fixture's 20 uniform
+    sources), char-budgeted via the n_chars column so the read prunes to
+    three columns. The binding source survives whole; the md5-low32
+    accept test is integer-exact (stages/sampling.source_mix_sample)."""
+    from code_graph_rag_ray.stages.sampling import source_mix_sample
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    weights = {f"src{i}": (i % 4) + 1 for i in range(20)}
+    return source_mix_sample(ds, id_col="doc_id", source_col="source",
+                             size_col="n_chars", weights=weights)
+
+
+DOC_SOURCE_MIX_SQL = """
+WITH w AS (
+  SELECT source, CAST(sum(n_chars) AS HUGEINT) AS ts,
+         CAST((CAST(regexp_extract(source, '[0-9]+$') AS BIGINT) % 4) + 1
+              AS HUGEINT) AS ws
+  FROM documents GROUP BY source),
+m AS (
+  SELECT ws AS wm, ts AS tm FROM w
+  ORDER BY CAST(ts AS DOUBLE) / CAST(ws AS DOUBLE), source LIMIT 1)
+SELECT d.doc_id, d.source,
+       (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT::HUGEINT
+          * w.ts * m.wm)
+         < (4294967296::HUGEINT * w.ws * m.tm) AS sampled
+FROM documents d JOIN w USING (source) CROSS JOIN m
+"""
+
+
 def doc_sample_stratified(sf_dir: str):
     """Per-stratum deterministic downsampling: keep 20% of English pages,
     100% of French (low-resource upweighting shape), 50% of the rest."""
@@ -3448,6 +3480,60 @@ def doc_dup_spans(sf_dir: str):
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     return dup_ngram_spans(ds, w=8, min_docs=2)
+
+
+def doc_dup_spans_apply(sf_dir: str):
+    """The APPLY step of duplicated-span dedup: cut every corpus-repeated
+    8-token window from all but its numerically smallest owner document,
+    rebuild each document from the surviving tokens (stages/dedup.
+    dup_span_apply — keep-one ExactSubstr semantics). Bit-exact DuckDB
+    oracle: the tokenization/window/qualify CTEs are shared with
+    doc_dup_spans; the mask expansion + per-position anti-join + ordered
+    string_agg replay the rebuild."""
+    from code_graph_rag_ray.stages.dedup import dup_span_apply
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return dup_span_apply(ds, w=8, min_docs=2)
+
+
+def _dup_spans_apply_sql(w: int = 8, min_docs: int = 2) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+), win AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(array_to_string(l[i : i + {w - 1}], ' ')), 1, 15))::UBIGINT::BIGINT AS fp
+  FROM tok, LATERAL (SELECT unnest(range(1, len(l) - {w - 2})) AS i) r
+  WHERE len(l) >= {w}
+), qual AS (
+  SELECT fp, min(doc_id) AS min_doc
+  FROM (SELECT DISTINCT doc_id, fp FROM win) GROUP BY fp
+  HAVING count(*) >= {min_docs}
+), masked AS (
+  SELECT DISTINCT wn.doc_id, wn.pos + d AS p
+  FROM win wn JOIN qual q ON wn.fp = q.fp AND wn.doc_id != q.min_doc,
+       LATERAL (SELECT unnest(range(0, {w})) AS d) x
+), kept AS (
+  SELECT t.doc_id, i AS p, t.l[i] AS tokn
+  FROM tok t, LATERAL (SELECT unnest(range(1, len(t.l) + 1)) AS i) r
+  WHERE NOT EXISTS (SELECT 1 FROM masked m
+                    WHERE m.doc_id = t.doc_id AND m.p = i)
+)
+SELECT t.doc_id,
+       coalesce(agg.ct, '') AS clean_text,
+       coalesce(c.nm, 0)::BIGINT AS n_removed
+FROM tok t
+LEFT JOIN (SELECT doc_id, string_agg(tokn, ' ' ORDER BY p) AS ct
+           FROM kept GROUP BY doc_id) agg USING (doc_id)
+LEFT JOIN (SELECT doc_id, count(*) AS nm FROM masked GROUP BY doc_id) c
+       USING (doc_id)
+"""
+
+
+DOC_DUP_SPANS_APPLY_SQL = _dup_spans_apply_sql()
 
 
 def doc_minhash_pairs_fast(sf_dir: str):
@@ -5233,6 +5319,8 @@ QUERIES = {
     "doc_exact_dup_clusters": doc_exact_dup_clusters,
     "doc_minhash_dedup_apply": doc_minhash_dedup_apply,
     "doc_semdedup": doc_semdedup,
+    "doc_dup_spans_apply": doc_dup_spans_apply,
+    "doc_source_mix": doc_source_mix,
     # --- strongest round-2 operators ---
     "events_attribution": events_attribution,
     "events_sessions": events_sessions,
@@ -5497,6 +5585,8 @@ ORACLES = {
     "doc_minhash_pairs": DOC_MINHASH_PAIRS_SQL,
     "doc_minhash_dedup_apply": DOC_MINHASH_DEDUP_APPLY_SQL,
     "doc_semdedup": DOC_SEMDEDUP_SQL,
+    "doc_dup_spans_apply": DOC_DUP_SPANS_APPLY_SQL,
+    "doc_source_mix": DOC_SOURCE_MIX_SQL,
     "doc_embedding_vectors": DOC_EMBEDDING_VECTORS_SQL,
     "doc_kmeans": DOC_KMEANS_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,

@@ -1283,3 +1283,130 @@ def semantic_dedup(
         })
 
     return assigned.groupby("cluster").map_groups(pairwise)
+
+
+def dup_span_apply(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    min_docs: int = 2,
+    num_buckets: int = 64,
+    hash_family: str = "md5",
+) -> Dataset:
+    """The APPLY step of duplicated-span dedup (ExactSubstr analog, Lee
+    et al. 2021): every w-token window whose fingerprint appears in ≥
+    ``min_docs`` DISTINCT documents is cut from every document EXCEPT the
+    numerically smallest one that contains it (keep-one semantics); each
+    document is rebuilt from its surviving tokens.
+
+    Output: one row per input document — ``(id_col, clean_text,
+    n_removed)`` where ``clean_text`` is the kept tokens of the
+    lowercase/alnum token stream joined by single spaces (the normalized
+    form shared with ``dup_ngram_spans``) and ``n_removed`` counts masked
+    token positions.
+
+    Scale shape: ONE fp-hash-bucketed shuffle serves both detection and
+    the cover join (the per-bucket pandas pass computes distinct-doc
+    counts AND joins qualifying fingerprints back to the position rows it
+    already holds — NOTES fact 25 discipline, never per-fp groups); the
+    masked positions then ride a per-doc aggregate through a bucketed
+    left join back to the corpus, and rebuild re-tokenizes locally. Two
+    exchanges total, both O(windows) not O(corpus²).
+    """
+    import hashlib
+
+    from code_graph_rag_ray.stages.relational import bucketed_join
+    from code_graph_rag_ray.stages.tfidf import _TOKEN_SPLIT
+
+    if hash_family != "md5":
+        raise ValueError("dup_span_apply is oracle-facing: md5 family only")
+
+    def fps_pos(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(b[text_col], "")),
+                                      pattern=_TOKEN_SPLIT)
+        ids_out: list[int] = []
+        pos_out: list[int] = []
+        fp_out: list[int] = []
+        for i, lst in zip(b[id_col].to_pylist(), toks.to_pylist()):
+            tl = [t for t in (lst or []) if t]
+            for s in range(len(tl) - w + 1):
+                h = int(hashlib.md5(
+                    " ".join(tl[s:s + w]).encode()).hexdigest()[:15], 16)
+                ids_out.append(i)
+                pos_out.append(s)
+                fp_out.append(h)
+        t = pa.table({"fp": pa.array(fp_out, pa.int64()),
+                      id_col: pa.array(ids_out, pa.int64()),
+                      "pos": pa.array(pos_out, pa.int64())})
+        bk = (np.asarray(fp_out, dtype=np.uint64) % np.uint64(num_buckets)
+              ).astype(np.int32) if fp_out else np.array([], np.int32)
+        return t.append_column("__bk", pa.array(bk))
+
+    def cover_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        stats = (g.drop_duplicates(["fp", id_col])
+                  .groupby("fp", as_index=False)
+                  .agg(nd=(id_col, "size"), min_doc=(id_col, "min")))
+        qual = stats[stats.nd >= min_docs][["fp", "min_doc"]]
+        cov = g.merge(qual, on="fp")
+        cov = cov[cov[id_col] != cov.min_doc]
+        return pd.DataFrame({id_col: cov[id_col].to_numpy(np.int64),
+                             "pos": cov["pos"].to_numpy(np.int64)})
+
+    cover = (
+        ds.map_batches(fps_pos, batch_format="pyarrow")
+        .groupby("__bk")
+        .map_groups(cover_in_bucket, batch_format="pandas")
+    )
+
+    def collect_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.sort_values([id_col, "pos"], kind="mergesort")
+                .groupby(id_col, as_index=False)
+                .agg(starts=("pos", lambda s: ",".join(map(str, s)))))
+        return pd.DataFrame({id_col: agg[id_col].to_numpy(np.int64),
+                             "starts": agg["starts"].to_numpy(object)})
+
+    def doc_bucket(b: pa.Table) -> pa.Table:
+        from code_graph_rag_ray.functions.hashing import partition_ids
+
+        bk = partition_ids(pc.cast(b[id_col], pa.string()), num_buckets)
+        return b.append_column("__db", pa.array(bk, pa.int32()))
+
+    starts_per_doc = (
+        cover.map_batches(doc_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("__db")
+        .map_groups(collect_per_doc, batch_format="pandas")
+    )
+
+    # starts_per_doc has a groupby upstream: pass its schema so the join's
+    # probe doesn't execute the whole plan twice (NOTES fact 22)
+    joined = bucketed_join(
+        ds.select_columns([id_col, text_col]), starts_per_doc,
+        on=id_col, how="left",
+        right_schema=pa.schema([(id_col, pa.int64()),
+                                ("starts", pa.string())]),
+    )
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        ids, texts = b[id_col].to_pylist(), b[text_col].to_pylist()
+        starts_col = b["starts"].to_pylist()
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(b[text_col], "")), pattern=_TOKEN_SPLIT
+        ).to_pylist()
+        clean_out: list[str] = []
+        nrem_out: list[int] = []
+        for lst, starts in zip(toks, starts_col):
+            tl = [t for t in (lst or []) if t]
+            mask = np.zeros(len(tl), dtype=bool)
+            if starts:
+                for s in starts.split(","):
+                    p = int(s)
+                    mask[p:p + w] = True
+            clean_out.append(" ".join(t for t, m in zip(tl, mask) if not m))
+            nrem_out.append(int(mask.sum()))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "clean_text": pa.array(clean_out, pa.string()),
+                         "n_removed": pa.array(nrem_out, pa.int64())})
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")

@@ -292,3 +292,63 @@ def negative_samples(
                                ("neg_ix", pa.int64()), ("neg", pa.string())]),
         right_schema=pa.schema([("src", pa.string()), ("neg", pa.string())]),
     )
+
+
+def source_mix_sample(
+    ds: Dataset,
+    *,
+    id_col: str,
+    source_col: str,
+    size_col: str,
+    weights: dict[str, int],
+) -> Dataset:
+    """Curriculum / source-mix rebalancing: downsample each source so the
+    retained corpus matches target mix ``weights`` (integer ratios, e.g.
+    wiki:3 web:1) as closely as the data allows — the static-weight data
+    mixing step of every large pretraining pipeline (DoReMi et al. use
+    learned weights; the APPLY mechanics are identical).
+
+    The binding source m (smallest size/weight ratio) is kept whole; every
+    other source s is thinned to rate ``w_s·t_m / (w_m·t_s)`` by the
+    md5-low32 policy hash, so the decision is a pure function of
+    (id, source) — partitioning-independent and leak-free for duplicated
+    ids. The accept test is INTEGER-exact (``u32·t_s·w_m < 2³²·w_s·t_m``,
+    unbounded ints / HUGEINT in the oracle) — no float rounding at the
+    acceptance boundary. Output: one row per input row,
+    ``(id_col, source_col, sampled bool)``.
+
+    Scale shape: per-source totals are a two-phase grouped sum whose
+    result is O(#sources) — a legitimate driver-side broadcast (the
+    centroid pattern); the accept pass is stateless map_batches.
+    """
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+
+    totals = {
+        r[source_col]: int(r["t"])
+        for r in partial_groupby_sum(
+            ds.select_columns([source_col, size_col]),
+            [source_col], {size_col: "t"},
+        ).take_all()
+    }
+    missing = set(totals) - set(weights)
+    if missing:
+        raise ValueError(f"no target weight for sources: {sorted(missing)}")
+    # binding source: smallest size/weight ratio — double ratio ordering
+    # with a source-name tie-break, mirrored EXACTLY by the oracle's
+    # ORDER BY CAST(t AS DOUBLE)/CAST(w AS DOUBLE), source LIMIT 1
+    m = min(totals, key=lambda s: (totals[s] / float(weights[s]), s))
+    wm, tm = int(weights[m]), totals[m]
+    rhs = {s: (1 << 32) * int(weights[s]) * tm for s in totals}
+    lhs_f = {s: totals[s] * wm for s in totals}
+
+    def accept(b: pa.Table) -> pa.Table:
+        u = md5_low32_array(b[id_col]).astype(object)  # unbounded ints
+        src = b[source_col].to_pylist()
+        ok = [int(ui) * lhs_f[s] < rhs[s] for ui, s in zip(u, src)]
+        return pa.table({
+            id_col: b[id_col],
+            source_col: b[source_col],
+            "sampled": pa.array(ok, pa.bool_()),
+        })
+
+    return ds.map_batches(accept, batch_format="pyarrow")

@@ -434,3 +434,36 @@ def test_semantic_dedup_exists_semantics_not_greedy():
     out = semantic_dedup(_vecs(rows), k=1, iters=1).to_pandas()
     keep = dict(zip(out.vec_id, out.keep))
     assert keep == {0: True, 1: False, 2: False}
+
+
+def test_dup_span_apply_keep_one_semantics():
+    from code_graph_rag_ray.stages.dedup import dup_span_apply
+
+    boiler = "this license block is repeated verbatim across many documents here"
+    ds = _docs([
+        (1, "unique alpha words one two three four five six seven " + boiler),
+        (2, boiler + " plus unique beta content eight nine ten eleven"),
+        (3, "totally different text with no repeats in any window at all ok"),
+        (5, "short"),
+    ])
+    out = dup_span_apply(ds, w=8).to_pandas().set_index("doc_id")
+    assert len(out) == 4
+    # min_doc keeps the span; doc 2 loses all 10 boilerplate tokens
+    assert out.loc[1, "n_removed"] == 0 and boiler in out.loc[1, "clean_text"]
+    assert out.loc[2, "n_removed"] == 10
+    assert "license" not in out.loc[2, "clean_text"]
+    assert out.loc[2, "clean_text"].startswith("plus unique beta")
+    # non-dup and sub-window docs pass through (normalized token stream)
+    assert out.loc[3, "n_removed"] == 0
+    assert out.loc[5, "clean_text"] == "short"
+
+
+def test_dup_span_apply_null_text_and_empty_corpus():
+    from code_graph_rag_ray.stages.dedup import dup_span_apply
+
+    ds = rd.from_arrow(pa.Table.from_pylist(
+        [{"doc_id": 1, "text": None}, {"doc_id": 2, "text": "a b c"}],
+        schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())])))
+    out = dup_span_apply(ds, w=8).to_pandas().set_index("doc_id")
+    assert out.loc[1, "clean_text"] == "" and out.loc[1, "n_removed"] == 0
+    assert out.loc[2, "clean_text"] == "a b c"

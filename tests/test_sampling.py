@@ -170,3 +170,42 @@ def test_negative_samples_filtered_and_layout_invariant():
         assert tup == expect()
         assert len(got) == len(tup)  # no duplicate rows for distinct edges
         assert all((r["src"], r["neg"]) not in edge_set for r in got)
+
+
+def test_source_mix_binding_source_kept_whole():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.sampling import source_mix_sample
+
+    # heavy:light sizes 10:1 but target ratio 1:1 -> light is binding
+    # (kept whole), heavy thinned to ~1/10
+    rows = [{"doc_id": i, "source": "heavy", "n": 100} for i in range(200)]
+    rows += [{"doc_id": 1000 + i, "source": "light", "n": 100} for i in range(20)]
+    ds = rd.from_arrow(pa.Table.from_pylist(
+        rows, schema=pa.schema([("doc_id", pa.int64()),
+                                ("source", pa.string()), ("n", pa.int64())])))
+    out = source_mix_sample(ds, id_col="doc_id", source_col="source",
+                            size_col="n",
+                            weights={"heavy": 1, "light": 1}).to_pandas()
+    assert len(out) == 220
+    g = out.groupby("source")["sampled"].agg(["sum", "size"])
+    assert g.loc["light", "sum"] == 20  # binding source fully kept
+    frac = g.loc["heavy", "sum"] / 200
+    assert 0.03 < frac < 0.2  # ~10% by the hash policy
+
+
+def test_source_mix_missing_weight_raises():
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.sampling import source_mix_sample
+
+    ds = rd.from_arrow(pa.Table.from_pylist(
+        [{"doc_id": 1, "source": "x", "n": 5}],
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("source", pa.string()), ("n", pa.int64())])))
+    with pytest.raises(ValueError, match="no target weight"):
+        source_mix_sample(ds, id_col="doc_id", source_col="source",
+                          size_col="n", weights={"y": 1}).materialize()
