@@ -110,3 +110,47 @@ def global_rank(
     return bucketed.groupby("__bucket").map_groups(
         rank_group, batch_format="pyarrow"
     )
+
+
+def shuffle_rank(
+    ds: Dataset,
+    *,
+    id_col: str,
+    shard_size: int,
+    num_buckets: int = 64,
+) -> Dataset:
+    """Deterministic global pseudorandom shuffle order + shard assignment —
+    the "shuffle the corpus before writing train shards" step, without a
+    ``random_shuffle`` (whose output depends on block layout and seed
+    plumbing). The order key is the md5-low32 policy hash of the id, so
+    the permutation is a pure function of the data: resumable, identical
+    at any parallelism, and replayable by ``row_number() OVER (ORDER BY
+    md5key, id)`` in SQL.
+
+    Output: input columns + ``shuffle_rank`` (1-based) + ``shard``
+    (0-based, ``(rank-1) // shard_size``) — ready to feed a partitioned
+    writer one shard directory per shard id.
+
+    Scale shape: delegates to :func:`global_rank` (two-pass range-bucket
+    row_number, O(num_buckets) driver rows); md5 keys are uniform so the
+    range buckets are balanced by construction.
+    """
+    from code_graph_rag_ray.functions.hashing import md5_low32_array
+
+    def key(b: pa.Table) -> pa.Table:
+        u = md5_low32_array(b[id_col]).astype(np.int64)
+        return b.append_column("__sk", pa.array(u))
+
+    ranked = global_rank(
+        ds.map_batches(key, batch_format="pyarrow"),
+        "__sk", tiebreak=id_col, num_buckets=num_buckets,
+        out_col="shuffle_rank",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        r = b["shuffle_rank"].to_numpy(zero_copy_only=False)
+        shard = (r - 1) // shard_size
+        return b.drop_columns("__sk").append_column(
+            "shard", pa.array(shard.astype(np.int64)))
+
+    return ranked.map_batches(finish, batch_format="pyarrow")

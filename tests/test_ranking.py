@@ -49,3 +49,34 @@ def test_rank_float_keys():
     rng = np.random.default_rng(5)
     keys = rng.normal(size=257).tolist()
     _check(keys, descending=False, blocks=5, num_buckets=8)
+
+
+def test_shuffle_rank_is_total_permutation_and_sharded():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.ranking import shuffle_rank
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(200), pa.int64())}))
+    out = shuffle_rank(ds, id_col="doc_id", shard_size=32).to_pandas()
+    assert sorted(out.shuffle_rank) == list(range(1, 201))  # exact permutation
+    assert (out.shard == (out.shuffle_rank - 1) // 32).all()
+    # pseudorandom, not identity: the hash order must differ from id order
+    by_rank = out.sort_values("shuffle_rank").doc_id.to_numpy()
+    assert not np.array_equal(by_rank, np.arange(200))
+
+
+def test_shuffle_rank_partitioning_invariant():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.ranking import shuffle_rank
+
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64())})
+    a = shuffle_rank(rd.from_arrow(t), id_col="doc_id", shard_size=10
+                     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = shuffle_rank(rd.from_arrow(t).repartition(7), id_col="doc_id",
+                     shard_size=10
+                     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
