@@ -4377,29 +4377,6 @@ FROM d GROUP BY dep_name
 """
 
 
-def events_retention(sf_dir: str):
-    """Cohort retention triangle: users cohorted by first active day,
-    distinct-user counts per (cohort_day, day_offset) — one user-bucketed
-    exchange; per-batch work reduces events to distinct (user, day) pairs
-    before the shuffle (stages/windows.retention_cohorts). cohort_day is
-    a 'YYYY-MM-DD' string on both sides for dtype parity."""
-    from code_graph_rag_ray.stages.windows import retention_cohorts
-
-    ds = _pq(sf_dir, "events", ["user_id", "ts"])
-    return retention_cohorts(ds)
-
-
-EVENTS_RETENTION_SQL = """
-WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
-f AS (SELECT user_id, min(d) AS cd FROM act GROUP BY user_id)
-SELECT strftime(f.cd, '%Y-%m-%d') AS cohort_day,
-       CAST(a.d - f.cd AS BIGINT) AS day_offset,
-       CAST(count(*) AS BIGINT) AS n_users
-FROM act a JOIN f USING (user_id)
-GROUP BY 1, 2
-"""
-
-
 def events_transitions(sf_dir: str):
     """Per-user event-type transition matrix (Markov bigram counts):
     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) →
@@ -5373,7 +5350,6 @@ QUERIES = {
     # ------- end of the driver's 50-entry window -------
     # r02-green, unchanged since: checked by the own oracle sweep instead
     "doc_shuffle_rank": doc_shuffle_rank,
-    "events_retention": events_retention,
     "events_sessions": events_sessions,
     "page_bfs_hops": page_bfs_hops,
     "doc_dup_spans": doc_dup_spans,
@@ -5639,7 +5615,6 @@ ORACLES = {
     "doc_dup_spans_apply": DOC_DUP_SPANS_APPLY_SQL,
     "doc_source_mix": DOC_SOURCE_MIX_SQL,
     "doc_shuffle_rank": DOC_SHUFFLE_RANK_SQL,
-    "events_retention": EVENTS_RETENTION_SQL,
     "doc_embedding_vectors": DOC_EMBEDDING_VECTORS_SQL,
     "doc_kmeans": DOC_KMEANS_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,

@@ -1007,73 +1007,3 @@ def strict_funnel(
     ))
     return partial_groupby_sum(parts.union(seed), ["step"], {"n_p": "n_keys"})
 
-
-def retention_cohorts(
-    ds: Dataset,
-    *,
-    user_col: str = "user_id",
-    ts_col: str = "ts",
-    num_buckets: int = 64,
-) -> Dataset:
-    """Cohort retention analysis: users are cohorted by their first active
-    DAY; for every (cohort_day, day_offset) the output counts the distinct
-    cohort users active exactly ``offset`` days after joining — the classic
-    retention triangle (day-0 row = cohort size).
-
-    Output: (cohort_day: 'YYYY-MM-DD' string, day_offset int64,
-    n_users int64). Cohort days are strings so the physical dtype matches
-    DuckDB's strftime output exactly (driver hash parity).
-
-    Scale shape: ONE user-hash-bucketed exchange. Per-batch work reduces
-    events to distinct (user, day) pairs first (rows out ≤ users×days, not
-    events); the per-bucket pandas pass then derives first-day cohorts and
-    offsets and emits already-global (cohort, offset) partial counts —
-    users are partitioned by the bucket hash, so distinct-user counts add
-    across buckets without a second distinct. A final tiny grouped sum
-    merges the ≤ buckets×cohorts×offsets partials. Reference analog: none
-    (the reference has no temporal analytics); this is the §2.8
-    streaming-shaped family's cohort member.
-    """
-    from code_graph_rag_ray.functions.hashing import partition_ids
-
-    def day_pairs(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({user_col: pa.array([], pa.int64()),
-                             "d": pa.array([], pa.int32()),
-                             "__bk": pa.array([], pa.int32())})
-        u = b[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = (b[ts_col].to_numpy(zero_copy_only=False)
-             .astype("datetime64[D]").astype(np.int32))
-        pairs = np.unique(np.stack([u, d.astype(np.int64)], axis=1), axis=0)
-        uu = pairs[:, 0]
-        t = pa.table({user_col: pa.array(uu),
-                      "d": pa.array(pairs[:, 1].astype(np.int32))})
-        bk = partition_ids(pc.cast(t[user_col], pa.string()), num_buckets)
-        return t.append_column("__bk", pa.array(bk, pa.int32()))
-
-    def cohort_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates([user_col, "d"])
-        first = g.groupby(user_col)["d"].transform("min")
-        out = (pd.DataFrame({"cd": first, "off": g["d"] - first})
-               .groupby(["cd", "off"], as_index=False).size())
-        return pd.DataFrame({"cd": out["cd"].to_numpy(np.int32),
-                             "day_offset": out["off"].to_numpy(np.int64),
-                             "n_p": out["size"].to_numpy(np.int64)})
-
-    parts = (
-        ds.map_batches(day_pairs, batch_format="pyarrow")
-        .groupby("__bk")
-        .map_groups(cohort_bucket, batch_format="pandas")
-    )
-    summed = partial_groupby_sum(parts, ["cd", "day_offset"], {"n_p": "n_users"})
-
-    def fmt(b: pa.Table) -> pa.Table:
-        days = b["cd"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
-        return pa.table({
-            "cohort_day": pa.array(np.datetime_as_string(days, unit="D"),
-                                   pa.string()),
-            "day_offset": b["day_offset"],
-            "n_users": b["n_users"],
-        })
-
-    return summed.map_batches(fmt, batch_format="pyarrow")

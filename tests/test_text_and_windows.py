@@ -691,21 +691,3 @@ def test_strict_funnel_no_step_events_emits_zero_rows():
            for r in strict_funnel(ds, ["view", "cart", "buy"]).take_all()}
     assert out == {"1_view": 0, "2_cart": 0, "3_buy": 0}
 
-
-def test_retention_cohorts_triangle():
-    import pandas as pd
-    import pyarrow as pa
-    import ray.data as rd
-
-    from code_graph_rag_ray.stages.windows import retention_cohorts
-
-    def ev(u, day):
-        return {"user_id": u, "ts": pd.Timestamp(f"2024-01-{day:02d} 10:00")}
-
-    # u1 joins day1, active day1+day3; u2 joins day1 only; u3 joins day3
-    rows = [ev(1, 1), ev(1, 1), ev(1, 3), ev(2, 1), ev(3, 3)]
-    ds = rd.from_pandas(pd.DataFrame(rows))
-    out = retention_cohorts(ds).to_pandas()
-    got = {(r.cohort_day, r.day_offset): r.n_users for r in out.itertuples()}
-    assert got == {("2024-01-01", 0): 2, ("2024-01-01", 2): 1,
-                   ("2024-01-03", 0): 1}
