@@ -3261,6 +3261,58 @@ SELECT doc_id, shuffle_rank, (shuffle_rank - 1) // 64 AS shard FROM r
 """
 
 
+def doc_dsir_scores(sf_dir: str):
+    """DSIR importance scoring (Xie et al. 2023 analog, stages/dsir.py):
+    every document scored by how target-domain-like (lang='en') its hashed
+    unigram+bigram feature distribution is. Two streaming passes: bincount
+    partials → one tiny grouped sum over ≤1024 buckets, then the weight
+    table rides ray.put into a gather-only score pass — no shuffle. The
+    log-likelihood-ratio weight is quantized to integer log2 steps
+    (bit-smearing bit_length over the 2^16-scaled smoothed ratio), which
+    is what makes the whole selection policy bit-exact vs the oracle."""
+    from code_graph_rag_ray.stages.dsir import dsir_scores
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return dsir_scores(ds, target_value="en", num_buckets=1024,
+                       scale_bits=16)
+
+
+DOC_DSIR_SCORES_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+uni AS (SELECT doc_id, lang, unnest(ws) AS f FROM tok),
+idx AS (SELECT doc_id, lang, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM tok WHERE len(ws) >= 2),
+big AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS f FROM idx),
+occ AS (
+  SELECT doc_id, coalesce(lang = 'en', FALSE) AS is_t,
+         (('0x' || substr(md5(f), 1, 8))::UBIGINT % 1024)::BIGINT AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+cnt AS (
+  SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct,
+         sum(CASE WHEN is_t THEN 0 ELSE 1 END)::BIGINT AS cr
+  FROM occ GROUP BY b),
+qv AS (SELECT b, ((ct + 1) * 65536) // (cr + 1) AS q FROM cnt),
+s1 AS (SELECT b, q | (q >> 1) AS x FROM qv),
+s2 AS (SELECT b, x | (x >> 2) AS x FROM s1),
+s3 AS (SELECT b, x | (x >> 4) AS x FROM s2),
+s4 AS (SELECT b, x | (x >> 8) AS x FROM s3),
+s5 AS (SELECT b, x | (x >> 16) AS x FROM s4),
+s6 AS (SELECT b, x | (x >> 32) AS x FROM s5),
+lam AS (SELECT b, bit_count(x)::BIGINT - 17 AS w FROM s6),
+per AS (
+  SELECT o.doc_id, count(*)::BIGINT AS n_feats, sum(l.w)::BIGINT AS s
+  FROM occ o JOIN lam l USING (b) GROUP BY o.doc_id)
+SELECT d.doc_id, coalesce(d.lang = 'en', FALSE) AS in_target,
+       coalesce(p.n_feats, 0)::BIGINT AS n_feats,
+       coalesce(p.s, 0)::BIGINT AS dsir_score
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 def doc_sample_stratified(sf_dir: str):
     """Per-stratum deterministic downsampling: keep 20% of English pages,
     100% of French (low-resource upweighting shape), 50% of the rest."""
@@ -5343,6 +5395,7 @@ QUERIES = {
     "doc_semdedup": doc_semdedup,
     "doc_dup_spans_apply": doc_dup_spans_apply,
     "doc_source_mix": doc_source_mix,
+    "doc_dsir_scores": doc_dsir_scores,
     # --- redesigned / never-driver-checked round-3 operators ---
     "events_attribution": events_attribution,
     "events_transitions": events_transitions,
@@ -5614,6 +5667,7 @@ ORACLES = {
     "doc_semdedup": DOC_SEMDEDUP_SQL,
     "doc_dup_spans_apply": DOC_DUP_SPANS_APPLY_SQL,
     "doc_source_mix": DOC_SOURCE_MIX_SQL,
+    "doc_dsir_scores": DOC_DSIR_SCORES_SQL,
     "doc_shuffle_rank": DOC_SHUFFLE_RANK_SQL,
     "doc_embedding_vectors": DOC_EMBEDDING_VECTORS_SQL,
     "doc_kmeans": DOC_KMEANS_SQL,
