@@ -2657,6 +2657,56 @@ r{i} AS (SELECT p.url AS node,
 PAGE_RANK_SQL = _page_rank_sql()
 
 
+def page_communities(sf_dir: str):
+    """Label-propagation communities over the links_to graph
+    (stages/graph_metrics.label_propagation): 4 synchronous rounds,
+    most-frequent-neighbor label with min-label ties — deterministic at
+    any parallelism, bit-exact vs the unrolled SQL replay."""
+    from code_graph_rag_ray.stages.graph_metrics import label_propagation
+
+    pages, internal = _internal_link_graph(sf_dir)
+    return label_propagation(
+        internal, pages.select_columns(["url"]),
+        src="src_url", dst="dst_url", node="url", iters=4,
+    )
+
+
+def _page_communities_sql(iters: int = 4) -> str:
+    """Unrolled synchronous LPA rounds — same distinct undirected
+    non-loop edge set, same (count DESC, label ASC) argmax, prior label
+    as the zero-count candidate."""
+    head = """
+WITH p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1
+  FROM documents),
+e0 AS (SELECT a.url AS src, a.t1 AS dst
+       FROM p a JOIN (SELECT url FROM p) b ON a.t1 = b.url
+       WHERE a.url <> a.t1),
+eu AS (SELECT DISTINCT s, d FROM (
+         SELECT src AS s, dst AS d FROM e0
+         UNION ALL SELECT dst, src FROM e0)),
+l0 AS (SELECT url AS node, url AS label FROM p)"""
+    steps = []
+    for i in range(1, iters + 1):
+        prv = i - 1
+        steps.append(f"""
+c{i} AS (SELECT e.d AS node, l.label, count(*)::BIGINT AS c
+         FROM eu e JOIN l{prv} l ON e.s = l.node GROUP BY e.d, l.label),
+u{i} AS (SELECT node, label, c FROM c{i}
+         UNION ALL SELECT node, label, 0::BIGINT FROM l{prv}),
+l{i} AS (SELECT node, label FROM (
+           SELECT node, label,
+                  row_number() OVER (PARTITION BY node
+                                     ORDER BY c DESC, label) AS rn
+           FROM u{i}) t WHERE rn = 1)""")
+    return (head + "," + ",".join(steps)
+            + f"\nSELECT node, label AS community FROM l{iters}")
+
+
+PAGE_COMMUNITIES_SQL = _page_communities_sql()
+
+
 def page_cocitation(sf_dir: str):
     """Co-citation pairs over the NORMALIZED link graph: pages citing the
     same target (group = dst, item = citing src), with fixed-point lift —
@@ -4838,6 +4888,68 @@ FROM s GROUP BY w1, w2
 """
 
 
+def corpus_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (stages/bpe.bpe_learn): the top-6 merge
+    rules learned from corpus word frequencies. One corpus pass builds
+    the vocabulary table; each merge is a vocabulary-scale streaming
+    pass (vectorized pair extraction + two-phase count + per-block
+    argmax fold — O(blocks) rows reach the driver). The double-space
+    symbol encoding makes the greedy left-to-right merge application a
+    plain string replace on BOTH sides, so the whole training run is
+    bit-exact against the chained-CTE DuckDB replay."""
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.bpe import bpe_learn
+
+    ds = _pq(sf_dir, "documents", ["text"])
+    return rd.from_arrow(bpe_learn(ds, num_merges=6))
+
+
+def _bpe_sql(num_merges: int) -> str:
+    """Chained-CTE replay of ``bpe_learn``: v0 = vocabulary with the
+    double-space symbol encoding; each iteration counts adjacent symbol
+    pairs (positions, weighted by word count), picks (max cnt, min lft,
+    min rgt) and applies the merge with the same boundary-preserving
+    replace the impl uses."""
+    parts = [
+        """WITH tok AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+w AS (SELECT unnest(ws) AS word FROM tok),
+v0 AS (
+  SELECT word, count(*)::BIGINT AS wc,
+         regexp_replace(word, '(.)', ' \\1 ', 'g') AS sym
+  FROM w GROUP BY word)"""
+    ]
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        parts.append(f""",
+a{i} AS (SELECT wc, string_split(trim(sym), '  ') AS ss FROM v{p}),
+p{i} AS (
+  SELECT ss[j] AS lft, ss[j + 1] AS rgt, sum(wc)::BIGINT AS cnt
+  FROM (SELECT wc, ss, unnest(generate_series(1, len(ss) - 1)) AS j
+        FROM a{i} WHERE len(ss) >= 2)
+  GROUP BY lft, rgt),
+m{i} AS (SELECT {i}::BIGINT AS step, lft, rgt, cnt FROM p{i}
+         ORDER BY cnt DESC, lft, rgt LIMIT 1),
+-- single CTE reference per step (CROSS JOIN, not repeated scalar
+-- subqueries): an inlining planner would otherwise re-expand the whole
+-- v-chain per reference — exponential in the merge count
+v{i} AS (
+  SELECT v.word, v.wc,
+         replace(v.sym, ' ' || m.lft || '  ' || m.rgt || ' ',
+                        ' ' || m.lft || m.rgt || ' ') AS sym
+  FROM v{p} v CROSS JOIN m{i} m)""")
+    union = "\nUNION ALL ".join(f"SELECT * FROM m{i}"
+                                for i in range(1, num_merges + 1))
+    parts.append(f"\nSELECT step, lft, rgt, cnt FROM ({union}) ORDER BY step")
+    return "".join(parts)
+
+
+CORPUS_BPE_MERGES_SQL = _bpe_sql(6)
+
+
 def events_value_quantiles_by_type(sf_dir: str):
     """Per-event-type EXACT continuous quantiles — the grouped
     histogram-refinement selection (stages/selection.grouped_quantile_select):
@@ -5382,9 +5494,9 @@ QUERIES = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "customer_name_ed1": customer_name_ed1,
     # --- dedup family ---
-    "doc_minhash_sig": doc_minhash_sig,
+    "corpus_bpe_merges": corpus_bpe_merges,
     "doc_minhash_pairs": doc_minhash_pairs,
-    "doc_simhash": doc_simhash,
+    "page_communities": page_communities,
     "doc_simhash_pairs": doc_simhash_pairs,
     "doc_jaccard_pairs": doc_jaccard_pairs,
     "doc_jaccard_join": doc_jaccard_join,
@@ -5399,6 +5511,8 @@ QUERIES = {
     # --- redesigned / never-driver-checked round-3 operators ---
     "events_attribution": events_attribution,
     "events_transitions": events_transitions,
+    "doc_minhash_sig": doc_minhash_sig,
+    "doc_simhash": doc_simhash,
     "knn_brute": knn_brute,
     # ------- end of the driver's 50-entry window -------
     # r02-green, unchanged since: checked by the own oracle sweep instead
@@ -5552,6 +5666,8 @@ ORACLES = {
     "q12_priority_by_returnflag": Q12_SQL,
     "page_neighbor_agg": PAGE_NEIGHBOR_AGG_SQL,
     "corpus_bigrams": CORPUS_BIGRAMS_SQL,
+    "page_communities": PAGE_COMMUNITIES_SQL,
+    "corpus_bpe_merges": CORPUS_BPE_MERGES_SQL,
     "events_value_quantiles_by_type": EVENTS_VALUE_QUANTILES_BY_TYPE_SQL,
     "doc_percent_rank": DOC_PERCENT_RANK_SQL,
     "doc_jaccard_join": DOC_JACCARD_JOIN_SQL,

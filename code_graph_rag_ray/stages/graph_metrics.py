@@ -757,3 +757,97 @@ def neighbor_agg(
         j.map_batches(ones, batch_format="pyarrow", batch_size=None),
         [src], {"one": "n_out", "in_deg": "sum_nbr_in_deg"},
     )
+
+
+def label_propagation(
+    edges: Dataset,
+    nodes: Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    iters: int = 4,
+) -> Dataset:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007, public): ``iters`` deterministic rounds where every node adopts
+    the most frequent label among its neighbors — ties break to the
+    SMALLEST label, isolated nodes keep their own — over the distinct
+    undirected non-loop edge set. Labels are initialized to the node id.
+
+    Fully deterministic at any parallelism (the classic algorithm's
+    random visit order is replaced by the synchronous update + total-order
+    tie-break), so the whole run is bit-exact against an unrolled SQL
+    replay. Sync LPA can oscillate on bipartite structure; with a FIXED
+    round count both sides replay the identical trajectory, so exactness
+    is unaffected.
+
+    Per round: one bucketed cogroup join (edges ⋈ labels on the sending
+    endpoint — only (nbr, label) crosses), a two-phase (node, label)
+    message count (whale in-degree keys pre-reduce per block), then one
+    grouped argmax. The prior label rides as a zero-count candidate row,
+    which a real neighbor message (count ≥ 1) always outranks — that is
+    what keeps isolated nodes labeled without a second join. Labels are
+    node-scale and re-materialized once per round; driver state is nil.
+
+    cgr analog: community structure over the reference's code graph is
+    what its retrieval layer approximates with package/module grouping
+    (graph_updater.py module hierarchy); this is the content-driven
+    version for a web link graph.
+    """
+    from code_graph_rag_ray.stages.relational import bucketed_join, partial_groupby_sum
+
+    def clean(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.not_equal(t[src], t[dst]))
+        fwd = pa.table({"s": pc.cast(f[src], pa.string()),
+                        "d": pc.cast(f[dst], pa.string())})
+        rev = pa.table({"s": fwd["d"], "d": fwd["s"]})
+        return pa.concat_tables([fwd, rev])
+
+    # distinct undirected edge set: two-phase grouped count, count dropped
+    sym = partial_groupby_sum(
+        edges.map_batches(clean, batch_format="pyarrow"),
+        ["s", "d"], {}, count_alias="m",
+    ).select_columns(["s", "d"]).materialize()
+
+    labels = nodes.map_batches(
+        lambda b: pa.table({"node": pc.cast(b[node], pa.string()),
+                            "label": pc.cast(b[node], pa.string())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def pick(g):
+        g = g.sort_values(["c", "label"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(1)[["node", "label"]]
+
+    for _ in range(iters):
+        msgs = bucketed_join(
+            sym, labels, on="s", right_on="node",
+            left_schema=pa.schema([("s", pa.string()), ("d", pa.string())]),
+            right_schema=pa.schema([("node", pa.string()),
+                                    ("label", pa.string())]),
+        ).map_batches(
+            lambda b: pa.table({"node": b["d"], "label": b["label"]}),
+            batch_format="pyarrow", batch_size=None,
+        )
+        counts = partial_groupby_sum(msgs, ["node", "label"], {},
+                                     count_alias="c")
+        selfc = labels.map_batches(
+            lambda b: pa.table(
+                {"node": b["node"], "label": b["label"],
+                 "c": pa.array(np.zeros(b.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        old = labels
+        labels = (
+            counts.union(selfc)
+            .groupby("node")
+            .map_groups(pick, batch_format="pandas")
+            .materialize()
+        )
+        del old
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["node"], "community": b["label"]}),
+        batch_format="pyarrow",
+    )
