@@ -3311,6 +3311,81 @@ SELECT doc_id, shuffle_rank, (shuffle_rank - 1) // 64 AS shard FROM r
 """
 
 
+_BM25_QUERIES = [
+    (0, "spark hash join"),
+    (1, "window agg sort stream"),
+    (2, "vector stream quantile"),  # 'quantile' has df=0 — matched-terms-only path
+]
+
+
+def doc_bm25_topk(sf_dir: str):
+    """BM25 full-text retrieval (stages/bm25.bm25_topk): top-10 documents
+    per query for 3 fixed queries — the query-time scoring the reference's
+    RAG layer runs against its index. Integer-exact BM25: idf quantized to
+    integer log2 steps (the DSIR bit-smear convention), tf saturation as a
+    pure BIGINT rational (k1=6/5, b=3/4, centitoken avgdl). One corpus
+    stats pass, one candidate-postings pass gated by the broadcast query
+    term set, dictionary-scale df fold, gather-only scoring, grouped
+    top-k with (score DESC, doc_id ASC) ties."""
+    from code_graph_rag_ray.stages.bm25 import bm25_topk
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, _BM25_QUERIES, k=10)
+
+
+def _bm25_sql(queries, k: int = 10) -> str:
+    """DuckDB replay of bm25_topk's integer arithmetic: same tokenizer,
+    same centitoken avgdl, same 2^16-scaled smoothed-ratio bit-length idf
+    (the DSIR smear), same 10^6-scaled tf rational, same top-k ties."""
+    from code_graph_rag_ray.stages.bm25 import tokenize_query
+
+    vals = ",\n       ".join(
+        f"({qid}::BIGINT, '{t}')"
+        for qid, qs in queries for t in tokenize_query(qs)
+    )
+    return f"""
+WITH q(query_id, term) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+st AS (SELECT count(*)::BIGINT AS n,
+              coalesce(sum(len(ws)), 0)::BIGINT AS tl FROM tok),
+av AS (SELECT n, (100 * tl) // n AS ac FROM st),
+toks AS (SELECT doc_id, len(ws)::BIGINT AS dl, unnest(ws) AS f FROM tok),
+m AS (SELECT doc_id, f AS term, count(*)::BIGINT AS tf, min(dl) AS dl
+      FROM toks WHERE f IN (SELECT DISTINCT term FROM q)
+      GROUP BY doc_id, f),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term),
+qv AS (SELECT term, ((2 * a.n - 2 * df + 1) * 65536) // (2 * df + 1) AS x
+       FROM dfq CROSS JOIN av a),
+s1 AS (SELECT term, x | (x >> 1) AS x FROM qv),
+s2 AS (SELECT term, x | (x >> 2) AS x FROM s1),
+s3 AS (SELECT term, x | (x >> 4) AS x FROM s2),
+s4 AS (SELECT term, x | (x >> 8) AS x FROM s3),
+s5 AS (SELECT term, x | (x >> 16) AS x FROM s4),
+s6 AS (SELECT term, x | (x >> 32) AS x FROM s5),
+lam AS (SELECT term, bit_count(x)::BIGINT - 17 AS w FROM s6),
+sc AS (
+  SELECT qr.query_id, m.doc_id,
+         sum(l.w * ((44 * m.tf * a.ac * 1000000)
+                    // (20 * m.tf * a.ac + 6 * a.ac + 1800 * m.dl))
+            )::BIGINT AS score,
+         count(*)::BIGINT AS n_terms
+  FROM m JOIN q qr USING (term) JOIN lam l USING (term) CROSS JOIN av a
+  GROUP BY qr.query_id, m.doc_id)
+SELECT query_id, doc_id, score, n_terms FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS rn
+  FROM sc) t
+WHERE rn <= {k}
+"""
+
+
+DOC_BM25_TOPK_SQL = _bm25_sql(_BM25_QUERIES)
+
+
 def doc_dsir_scores(sf_dir: str):
     """DSIR importance scoring (Xie et al. 2023 analog, stages/dsir.py):
     every document scored by how target-domain-like (lang='en') its hashed
@@ -5498,7 +5573,6 @@ QUERIES = {
     "doc_minhash_pairs": doc_minhash_pairs,
     "page_communities": page_communities,
     "doc_simhash_pairs": doc_simhash_pairs,
-    "doc_jaccard_pairs": doc_jaccard_pairs,
     "doc_jaccard_join": doc_jaccard_join,
     "doc_para_dedup": doc_para_dedup,
     "doc_para_dedup_apply": doc_para_dedup_apply,
@@ -5511,10 +5585,12 @@ QUERIES = {
     # --- redesigned / never-driver-checked round-3 operators ---
     "events_attribution": events_attribution,
     "events_transitions": events_transitions,
+    "doc_bm25_topk": doc_bm25_topk,
+    # ------- end of the driver's 50-entry window (exactly 50 above) -------
     "doc_minhash_sig": doc_minhash_sig,
     "doc_simhash": doc_simhash,
+    "doc_jaccard_pairs": doc_jaccard_pairs,
     "knn_brute": knn_brute,
-    # ------- end of the driver's 50-entry window -------
     # r02-green, unchanged since: checked by the own oracle sweep instead
     "doc_shuffle_rank": doc_shuffle_rank,
     "events_sessions": events_sessions,
@@ -5668,6 +5744,7 @@ ORACLES = {
     "corpus_bigrams": CORPUS_BIGRAMS_SQL,
     "page_communities": PAGE_COMMUNITIES_SQL,
     "corpus_bpe_merges": CORPUS_BPE_MERGES_SQL,
+    "doc_bm25_topk": DOC_BM25_TOPK_SQL,
     "events_value_quantiles_by_type": EVENTS_VALUE_QUANTILES_BY_TYPE_SQL,
     "doc_percent_rank": DOC_PERCENT_RANK_SQL,
     "doc_jaccard_join": DOC_JACCARD_JOIN_SQL,
