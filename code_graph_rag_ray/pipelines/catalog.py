@@ -2671,12 +2671,14 @@ def page_communities(sf_dir: str):
     )
 
 
-def _page_communities_sql(iters: int = 4) -> str:
-    """Unrolled synchronous LPA rounds — same distinct undirected
-    non-loop edge set, same (count DESC, label ASC) argmax, prior label
-    as the zero-count candidate."""
+def _lpa_ctes(iters: int = 4) -> str:
+    """The WITH-body CTE chain of the unrolled synchronous LPA replay —
+    same distinct undirected non-loop edge set, same (count DESC, label
+    ASC) argmax, prior label as the zero-count candidate. Ends at
+    ``l{iters}(node, label)``; shared by the communities and
+    community-terms oracles."""
     head = """
-WITH p AS (
+p AS (
   SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
          'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1
   FROM documents),
@@ -2700,11 +2702,76 @@ l{i} AS (SELECT node, label FROM (
                   row_number() OVER (PARTITION BY node
                                      ORDER BY c DESC, label) AS rn
            FROM u{i}) t WHERE rn = 1)""")
-    return (head + "," + ",".join(steps)
-            + f"\nSELECT node, label AS community FROM l{iters}")
+    return head + "," + ",".join(steps)
 
 
-PAGE_COMMUNITIES_SQL = _page_communities_sql()
+PAGE_COMMUNITIES_SQL = (
+    "WITH " + _lpa_ctes(4) + "\nSELECT node, label AS community FROM l4"
+)
+
+
+def page_community_terms(sf_dir: str):
+    """GraphRAG-style community summaries: top-3 terms per LPA community
+    by summed tf — the content profile the reference's retrieval layer
+    approximates with per-module grouping. LPA labels (node-scale) reach
+    the tf rows via ONE bucketed join; (community, term) counts fold
+    two-phase; grouped_top_k caps every community at 3 rows with
+    (n DESC, term ASC) ties."""
+    from code_graph_rag_ray.stages.graph_metrics import label_propagation
+    from code_graph_rag_ray.stages.relational import (
+        bucketed_join,
+        grouped_top_k,
+        partial_groupby_sum,
+    )
+    from code_graph_rag_ray.stages.tfidf import extract_tf_batch
+
+    pages, internal = _internal_link_graph(sf_dir)
+    labels = label_propagation(
+        internal, pages.select_columns(["url"]),
+        src="src_url", dst="dst_url", node="url", iters=4,
+    )
+
+    def tf_rows(b: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            pa.array(["https://"] * b.num_rows, pa.string()), b["source"],
+            pa.array([".example.org/doc/"] * b.num_rows, pa.string()),
+            pc.cast(b["doc_id"], pa.string()), "")
+        t = pa.table({"url": url, "text": b["text"]})
+        return extract_tf_batch(t, id_col="url", text_col="text")
+
+    tf = _pq(sf_dir, "documents", ["doc_id", "source", "text"]).map_batches(
+        tf_rows, batch_format="pyarrow")
+    j = bucketed_join(
+        tf, labels, on="url", right_on="node",
+        left_schema=pa.schema([("url", pa.string()), ("term", pa.string()),
+                               ("tf", pa.int64())]),
+        right_schema=pa.schema([("node", pa.string()),
+                                ("community", pa.string())]),
+    )
+    agg = partial_groupby_sum(
+        j.select_columns(["community", "term", "tf"]),
+        ["community", "term"], {"tf": "n"},
+    )
+    return grouped_top_k(agg, "community", "n", 3,
+                         descending=True, tiebreak="term")
+
+
+PAGE_COMMUNITY_TERMS_SQL = (
+    "WITH " + _lpa_ctes(4) + """,
+tok AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+tfu AS (SELECT url, f AS term, count(*)::BIGINT AS tf
+        FROM (SELECT url, unnest(ws) AS f FROM tok) GROUP BY url, f),
+ag AS (SELECT l.label AS community, t.term, sum(t.tf)::BIGINT AS n
+       FROM tfu t JOIN l4 l ON t.url = l.node GROUP BY l.label, t.term)
+SELECT community, term, n FROM (
+  SELECT *, row_number() OVER (PARTITION BY community
+                               ORDER BY n DESC, term) AS rn
+  FROM ag) t WHERE rn <= 3
+""")
 
 
 def page_cocitation(sf_dir: str):
@@ -5591,6 +5658,7 @@ QUERIES = {
     "doc_simhash": doc_simhash,
     "doc_jaccard_pairs": doc_jaccard_pairs,
     "knn_brute": knn_brute,
+    "page_community_terms": page_community_terms,
     # r02-green, unchanged since: checked by the own oracle sweep instead
     "doc_shuffle_rank": doc_shuffle_rank,
     "events_sessions": events_sessions,
@@ -5745,6 +5813,7 @@ ORACLES = {
     "page_communities": PAGE_COMMUNITIES_SQL,
     "corpus_bpe_merges": CORPUS_BPE_MERGES_SQL,
     "doc_bm25_topk": DOC_BM25_TOPK_SQL,
+    "page_community_terms": PAGE_COMMUNITY_TERMS_SQL,
     "events_value_quantiles_by_type": EVENTS_VALUE_QUANTILES_BY_TYPE_SQL,
     "doc_percent_rank": DOC_PERCENT_RANK_SQL,
     "doc_jaccard_join": DOC_JACCARD_JOIN_SQL,
