@@ -3400,18 +3400,19 @@ def doc_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
-def _bm25_sql(queries, k: int = 10) -> str:
-    """DuckDB replay of bm25_topk's integer arithmetic: same tokenizer,
+def _bm25_ctes(queries, k: int = 10) -> str:
+    """CTE chain replaying bm25_topk's integer arithmetic: same tokenizer,
     same centitoken avgdl, same 2^16-scaled smoothed-ratio bit-length idf
-    (the DSIR smear), same 10^6-scaled tf rational, same top-k ties."""
+    (the DSIR smear), same 10^6-scaled tf rational, same top-k ties. Ends
+    at ``bmtop(query_id, doc_id, score, n_terms, brank)`` — shared by the
+    BM25 and hybrid-retrieval oracles."""
     from code_graph_rag_ray.stages.bm25 import tokenize_query
 
     vals = ",\n       ".join(
         f"({qid}::BIGINT, '{t}')"
         for qid, qs in queries for t in tokenize_query(qs)
     )
-    return f"""
-WITH q(query_id, term) AS (VALUES {vals}),
+    return f"""q(query_id, term) AS (VALUES {vals}),
 tok AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -3441,16 +3442,82 @@ sc AS (
             )::BIGINT AS score,
          count(*)::BIGINT AS n_terms
   FROM m JOIN q qr USING (term) JOIN lam l USING (term) CROSS JOIN av a
-  GROUP BY qr.query_id, m.doc_id)
-SELECT query_id, doc_id, score, n_terms FROM (
+  GROUP BY qr.query_id, m.doc_id),
+bmtop AS (
+  SELECT query_id, doc_id, score, n_terms, rn AS brank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS rn
+    FROM sc) t
+  WHERE rn <= {k})"""
+
+
+DOC_BM25_TOPK_SQL = (
+    "WITH " + _bm25_ctes(_BM25_QUERIES)
+    + "\nSELECT query_id, doc_id, score, n_terms FROM bmtop"
+)
+
+
+def hybrid_retrieval(sf_dir: str):
+    """Hybrid sparse+dense retrieval with reciprocal-rank fusion
+    (stages/ranking.rrf_fuse): BM25 top-10 (text queries 0-2) fused with
+    brute-force cosine kNN top-10 (embedding queries vec_id 0-2) by
+    score = Σ 10^6 // (60 + rank) — the fixed-point RRF that stays
+    bit-exact in BIGINT SQL. Both input rankings are already
+    oracle-validated operators; the fusion is one union + two-phase
+    grouped sum + grouped top-k, so fusing 10^9 queries streams."""
+    from code_graph_rag_ray.stages.bm25 import bm25_topk
+    from code_graph_rag_ray.stages.ranking import group_rank, rrf_fuse
+    from code_graph_rag_ray.stages.similarity import knn_brute_force
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    bm = group_rank(bm25_topk(docs, _BM25_QUERIES, k=10),
+                    "query_id", "score", tiebreak="doc_id")
+    bm = bm.map_batches(
+        lambda b: pa.table({"query_id": b["query_id"], "doc_id": b["doc_id"],
+                            "rank": b["rank"]}),
+        batch_format="pyarrow",
+    )
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = pd.DataFrame(
+        emb.filter(expr="vec_id < 3").take_all()).sort_values("vec_id")
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qdf.embedding])
+    kn = knn_brute_force(emb, qmat, qdf.vec_id.tolist(), k=10).map_batches(
+        lambda b: pa.table(
+            {"query_id": b["query_id"],
+             "doc_id": pc.cast(b["vec_id"], pa.int64()),
+             "rank": b["rank"]}),
+        batch_format="pyarrow",
+    )
+    return rrf_fuse([bm, kn], k=10)
+
+
+HYBRID_RETRIEVAL_SQL = (
+    "WITH " + _bm25_ctes(_BM25_QUERIES) + """,
+kn AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])) DESC,
+                    e.vec_id) AS krank
+  FROM embeddings q, embeddings e WHERE q.vec_id < 3),
+kntop AS (SELECT query_id, doc_id, krank FROM kn WHERE krank <= 10),
+f AS (
+  SELECT coalesce(b.query_id, n.query_id) AS query_id,
+         coalesce(b.doc_id, n.doc_id) AS doc_id,
+         (coalesce(1000000 // (60 + b.brank), 0)
+          + coalesce(1000000 // (60 + n.krank), 0))::BIGINT AS rrf_micro,
+         (CASE WHEN b.brank IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN n.krank IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_systems
+  FROM bmtop b FULL OUTER JOIN kntop n
+       ON b.query_id = n.query_id AND b.doc_id = n.doc_id)
+SELECT query_id, doc_id, rrf_micro, n_systems FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY score DESC, doc_id) AS rn
-  FROM sc) t
-WHERE rn <= {k}
-"""
-
-
-DOC_BM25_TOPK_SQL = _bm25_sql(_BM25_QUERIES)
+                               ORDER BY rrf_micro DESC, doc_id) AS rn
+  FROM f) t
+WHERE rn <= 10
+""")
 
 
 def doc_dsir_scores(sf_dir: str):
@@ -5047,12 +5114,14 @@ def corpus_bpe_merges(sf_dir: str):
     return rd.from_arrow(bpe_learn(ds, num_merges=6))
 
 
-def _bpe_sql(num_merges: int) -> str:
+def _bpe_ctes(num_merges: int) -> str:
     """Chained-CTE replay of ``bpe_learn``: v0 = vocabulary with the
     double-space symbol encoding; each iteration counts adjacent symbol
     pairs (positions, weighted by word count), picks (max cnt, min lft,
     min rgt) and applies the merge with the same boundary-preserving
-    replace the impl uses."""
+    replace the impl uses. Ends at ``v{num_merges}`` (the fully merged
+    vocabulary) and ``m1..m{num_merges}`` (the chosen rules) — shared by
+    the merge-learning and corpus-tokenize oracles."""
     parts = [
         """WITH tok AS (
   SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -5083,13 +5152,48 @@ v{i} AS (
          replace(v.sym, ' ' || m.lft || '  ' || m.rgt || ' ',
                         ' ' || m.lft || m.rgt || ' ') AS sym
   FROM v{p} v CROSS JOIN m{i} m)""")
-    union = "\nUNION ALL ".join(f"SELECT * FROM m{i}"
-                                for i in range(1, num_merges + 1))
-    parts.append(f"\nSELECT step, lft, rgt, cnt FROM ({union}) ORDER BY step")
     return "".join(parts)
 
 
-CORPUS_BPE_MERGES_SQL = _bpe_sql(6)
+def _bpe_merges_sql(num_merges: int) -> str:
+    union = "\nUNION ALL ".join(f"SELECT * FROM m{i}"
+                                for i in range(1, num_merges + 1))
+    return (_bpe_ctes(num_merges)
+            + f"\nSELECT step, lft, rgt, cnt FROM ({union}) ORDER BY step")
+
+
+CORPUS_BPE_MERGES_SQL = _bpe_merges_sql(6)
+
+
+def corpus_bpe_tokenize(sf_dir: str):
+    """BPE train→APPLY (stages/bpe.bpe_tokenize): learn 6 merge rules,
+    then tokenize every document with them — (doc_id, n_words,
+    n_bpe_tokens), the corpus token-count table a packing/budgeting stage
+    consumes. The apply pass is a stateless one-pass map (the merge list
+    rides the task closure; K vectorized non-regex replaces per batch) —
+    no join, no vocabulary broadcast, no shuffle."""
+    from code_graph_rag_ray.stages.bpe import bpe_learn, bpe_tokenize
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_learn(ds, num_merges=6)
+    return bpe_tokenize(ds, merges)
+
+
+CORPUS_BPE_TOKENIZE_SQL = (_bpe_ctes(6) + """,
+vn AS (SELECT word, len(string_split(trim(sym), '  '))::BIGINT AS ns
+       FROM v6),
+d AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS ws
+      FROM documents),
+dw AS (SELECT doc_id, unnest(ws) AS word FROM d),
+per AS (SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+               sum(vn.ns)::BIGINT AS n_bpe_tokens
+        FROM dw JOIN vn USING (word) GROUP BY dw.doc_id)
+SELECT d.doc_id, coalesce(p.n_words, 0)::BIGINT AS n_words,
+       coalesce(p.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
+FROM d LEFT JOIN per p USING (doc_id)
+""")
 
 
 def events_value_quantiles_by_type(sf_dir: str):
@@ -5659,6 +5763,8 @@ QUERIES = {
     "doc_jaccard_pairs": doc_jaccard_pairs,
     "knn_brute": knn_brute,
     "page_community_terms": page_community_terms,
+    "hybrid_retrieval": hybrid_retrieval,
+    "corpus_bpe_tokenize": corpus_bpe_tokenize,
     # r02-green, unchanged since: checked by the own oracle sweep instead
     "doc_shuffle_rank": doc_shuffle_rank,
     "events_sessions": events_sessions,
@@ -5814,6 +5920,8 @@ ORACLES = {
     "corpus_bpe_merges": CORPUS_BPE_MERGES_SQL,
     "doc_bm25_topk": DOC_BM25_TOPK_SQL,
     "page_community_terms": PAGE_COMMUNITY_TERMS_SQL,
+    "hybrid_retrieval": HYBRID_RETRIEVAL_SQL,
+    "corpus_bpe_tokenize": CORPUS_BPE_TOKENIZE_SQL,
     "events_value_quantiles_by_type": EVENTS_VALUE_QUANTILES_BY_TYPE_SQL,
     "doc_percent_rank": DOC_PERCENT_RANK_SQL,
     "doc_jaccard_join": DOC_JACCARD_JOIN_SQL,

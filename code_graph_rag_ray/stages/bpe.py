@@ -203,3 +203,64 @@ def bpe_learn(
          "rgt": pa.array([s["rgt"] for s in steps], pa.string()),
          "cnt": pa.array([s["cnt"] for s in steps], pa.int64())}
     )
+
+
+def bpe_tokenize(
+    ds: Dataset,
+    merges: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_split: str = _TOKEN_SPLIT,
+) -> Dataset:
+    """Apply learned merge rules to the corpus — the train→apply other
+    half of :func:`bpe_learn`. Returns (id, n_words, n_bpe_tokens) per
+    document: the corpus token-count table a packing/budgeting stage
+    consumes.
+
+    Scale shape: STATELESS one-pass map — the merge list (``num_merges``
+    rows) rides the task closure, each batch sym-encodes its words and
+    applies the K vectorized non-regex replaces in learned order (the
+    same greedy left-to-right semantics as training, see module
+    docstring), then counts symbols per word via one ``count_substring``
+    and folds per document with list-offset arithmetic. No join, no
+    vocabulary broadcast, no shuffle — tokenizing 10^12 documents
+    streams. Documents with zero words emit (id, 0, 0).
+    """
+    rules = list(zip(merges["lft"].to_pylist(), merges["rgt"].to_pylist()))
+
+    def tok(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], b[id_col].type),
+                 "n_words": pa.array([], pa.int64()),
+                 "n_bpe_tokens": pa.array([], pa.int64())}
+            )
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(b[text_col].combine_chunks()
+                          if isinstance(b[text_col], pa.ChunkedArray)
+                          else b[text_col]),
+            pattern=token_split,
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        nw = np.zeros(b.num_rows, np.int64)
+        nt = np.zeros(b.num_rows, np.int64)
+        if len(flat):
+            sym = _sym_encode(flat)
+            for lft, rgt in rules:
+                sym = pc.replace_substring(
+                    sym, pattern=f" {lft}  {rgt} ", replacement=f" {lft}{rgt} ")
+            ns = pc.add(pc.count_substring(sym, "  "), 1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            np.add.at(nw, parent, 1)
+            np.add.at(nt, parent, ns)
+        return pa.table(
+            {id_col: b[id_col], "n_words": pa.array(nw),
+             "n_bpe_tokens": pa.array(nt)}
+        )
+
+    return ds.map_batches(tok, batch_format="pyarrow")

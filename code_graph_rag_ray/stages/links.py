@@ -163,11 +163,9 @@ def resolve_links(links: Dataset, corpus_urls: Dataset) -> dict:
         right_schema=pa.schema([("__t", pa.string()), ("__hit", pa.int8())]),
     )
 
-    def split_internal(df):
-        hit = df[df["__hit"].notna()]
-        return hit.rename(columns={"url": "src_url", "target": "dst_url"})[
-            ["src_url", "dst_url"]
-        ]
+    def split_internal(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b["__hit"]))
+        return pa.table({"src_url": f["url"], "dst_url": f["target"]})
 
     def split_external(b: pa.Table) -> pa.Table:
         f = b.filter(pc.is_null(b["__hit"]))
@@ -180,7 +178,7 @@ def resolve_links(links: Dataset, corpus_urls: Dataset) -> dict:
             [([], "count_all")]
         ).rename_columns(["site", "n"])
 
-    internal = joined.map_batches(split_internal, batch_format="pandas")
+    internal = joined.map_batches(split_internal, batch_format="pyarrow")
     external = (
         joined.map_batches(split_external, batch_format="pyarrow")
         .groupby("site")

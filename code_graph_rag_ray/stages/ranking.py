@@ -154,3 +154,79 @@ def shuffle_rank(
             "shard", pa.array(shard.astype(np.int64)))
 
     return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def group_rank(
+    ds: Dataset,
+    group: str,
+    by: str,
+    *,
+    tiebreak: str,
+    descending: bool = True,
+    out_col: str = "rank",
+) -> Dataset:
+    """Per-group 1-based dense row_number (``row_number() OVER (PARTITION
+    BY group ORDER BY by [DESC], tiebreak)``) via ``groupby.map_groups``.
+
+    Meant for SMALL groups (top-k lists, per-query candidates): the whole
+    group transits one task. For corpus-scale groups use
+    :func:`global_rank` per partition or `grouped_top_k` first.
+    """
+
+    def rank_group(g):
+        g = g.sort_values([by, tiebreak], ascending=[not descending, True],
+                          kind="mergesort")
+        g[out_col] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return ds.groupby(group).map_groups(rank_group, batch_format="pandas")
+
+
+def rrf_fuse(
+    ranked_lists: list[Dataset],
+    *,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    kappa: int = 60,
+    scale: int = 10**6,
+) -> Dataset:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009, public):
+    fuse N per-query rankings into one, score(q, d) = Σ over lists
+    containing d of ``scale // (kappa + rank)`` — the fixed-point integer
+    variant of Σ 1/(κ+r), so the fused ranking is bit-exact replayable in
+    BIGINT SQL. Returns (query_col, id_col, rrf_micro, n_systems) rows —
+    the per-query top-``k`` by (rrf_micro DESC, id ASC).
+
+    Scale shape: each input list is already top-k-per-query (tiny rows per
+    query); contributions union and fold through ONE two-phase grouped
+    sum; grouped_top_k caps the fused output. No broadcast, no driver
+    materialization — fusing 10^9 queries streams.
+
+    cgr analog: the reference's retrieval layer merges graph-lookup
+    candidates with vector-search candidates before prompting
+    (codebase_rag/services/llm.py); RRF is the standard public fusion.
+    """
+    from code_graph_rag_ray.stages.relational import (
+        grouped_top_k,
+        partial_groupby_sum,
+    )
+
+    def contrib(b: pa.Table) -> pa.Table:
+        r = b[rank_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {query_col: b[query_col], id_col: b[id_col],
+             "c": pa.array(scale // (kappa + r)),
+             "one": pa.array(np.ones(len(r), np.int64))}
+        )
+
+    parts = [d.map_batches(contrib, batch_format="pyarrow")
+             for d in ranked_lists]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    s = partial_groupby_sum(
+        u, [query_col, id_col], {"c": "rrf_micro", "one": "n_systems"})
+    return grouped_top_k(s, query_col, "rrf_micro", k,
+                         descending=True, tiebreak=id_col)

@@ -363,7 +363,21 @@ def bucketed_join(
             tabs = [schema.empty_table()]
         return pa.concat_tables(tabs).to_pandas()
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    # typed empty output for matchless buckets: an EMPTY pandas frame's
+    # object columns trip Ray's block-size sampler (np.vectorize on size-0
+    # input → one logged warning per bucket) and its inferred arrow schema
+    # would be NULL-typed (NOTES fact 26). Nonempty results stay pandas —
+    # their dtypes come from the real IPC blob schemas, so block schemas
+    # agree either way.
+    _types = {c: lblob_schema.field(c).type for c in lblob_schema.names}
+    _types.update({c: rblob_schema.field(k).type
+                   for k, c in rename_r.items() if k in rblob_schema.names})
+    out_empty = (
+        pa.schema([(c, _types[c]) for c in out_cols]).empty_table()
+        if how != "outer" else None
+    )
+
+    def merge(g: pd.DataFrame):
         lf = _read_side(g.loc[g["__side"] == 0, "__blob"], lblob_schema)
         rf = _read_side(g.loc[g["__side"] == 1, "__blob"], rblob_schema).rename(
             columns=rename_r
@@ -372,7 +386,8 @@ def bucketed_join(
             present = lf["__key"].isin(set(rf["__key"]))
             # anti keeps null-key rows: null is never "present" on the right
             keep = present if how == "semi" else ~present
-            return lf.loc[keep, out_cols]
+            out = lf.loc[keep, out_cols]
+            return out_empty if out_empty is not None and len(out) == 0 else out
         if how == "outer":
             # pandas merge matches NaN==NaN; SQL says null never matches —
             # split null-key rows out, merge the rest, re-append unmatched
@@ -390,6 +405,8 @@ def bucketed_join(
                         m[c] = m[c].astype("Int64")
             return m[out_cols]
         m = lf.merge(rf, on="__key", how=how)
+        if out_empty is not None and len(m) == 0:
+            return out_empty
         return m[out_cols]
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")

@@ -84,3 +84,56 @@ def test_bpe_early_stop():
     got = bpe_learn(_mk(["a b c", "d e"]), num_merges=3)
     assert got.num_rows == 0
     assert got.schema.names == ["step", "lft", "rgt", "cnt"]
+
+
+def _ref_tokenize(texts, merges):
+    rules = [(m["lft"], m["rgt"]) for m in merges]
+    out = []
+    for t in texts:
+        nw = nt = 0
+        for w in re.split("[^a-z0-9]+", t.lower()):
+            if not w:
+                continue
+            syms = list(w)
+            for l, r in rules:
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        res.append(l + r)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            nw += 1
+            nt += len(syms)
+        out.append((nw, nt))
+    return out
+
+
+def _mk_docs(texts, parallelism=4):
+    return ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )).repartition(parallelism)
+
+
+def test_bpe_tokenize_matches_reference():
+    from code_graph_rag_ray.stages.bpe import bpe_tokenize
+
+    merges = bpe_learn(_mk(TEXTS), num_merges=4)
+    got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+           for r in bpe_tokenize(_mk_docs(TEXTS), merges).take_all()}
+    exp = dict(enumerate(_ref_tokenize(TEXTS, merges.to_pylist())))
+    assert got == exp
+    # the empty doc still emits a (0, 0) row
+    assert got[4] == (0, 0)
+
+
+def test_bpe_tokenize_no_merges_counts_chars():
+    from code_graph_rag_ray.stages.bpe import bpe_tokenize
+
+    empty = bpe_learn(_mk(["a b"]), num_merges=0)
+    got = bpe_tokenize(_mk_docs(["cat dog", ""]), empty).take_all()
+    by_id = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"]) for r in got}
+    assert by_id == {0: (2, 6), 1: (0, 0)}
