@@ -305,6 +305,100 @@ WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
 """
 
 
+def customer_record_linkage(sf_dir: str):
+    """Record linkage (Fellegi & Sunter 1969 analog): ED1 name blocking →
+    field-agreement scoring → match / possible / non_match classes. The
+    integer agreement weights (nation +4, segment +3, |acctbal| ≤ 100.00
+    +2; thresholds 7 / 4) are the deterministic rule-based tier of the
+    classic probabilistic scorer — learned m/u weights would need EM, so
+    the weights are FIXED and documented, which is what keeps the whole
+    classifier bit-exact vs SQL.
+
+    Scale shape: exact-recall 1-deletion blocking
+    (stages/dedup.editdist1_pairs) generates candidates; record
+    attributes reach the pair table via two DISTRIBUTED bucketed joins
+    (the minhash-verify pattern — never a driver broadcast of the record
+    table); scoring is one vectorized pass."""
+    from code_graph_rag_ray.stages.dedup import editdist1_pairs
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    cust = _pq(sf_dir, "customer",
+               ["c_name", "c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def attrs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"name": b["c_name"],
+             "nat": pc.cast(b["c_nationkey"], pa.int64()),
+             "seg": b["c_mktsegment"],
+             "bal_c": _cents(b["c_acctbal"])}
+        )
+
+    at = cust.map_batches(attrs, batch_format="pyarrow")
+    at_schema = pa.schema([("name", pa.string()), ("nat", pa.int64()),
+                           ("seg", pa.string()), ("bal_c", pa.int64())])
+    pairs = editdist1_pairs(
+        _pq(sf_dir, "customer", ["c_name"]), col="c_name",
+        assume_distinct=True,
+    ).select_columns(["a", "b"])
+    j1 = bucketed_join(
+        pairs, at, on="a", right_on="name",
+        left_schema=pa.schema([("a", pa.string()), ("b", pa.string())]),
+        right_schema=at_schema,
+    )
+    j2 = bucketed_join(
+        j1, at, on="b", right_on="name",
+        left_schema=pa.schema(
+            [("a", pa.string()), ("b", pa.string()), ("nat", pa.int64()),
+             ("seg", pa.string()), ("bal_c", pa.int64())]
+        ),
+        right_schema=at_schema,
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        sn = pc.equal(b["nat"], b["nat_r"]).to_numpy(zero_copy_only=False)
+        ss = pc.equal(b["seg"], b["seg_r"]).to_numpy(zero_copy_only=False)
+        bc = (np.abs(b["bal_c"].to_numpy(zero_copy_only=False)
+                     - b["bal_c_r"].to_numpy(zero_copy_only=False))
+              <= 10000)
+        sc = 4 * sn.astype(np.int64) + 3 * ss.astype(np.int64) \
+            + 2 * bc.astype(np.int64)
+        klass = np.where(sc >= 7, "match",
+                         np.where(sc >= 4, "possible", "non_match"))
+        return pa.table(
+            {"a": b["a"], "b": b["b"],
+             "same_nation": pa.array(sn), "same_segment": pa.array(ss),
+             "bal_close": pa.array(bc), "score": pa.array(sc),
+             "klass": pa.array(klass.astype(object), pa.string())}
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
+CUSTOMER_RECORD_LINKAGE_SQL = """
+WITH t AS (SELECT c_name, c_nationkey, c_mktsegment,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+           FROM customer),
+p AS (
+  SELECT a.c_name AS a, b.c_name AS b,
+         (a.c_nationkey = b.c_nationkey) AS same_nation,
+         (a.c_mktsegment = b.c_mktsegment) AS same_segment,
+         (abs(a.bal_c - b.bal_c) <= 10000) AS bal_close
+  FROM t a JOIN t b ON a.c_name < b.c_name
+  WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+    AND levenshtein(a.c_name, b.c_name) <= 1),
+s AS (
+  SELECT *, (CASE WHEN same_nation THEN 4 ELSE 0 END
+             + CASE WHEN same_segment THEN 3 ELSE 0 END
+             + CASE WHEN bal_close THEN 2 ELSE 0 END)::BIGINT AS score
+  FROM p)
+SELECT a, b, same_nation, same_segment, bal_close, score,
+       CASE WHEN score >= 7 THEN 'match'
+            WHEN score >= 4 THEN 'possible'
+            ELSE 'non_match' END AS klass
+FROM s
+"""
+
+
 def orders_trimmed_mean(sf_dir: str):
     """Exact 5-trimmed mean of order value per priority
     (stages/relational.grouped_trimmed_sum): the robust-aggregation shape —
@@ -5765,6 +5859,7 @@ QUERIES = {
     "page_community_terms": page_community_terms,
     "hybrid_retrieval": hybrid_retrieval,
     "corpus_bpe_tokenize": corpus_bpe_tokenize,
+    "customer_record_linkage": customer_record_linkage,
     # r02-green, unchanged since: checked by the own oracle sweep instead
     "doc_shuffle_rank": doc_shuffle_rank,
     "events_sessions": events_sessions,
@@ -5922,6 +6017,7 @@ ORACLES = {
     "page_community_terms": PAGE_COMMUNITY_TERMS_SQL,
     "hybrid_retrieval": HYBRID_RETRIEVAL_SQL,
     "corpus_bpe_tokenize": CORPUS_BPE_TOKENIZE_SQL,
+    "customer_record_linkage": CUSTOMER_RECORD_LINKAGE_SQL,
     "events_value_quantiles_by_type": EVENTS_VALUE_QUANTILES_BY_TYPE_SQL,
     "doc_percent_rank": DOC_PERCENT_RANK_SQL,
     "doc_jaccard_join": DOC_JACCARD_JOIN_SQL,
