@@ -1365,6 +1365,36 @@ JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
+COOCCUR_CLUSTERING_SQL = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, w AS e
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w IN {_ENT_SQL}),
+e AS (
+  SELECT a, b FROM (
+    SELECT x.e AS a, y.e AS b, count(*) AS c
+    FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.e < y.e
+    GROUP BY x.e, y.e)
+  WHERE c >= 315),
+deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+tn AS (SELECT node, count(*)::BIGINT AS n_tri FROM (
+         SELECT x AS node FROM tri
+         UNION ALL SELECT y FROM tri
+         UNION ALL SELECT z FROM tri) GROUP BY node)
+SELECT d.node, d.deg, coalesce(t.n_tri, 0)::BIGINT AS n_tri,
+       (CASE WHEN d.deg >= 2
+             THEN (2 * coalesce(t.n_tri, 0) * 1000000)
+                  // (d.deg * (d.deg - 1))
+             ELSE 0 END)::BIGINT AS cc_micro
+FROM deg d LEFT JOIN tn t ON d.node = t.node
+"""
+
+
 def cooccur_kcore(sf_dir: str):
     """k-core (k=3) of the entity co-occurrence graph — iterative peeling
     (stages/graph_metrics.k_core), 4 bounded rounds. Oracle parity by
@@ -2765,20 +2795,27 @@ def page_communities(sf_dir: str):
     )
 
 
-def _lpa_ctes(iters: int = 4) -> str:
-    """The WITH-body CTE chain of the unrolled synchronous LPA replay —
-    same distinct undirected non-loop edge set, same (count DESC, label
-    ASC) argmax, prior label as the zero-count candidate. Ends at
-    ``l{iters}(node, label)``; shared by the communities and
-    community-terms oracles."""
-    head = """
+#: CTE chain replaying `_internal_link_graph` over the documents table:
+#: p(url, t1) mints every page url + its one internal link candidate,
+#: e0(src, dst) keeps candidates that resolve to a real page (non-loop).
+#: Shared by the LPA, community-terms and clustering-coefficient oracles.
+_LINK_GRAPH_CTES = """
 p AS (
   SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
          'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1
   FROM documents),
 e0 AS (SELECT a.url AS src, a.t1 AS dst
        FROM p a JOIN (SELECT url FROM p) b ON a.t1 = b.url
-       WHERE a.url <> a.t1),
+       WHERE a.url <> a.t1)"""
+
+
+def _lpa_ctes(iters: int = 4) -> str:
+    """The WITH-body CTE chain of the unrolled synchronous LPA replay —
+    same distinct undirected non-loop edge set, same (count DESC, label
+    ASC) argmax, prior label as the zero-count candidate. Ends at
+    ``l{iters}(node, label)``; shared by the communities and
+    community-terms oracles."""
+    head = _LINK_GRAPH_CTES + """,
 eu AS (SELECT DISTINCT s, d FROM (
          SELECT src AS s, dst AS d FROM e0
          UNION ALL SELECT dst, src FROM e0)),
@@ -2802,6 +2839,29 @@ l{i} AS (SELECT node, label FROM (
 PAGE_COMMUNITIES_SQL = (
     "WITH " + _lpa_ctes(4) + "\nSELECT node, label AS community FROM l4"
 )
+
+
+def cooccur_clustering(sf_dir: str):
+    """Per-node local clustering coefficient over the MIN-SUPPORT entity
+    co-occurrence graph (stages/graph_metrics.clustering_coefficient):
+    the unthresholded graph is a clique (every entity pair co-occurs in
+    a 500-doc bag-of-words corpus — cc uniformly 1.0) and the link graph
+    is a triangle-free halving tree, so min_count=315 is what makes cc
+    vary (12 distinct values over 17 nodes). cc quantized to integer
+    millionths — degree-ordered triangle listing (O(m^1.5) wedge
+    fan-out), per-vertex fan-3 count fold, one bucketed LEFT join so
+    zero-triangle nodes survive. Bit-exact vs the SQL triangle
+    listing."""
+    from code_graph_rag_ray.stages.cooccur import entity_cooccurrence
+    from code_graph_rag_ray.stages.graph_metrics import clustering_coefficient
+
+    edges = entity_cooccurrence(doc_mentions(sf_dir)).map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b["c_ab"], pa.scalar(315, pa.int64()))
+        ).select(["a", "b"]),
+        batch_format="pyarrow",
+    ).materialize()
+    return clustering_coefficient(edges)
 
 
 def page_community_terms(sf_dir: str):
@@ -5860,6 +5920,7 @@ QUERIES = {
     "hybrid_retrieval": hybrid_retrieval,
     "corpus_bpe_tokenize": corpus_bpe_tokenize,
     "customer_record_linkage": customer_record_linkage,
+    "cooccur_clustering": cooccur_clustering,
     # r02-green, unchanged since: checked by the own oracle sweep instead
     "doc_shuffle_rank": doc_shuffle_rank,
     "events_sessions": events_sessions,
@@ -6018,6 +6079,7 @@ ORACLES = {
     "hybrid_retrieval": HYBRID_RETRIEVAL_SQL,
     "corpus_bpe_tokenize": CORPUS_BPE_TOKENIZE_SQL,
     "customer_record_linkage": CUSTOMER_RECORD_LINKAGE_SQL,
+    "cooccur_clustering": COOCCUR_CLUSTERING_SQL,
     "events_value_quantiles_by_type": EVENTS_VALUE_QUANTILES_BY_TYPE_SQL,
     "doc_percent_rank": DOC_PERCENT_RANK_SQL,
     "doc_jaccard_join": DOC_JACCARD_JOIN_SQL,

@@ -851,3 +851,69 @@ def label_propagation(
         lambda b: pa.table({"node": b["node"], "community": b["label"]}),
         batch_format="pyarrow",
     )
+
+
+def clustering_coefficient(
+    edges: Dataset, *, a: str = "a", b: str = "b", scale: int = 10**6
+) -> Dataset:
+    """Per-node local clustering coefficient over an undirected edge
+    table (rows canonical ``a < b``, distinct):
+
+        cc(v) = 2·T(v) / (deg(v)·(deg(v)−1))
+
+    quantized to ``cc_micro = (2·T·scale) // (deg·(deg−1))`` — pure
+    BIGINT, bit-exact vs SQL. Output (node, deg, n_tri, cc_micro), one
+    row per node with ≥ 1 edge; deg < 2 ⇒ cc_micro 0.
+
+    Scale shape: triangles come from :func:`triangles` (degree-ordered
+    orientation, O(m^1.5) wedge fan-out); each triangle fans out to its 3
+    vertices and folds through ONE two-phase grouped count; degrees are
+    the existing two-phase sum; the zero-triangle nodes survive via one
+    bucketed LEFT join (never a driver-side fill).
+
+    cgr analog: graph-shape diagnostics the reference pulls from Memgraph
+    summary Cypher (graph_service.py) — density/cohesion per node here.
+    """
+    from code_graph_rag_ray.stages.relational import (
+        bucketed_join,
+        partial_groupby_sum,
+    )
+
+    deg = degree_stats(edges, src=a, dst=b).map_batches(
+        lambda t: pa.table(
+            {"node": t["node"], "deg": pc.add(t["out_deg"], t["in_deg"])}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def fan3(t: pa.Table) -> pa.Table:
+        n = pa.concat_arrays([
+            t["ta"].combine_chunks() if isinstance(t["ta"], pa.ChunkedArray) else t["ta"],
+            t["tb"].combine_chunks() if isinstance(t["tb"], pa.ChunkedArray) else t["tb"],
+            t["tc"].combine_chunks() if isinstance(t["tc"], pa.ChunkedArray) else t["tc"],
+        ])
+        return pa.table({"node": n})
+
+    tri_n = partial_groupby_sum(
+        triangles(edges, a=a, b=b).map_batches(fan3, batch_format="pyarrow"),
+        ["node"], {}, count_alias="n_tri",
+    )
+    j = bucketed_join(
+        deg, tri_n, on="node", how="left",
+        left_schema=pa.schema([("node", pa.string()), ("deg", pa.int64())]),
+        right_schema=pa.schema([("node", pa.string()), ("n_tri", pa.int64())]),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        d = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = np.nan_to_num(
+            b["n_tri"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        den = d * (d - 1)
+        cc = np.where(den > 0, (2 * t * scale) // np.maximum(den, 1), 0)
+        return pa.table(
+            {"node": b["node"], "deg": pa.array(d), "n_tri": pa.array(t),
+             "cc_micro": pa.array(cc.astype(np.int64))}
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")

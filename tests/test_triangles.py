@@ -41,3 +41,20 @@ def test_star_and_chain_have_none():
 def test_two_triangles_sharing_an_edge():
     pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"), ("c", "d")]
     assert _run(pairs) == {("a", "b", "c"), ("b", "c", "d")}
+
+
+def test_clustering_coefficient_exact():
+    from code_graph_rag_ray.stages.graph_metrics import clustering_coefficient
+
+    # bowtie: triangle a-b-c + pendant d on b + triangle-free edge d-e
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"), ("d", "e")]
+    for blocks in (1, 4):
+        out = {r["node"]: (r["deg"], r["n_tri"], r["cc_micro"])
+               for r in clustering_coefficient(_edges(pairs, blocks)).take_all()}
+        assert out == {
+            "a": (2, 1, 1000000),          # closed pair
+            "b": (3, 1, (2 * 10**6) // 6),  # 1 of 3 pairs closed
+            "c": (2, 1, 1000000),
+            "d": (2, 0, 0),                 # open wedge
+            "e": (1, 0, 0),                 # deg < 2
+        }
