@@ -2747,6 +2747,80 @@ def page_rank(sf_dir: str):
     )
 
 
+def page_ppr(sf_dir: str):
+    """Personalized PageRank from every 20th document's page
+    (stages/graph_metrics.personalized_pagerank) — the GraphRAG
+    local-search primitive: all teleport mass (1−d share + dangling
+    redistribution) flows to the seed set, so rank concentrates in the
+    seeds' neighborhoods. Same integer recurrence discipline as
+    page_rank → bit-exact vs the unrolled SQL replay."""
+    from code_graph_rag_ray.stages.graph_metrics import personalized_pagerank
+
+    pages, internal = _internal_link_graph(sf_dir)
+
+    def mk_seeds(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(
+            pc.subtract(b["doc_id"],
+                        pc.multiply(pc.divide(b["doc_id"], 20), 20)), 0))
+        url = pc.binary_join_element_wise(
+            pa.array(["https://"] * f.num_rows, pa.string()), f["source"],
+            pa.array([".example.org/doc/"] * f.num_rows, pa.string()),
+            pc.cast(f["doc_id"], pa.string()), "")
+        return pa.table({"url": url})
+
+    seeds = [r["url"] for r in
+             _pq(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+                 mk_seeds, batch_format="pyarrow").take_all()]
+    return personalized_pagerank(
+        internal, pages.select_columns(["url"]), seeds,
+        src="src_url", dst="dst_url", node="url", iters=4,
+    )
+
+
+def _page_ppr_sql(iters: int = 4, scale: int = 10**12) -> str:
+    """Unrolled personalized-PageRank recurrence — identical integer
+    updates to the distributed stage, teleport conditional on seed
+    membership."""
+    head = f"""
+WITH p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         'https://' || source || '.example.org/doc/' || (doc_id // 2) AS t1
+  FROM documents),
+e AS (SELECT a.url AS src, a.t1 AS dst
+      FROM p a JOIN (SELECT url FROM p) b ON a.t1 = b.url),
+deg AS (SELECT src, count(*) AS c FROM e GROUP BY src),
+sd AS (SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url
+       FROM documents WHERE doc_id % 20 = 0),
+sn AS (SELECT count(*) AS k FROM sd),
+r0 AS (SELECT p.url AS node,
+              CASE WHEN sd.url IS NOT NULL THEN {scale} // sn.k
+                   ELSE 0 END AS rank
+       FROM p CROSS JOIN sn LEFT JOIN sd ON p.url = sd.url)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+d{i} AS (SELECT coalesce(sum(r.rank), 0) AS m
+         FROM r{i-1} r LEFT JOIN deg ON r.node = deg.src
+         WHERE deg.src IS NULL),
+s{i} AS (SELECT e.dst, sum((85 * r.rank) // (100 * deg.c)) AS s
+         FROM e JOIN r{i-1} r ON e.src = r.node
+                JOIN deg ON e.src = deg.src
+         GROUP BY e.dst),
+r{i} AS (SELECT p.url AS node,
+                (CASE WHEN sd.url IS NOT NULL
+                      THEN (15 * {scale}) // (100 * sn.k)
+                           + (85 * (SELECT m FROM d{i})) // (100 * sn.k)
+                      ELSE 0 END
+                 + coalesce(s.s, 0))::BIGINT AS rank
+         FROM p CROSS JOIN sn
+         LEFT JOIN sd ON p.url = sd.url
+         LEFT JOIN s{i} s ON p.url = s.dst)""")
+    return head + "," + ",".join(steps) + f"\nSELECT node, rank FROM r{iters}"
+
+
+PAGE_PPR_SQL = _page_ppr_sql()
+
+
 def _page_rank_sql(iters: int = 4, scale: int = 10**12) -> str:
     """Unrolled fixed-point PageRank recurrence — the SAME integer updates
     the distributed stage runs, so the match is exact, not approximate."""
@@ -5921,6 +5995,7 @@ QUERIES = {
     "corpus_bpe_tokenize": corpus_bpe_tokenize,
     "customer_record_linkage": customer_record_linkage,
     "cooccur_clustering": cooccur_clustering,
+    "page_ppr": page_ppr,
     # r02-green, unchanged since: checked by the own oracle sweep instead
     "doc_shuffle_rank": doc_shuffle_rank,
     "events_sessions": events_sessions,
@@ -6080,6 +6155,7 @@ ORACLES = {
     "corpus_bpe_tokenize": CORPUS_BPE_TOKENIZE_SQL,
     "customer_record_linkage": CUSTOMER_RECORD_LINKAGE_SQL,
     "cooccur_clustering": COOCCUR_CLUSTERING_SQL,
+    "page_ppr": PAGE_PPR_SQL,
     "events_value_quantiles_by_type": EVENTS_VALUE_QUANTILES_BY_TYPE_SQL,
     "doc_percent_rank": DOC_PERCENT_RANK_SQL,
     "doc_jaccard_join": DOC_JACCARD_JOIN_SQL,

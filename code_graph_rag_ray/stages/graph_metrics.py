@@ -917,3 +917,112 @@ def clustering_coefficient(
         )
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def personalized_pagerank(
+    edges: Dataset,
+    nodes: Dataset,
+    seeds: list[str],
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    iters: int = 4,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> Dataset:
+    """Fixed-point personalized PageRank: the :func:`pagerank` integer
+    recurrence with ALL teleport mass (the 1−d share and the dangling
+    redistribution) going to the ``seeds`` set instead of uniformly —
+    the GraphRAG "local search" primitive (score the neighborhood of the
+    entities a query mentions).
+
+        r0[u]     = scale // |S| if u ∈ S else 0
+        rank'[u]  = [u ∈ S]·(base_S + dang_S) + Σ contrib_e(u)
+
+    with base_S = ((d_den − d_num)·scale) // (d_den·|S|) and dang_S the
+    damped dangling mass split over the seeds. Deterministic and
+    order-free — bit-exact vs the unrolled SQL replay.
+
+    ``seeds`` is QUERY-scale (ray.put-shipped membership set consulted
+    per batch) — for corpus-scale seed sets ship membership via a join
+    instead. Everything else keeps pagerank's shape: one materialized
+    edges⋈deg, per round one bucketed join + two-phase contribution sum.
+    """
+    import ray
+
+    from code_graph_rag_ray.functions.broadcast import get_broadcast
+
+    ns = len(seeds)
+    if ns == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    base_seed = ((damping_den - damping_num) * scale) // (damping_den * ns)
+    r0 = scale // ns
+    seed_ref = ray.put(pa.array(sorted(set(seeds)), pa.string()))
+
+    deg = partial_groupby_sum(edges.select_columns([src]), [src], {},
+                              count_alias="deg")
+    wedges = bucketed_join(
+        edges, deg, on=src,
+        right_schema=pa.schema([(src, pa.string()), ("deg", pa.int64())]),
+    ).materialize()
+
+    def init(b: pa.Table) -> pa.Table:
+        is_seed = pc.is_in(pc.cast(b[node], pa.string()),
+                           value_set=get_broadcast(seed_ref))
+        r = np.where(is_seed.to_numpy(zero_copy_only=False), r0, 0)
+        return pa.table({"node": pc.cast(b[node], pa.string()),
+                         "rank": pa.array(r.astype(np.int64))})
+
+    ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    node_tbl = nodes.select_columns([node]).materialize()
+
+    for _ in range(iters):
+        joined = bucketed_join(
+            wedges, ranks, on=src, right_on="node", how="right"
+        )
+
+        def to_contrib(b: pa.Table, dn=damping_num, dd=damping_den) -> pa.Table:
+            df = b.to_pandas() if isinstance(b, pa.Table) else b
+            rank = df["rank"].to_numpy(np.int64)
+            matched = df[dst].notna().to_numpy()
+            out_key = np.where(matched, df[dst].astype(object), _DANGLING)
+            c = np.empty(len(df), np.int64)
+            if matched.any():
+                degv = df["deg"].to_numpy(np.float64)
+                degi = np.where(matched, degv, 1.0).astype(np.int64)
+                c[matched] = (dn * rank[matched]) // (dd * degi[matched])
+            c[~matched] = rank[~matched]
+            return pa.table({"dst": pa.array(out_key, pa.string()),
+                             "c": pa.array(c, pa.int64())})
+
+        sums = partial_groupby_sum(
+            joined.map_batches(to_contrib, batch_format="pyarrow"),
+            ["dst"], {"c": "s"},
+        ).materialize()
+        dang_rows = sums.map_batches(
+            lambda b: b.filter(pc.equal(b["dst"], _DANGLING)),
+            batch_format="pyarrow",
+        ).take_all()
+        dang_mass = int(dang_rows[0]["s"]) if dang_rows else 0
+        add_seed = base_seed + (damping_num * dang_mass) // (damping_den * ns)
+
+        upd = bucketed_join(node_tbl, sums, on=node, right_on="dst",
+                            how="left")
+
+        def new_rank(b: pa.Table, add=add_seed) -> pa.Table:
+            df = b.to_pandas() if isinstance(b, pa.Table) else b
+            s = df["s"].fillna(0).astype(np.int64).to_numpy()
+            names = df[node].astype(str)
+            is_seed = pc.is_in(
+                pa.array(names, pa.string()),
+                value_set=get_broadcast(seed_ref),
+            ).to_numpy(zero_copy_only=False)
+            r = np.where(is_seed, add, 0) + s
+            return pa.table({"node": pa.array(names),
+                             "rank": pa.array(r.astype(np.int64))})
+
+        ranks = upd.map_batches(new_rank, batch_format="pyarrow").materialize()
+
+    return ranks

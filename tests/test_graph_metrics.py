@@ -240,3 +240,51 @@ def test_neighbor_agg_hand_graph():
     }
     # in-degrees: b=2, d=2
     assert out == {"a": (2, 4), "c": (1, 2), "b": (1, 2)}
+
+
+def ref_ppr(edges, nodes, seeds, iters=4, dn=85, dd=100, scale=SCALE):
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    ss = set(seeds)
+    k = len(ss)
+    r = {v: (scale // k if v in ss else 0) for v in nodes}
+    base = ((dd - dn) * scale) // (dd * k)
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for a, b in edges:
+            s[b] += (dn * r[a]) // (dd * deg[a])
+        dang = sum(r[v] for v in nodes if v not in deg)
+        share = (dn * dang) // (dd * k)
+        r = {v: (base + share if v in ss else 0) + s[v] for v in nodes}
+    return r
+
+
+def _run_ppr(edges, nodes, seeds, iters=4):
+    from code_graph_rag_ray.stages.graph_metrics import personalized_pagerank
+
+    e = rd.from_items(
+        [{"src": a, "dst": b} for a, b in edges], override_num_blocks=7
+    )
+    nd = rd.from_items([{"node": v} for v in nodes], override_num_blocks=5)
+    out = personalized_pagerank(e, nd, seeds, iters=iters)
+    return {r["node"]: r["rank"] for r in out.take_all()}
+
+
+def test_ppr_matches_reference_and_localizes():
+    # two components: a triangle around the seed, and a far chain
+    nodes = ["s", "x", "y", "far1", "far2", "far3"]
+    edges = [("s", "x"), ("x", "y"), ("y", "s"),
+             ("far1", "far2"), ("far2", "far3")]
+    got = _run_ppr(edges, nodes, ["s"])
+    assert got == ref_ppr(edges, nodes, ["s"])
+    # all mass stays in the seed's component; unreachable nodes get zero
+    assert got["far1"] == got["far2"] == got["far3"] == 0
+    assert got["s"] > 0 and got["x"] > 0 and got["y"] > 0
+
+
+def test_ppr_multi_seed_with_dangling():
+    nodes = ["a", "b", "c", "d", "e"]
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "d")]
+    got = _run_ppr(edges, nodes, ["a", "d"], iters=3)
+    assert got == ref_ppr(edges, nodes, ["a", "d"], iters=3)
