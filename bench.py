@@ -175,7 +175,11 @@ def run_bench() -> dict:
             "events_transitions", "doc_para_dedup_apply",
             "doc_jaccard_join", "events_value_quantiles",
             "corpus_bigrams", "doc_minhash_pairs_fast",
-            "doc_dup_spans_fast")
+            "doc_dup_spans_fast", "doc_bm25_topk", "hybrid_retrieval",
+            "page_communities", "page_community_terms", "page_ppr",
+            "corpus_bpe_merges", "corpus_bpe_tokenize",
+            "cooccur_clustering", "customer_record_linkage",
+            "doc_dsir_scores")
         for name in names:
             t0 = time.perf_counter()
             res = catalog.QUERIES[name](sf_dir)

@@ -2947,7 +2947,7 @@ def page_community_terms(sf_dir: str):
     (n DESC, term ASC) ties."""
     from code_graph_rag_ray.stages.graph_metrics import label_propagation
     from code_graph_rag_ray.stages.relational import (
-        bucketed_join,
+        adaptive_join,
         grouped_top_k,
         partial_groupby_sum,
     )
@@ -2969,7 +2969,7 @@ def page_community_terms(sf_dir: str):
 
     tf = _pq(sf_dir, "documents", ["doc_id", "source", "text"]).map_batches(
         tf_rows, batch_format="pyarrow")
-    j = bucketed_join(
+    j = adaptive_join(
         tf, labels, on="url", right_on="node",
         left_schema=pa.schema([("url", pa.string()), ("term", pa.string()),
                                ("tf", pa.int64())]),

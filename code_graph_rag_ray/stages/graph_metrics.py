@@ -35,7 +35,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from code_graph_rag_ray.stages.relational import bucketed_join, partial_groupby_sum
+from code_graph_rag_ray.stages.relational import (
+    adaptive_join,
+    bucketed_join,
+    partial_groupby_sum,
+)
 
 # sentinel dst for dangling-node mass; "\x00" cannot appear in a url
 _DANGLING = "\x00dangling"
@@ -80,7 +84,8 @@ def pagerank(
     deg = partial_groupby_sum(edges.select_columns([src]), [src], {}, count_alias="deg")
     # right_schema: deg is a lazy groupby output — the hint keeps the
     # join's driver-side name probe from executing the grouped sum early
-    wedges = bucketed_join(
+    # deg is node-scale: broadcast while it fits, bucketed at scale
+    wedges = adaptive_join(
         edges, deg, on=src,
         right_schema=pa.schema([(src, pa.string()), ("deg", pa.int64())]),
     ).materialize()
@@ -95,8 +100,15 @@ def pagerank(
     node_tbl = nodes.select_columns([node]).materialize()
 
     for _ in range(iters):
-        joined = bucketed_join(
-            wedges, ranks, on=src, right_on="node", how="right"
+        # flipped from (wedges RIGHT-JOIN ranks): a LEFT join from the
+        # node-scale ranks keeps the same rows and lets adaptive_join
+        # broadcast the smaller side while it fits a worker budget
+        joined = adaptive_join(
+            ranks, wedges, on="node", right_on=src, how="left",
+            left_schema=pa.schema([("node", pa.string()),
+                                   ("rank", pa.int64())]),
+            right_schema=pa.schema([(src, pa.string()), (dst, pa.string()),
+                                    ("deg", pa.int64())]),
         )
 
         def to_contrib(b: pa.Table, dn=damping_num, dd=damping_den) -> pa.Table:
@@ -131,7 +143,8 @@ def pagerank(
         dang_mass = int(dang_rows[0]["s"]) if dang_rows else 0
         dang_share = (damping_num * dang_mass) // (damping_den * n)
 
-        upd = bucketed_join(node_tbl, sums, on=node, right_on="dst", how="left")
+        upd = adaptive_join(node_tbl, sums, on=node, right_on="dst",
+                            how="left")
 
         def new_rank(b: pa.Table, add=base + dang_share) -> pa.Table:
             df = b.to_pandas() if isinstance(b, pa.Table) else b
@@ -265,7 +278,7 @@ def triangles(edges: Dataset, *, a: str = "a", b: str = "b") -> Dataset:
     Memgraph queries (`graph_service.py` summary Cypher); triangle counts /
     clustering structure is the corpus-scale analog computed in-engine.
     """
-    from code_graph_rag_ray.stages.relational import bucketed_join
+    from code_graph_rag_ray.stages.relational import adaptive_join
 
     deg = degree_stats(edges, src=a, dst=b).map_batches(
         lambda t: pa.table(
@@ -278,9 +291,9 @@ def triangles(edges: Dataset, *, a: str = "a", b: str = "b") -> Dataset:
     # driver-side name probe would otherwise execute that upstream once
     deg_schema = pa.schema([("node", pa.string()), ("deg", pa.int64())])
     edge_schema = pa.schema([(a, pa.string()), (b, pa.string())])
-    with_da = bucketed_join(edges, deg, on=a, right_on="node",
+    with_da = adaptive_join(edges, deg, on=a, right_on="node",
                             left_schema=edge_schema, right_schema=deg_schema)
-    with_deg = bucketed_join(with_da, deg.map_batches(
+    with_deg = adaptive_join(with_da, deg.map_batches(
         lambda t: pa.table({"node": t["node"], "deg_b": t["deg"]}),
         batch_format="pyarrow",
     ), on=b, right_on="node",
@@ -325,7 +338,7 @@ def triangles(edges: Dataset, *, a: str = "a", b: str = "b") -> Dataset:
         ),
         batch_format="pyarrow",
     )
-    closed = bucketed_join(
+    closed = adaptive_join(
         wedge_rows, ekeys, on="ekey",
         left_schema=pa.schema([("center", pa.string()), ("ekey", pa.string())]),
         right_schema=pa.schema([("ekey", pa.string())]),
@@ -794,7 +807,10 @@ def label_propagation(
     (graph_updater.py module hierarchy); this is the content-driven
     version for a web link graph.
     """
-    from code_graph_rag_ray.stages.relational import bucketed_join, partial_groupby_sum
+    from code_graph_rag_ray.stages.relational import (
+        adaptive_join,
+        partial_groupby_sum,
+    )
 
     def clean(t: pa.Table) -> pa.Table:
         f = t.filter(pc.not_equal(t[src], t[dst]))
@@ -815,35 +831,63 @@ def label_propagation(
         batch_format="pyarrow",
     ).materialize()
 
-    def pick(g):
-        g = g.sort_values(["c", "label"], ascending=[False, True],
-                          kind="mergesort")
-        return g.head(1)[["node", "label"]]
+    from code_graph_rag_ray.functions.hashing import partition_ids
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        bk = partition_ids(pc.cast(b["node"], pa.string()), 64)
+        return b.append_column("__bk", pa.array(bk, pa.int32()))
+
+    def pick_bucket(g):
+        # NOTES fact 25: one vectorized pass per hash bucket instead of a
+        # per-node group — final (node, label) weight sum, then argmax by
+        # (w DESC, label ASC) via sort + drop_duplicates
+        g = g.groupby(["node", "label"], as_index=False)["w"].sum()
+        g = g.sort_values(["node", "w", "label"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.drop_duplicates("node", keep="first")[["node", "label"]]
+
+    def combine_msgs(b: pa.Table) -> pa.Table:
+        # batch-local combiner: message rows fold to (node, label, w)
+        # partials before the ONE exchange of the round; typed empty for
+        # matchless broadcast-join batches (NOTES facts 26/27)
+        if b.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "label": pa.array([], pa.string()),
+                             "w": pa.array([], pa.int64()),
+                             "__bk": pa.array([], pa.int32())})
+        t = pa.table({"node": pc.cast(b["d"], pa.string()),
+                      "label": pc.cast(b["label"], pa.string())})
+        g = pa.TableGroupBy(t, ["node", "label"],
+                            use_threads=False).aggregate([([], "count_all")])
+        out = pa.table({"node": g["node"], "label": g["label"],
+                        "w": pc.cast(g["count_all"], pa.int64())})
+        return bucketize(out)
 
     for _ in range(iters):
-        msgs = bucketed_join(
+        # labels are node-scale: adaptive_join broadcasts them while they
+        # fit a worker budget and degrades to the bucketed cogroup at
+        # scale — same rows either way. The whole round is then ONE
+        # exchange: batch-combined (node, label, w) partials union the
+        # prior labels as zero-weight candidates, hash-bucket groupby,
+        # vectorized per-bucket sum + argmax.
+        msgs = adaptive_join(
             sym, labels, on="s", right_on="node",
             left_schema=pa.schema([("s", pa.string()), ("d", pa.string())]),
             right_schema=pa.schema([("node", pa.string()),
                                     ("label", pa.string())]),
-        ).map_batches(
-            lambda b: pa.table({"node": b["d"], "label": b["label"]}),
-            batch_format="pyarrow", batch_size=None,
-        )
-        counts = partial_groupby_sum(msgs, ["node", "label"], {},
-                                     count_alias="c")
+        ).map_batches(combine_msgs, batch_format="pyarrow", batch_size=None)
         selfc = labels.map_batches(
-            lambda b: pa.table(
+            lambda b: bucketize(pa.table(
                 {"node": b["node"], "label": b["label"],
-                 "c": pa.array(np.zeros(b.num_rows, np.int64))}
-            ),
+                 "w": pa.array(np.zeros(b.num_rows, np.int64))}
+            )),
             batch_format="pyarrow",
         )
         old = labels
         labels = (
-            counts.union(selfc)
-            .groupby("node")
-            .map_groups(pick, batch_format="pandas")
+            msgs.union(selfc)
+            .groupby("__bk")
+            .map_groups(pick_bucket, batch_format="pandas")
             .materialize()
         )
         del old
@@ -875,7 +919,7 @@ def clustering_coefficient(
     summary Cypher (graph_service.py) — density/cohesion per node here.
     """
     from code_graph_rag_ray.stages.relational import (
-        bucketed_join,
+        adaptive_join,
         partial_groupby_sum,
     )
 
@@ -898,7 +942,7 @@ def clustering_coefficient(
         triangles(edges, a=a, b=b).map_batches(fan3, batch_format="pyarrow"),
         ["node"], {}, count_alias="n_tri",
     )
-    j = bucketed_join(
+    j = adaptive_join(
         deg, tri_n, on="node", how="left",
         left_schema=pa.schema([("node", pa.string()), ("deg", pa.int64())]),
         right_schema=pa.schema([("node", pa.string()), ("n_tri", pa.int64())]),
@@ -963,7 +1007,8 @@ def personalized_pagerank(
 
     deg = partial_groupby_sum(edges.select_columns([src]), [src], {},
                               count_alias="deg")
-    wedges = bucketed_join(
+    # deg is node-scale: broadcast while it fits, bucketed at scale
+    wedges = adaptive_join(
         edges, deg, on=src,
         right_schema=pa.schema([(src, pa.string()), ("deg", pa.int64())]),
     ).materialize()
@@ -979,8 +1024,15 @@ def personalized_pagerank(
     node_tbl = nodes.select_columns([node]).materialize()
 
     for _ in range(iters):
-        joined = bucketed_join(
-            wedges, ranks, on=src, right_on="node", how="right"
+        # flipped from (wedges RIGHT-JOIN ranks): a LEFT join from the
+        # node-scale ranks keeps the same rows and lets adaptive_join
+        # broadcast the smaller side while it fits a worker budget
+        joined = adaptive_join(
+            ranks, wedges, on="node", right_on=src, how="left",
+            left_schema=pa.schema([("node", pa.string()),
+                                   ("rank", pa.int64())]),
+            right_schema=pa.schema([(src, pa.string()), (dst, pa.string()),
+                                    ("deg", pa.int64())]),
         )
 
         def to_contrib(b: pa.Table, dn=damping_num, dd=damping_den) -> pa.Table:
@@ -1008,7 +1060,7 @@ def personalized_pagerank(
         dang_mass = int(dang_rows[0]["s"]) if dang_rows else 0
         add_seed = base_seed + (damping_num * dang_mass) // (damping_den * ns)
 
-        upd = bucketed_join(node_tbl, sums, on=node, right_on="dst",
+        upd = adaptive_join(node_tbl, sums, on=node, right_on="dst",
                             how="left")
 
         def new_rank(b: pa.Table, add=add_seed) -> pa.Table:

@@ -570,10 +570,13 @@ def grouped_top_k(
     Phase 1 (map): each block is sorted once and truncated to k rows PER
     GROUP (vectorized run-boundary arithmetic) — at most k × groups-in-block
     rows leave any block, so a whale group exchanges O(blocks × k), not its
-    full row count. Phase 2: groupby(group).map_groups re-sorts the ≤ k ×
-    blocks survivors and heads k. ``tiebreak`` (ascending) makes the result
-    deterministic under ties at the k boundary — REQUIRED for exact oracle
-    comparison; without it rows tied at rank k are arbitrary."""
+    full row count. Phase 2: survivors hash into ~64 group buckets
+    (groups whole within a bucket) and the SAME vectorized truncation
+    re-runs once per bucket — a per-GROUP map_groups would pay Ray's
+    sort-aggregate per-group overhead at high group cardinality (NOTES
+    fact 25). ``tiebreak`` (ascending) makes the result deterministic
+    under ties at the k boundary — REQUIRED for exact oracle comparison;
+    without it rows tied at rank k are arbitrary."""
     import numpy as np
 
     import pyarrow.compute as pc
@@ -595,22 +598,24 @@ def grouped_top_k(
         pos = np.arange(len(g)) - starts[grp_id]
         return t.filter(pa.array(pos < k))
 
-    cols = None
-    try:
-        cols = list(_arrow_schema(ds).names)
-    except Exception:  # pragma: no cover - schemaless input
-        pass
+    from code_graph_rag_ray.functions.hashing import partition_ids
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        by_cols = [by] + ([tiebreak] if tiebreak else [])
-        asc = [not descending] + ([True] if tiebreak else [])
-        out = df.sort_values(by_cols, ascending=asc, kind="mergesort").head(k)
-        return out[cols] if cols else out
+    def bucketize(b: pa.Table) -> pa.Table:
+        # NOTES fact 25: a per-GROUP phase-2 merge pays Ray's sort-
+        # aggregate per-group overhead; co-locate ~64 hash buckets of
+        # groups instead and re-run the vectorized truncation per bucket
+        # (groups are whole inside a bucket, so the result is identical)
+        bk = partition_ids(b[group], 64)
+        return b.append_column("__bk", pa.array(bk, pa.int32()))
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        return local(g.drop_columns("__bk"))
 
     return (
         ds.map_batches(local, batch_format="pyarrow")
-        .groupby(group)
-        .map_groups(merge, batch_format="pandas")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bk")
+        .map_groups(merge_bucket, batch_format="pyarrow")
     )
 
 
