@@ -3748,6 +3748,115 @@ WHERE rn <= 10
 """)
 
 
+def lineitem_unpivot(sf_dir: str):
+    """Wide → long UNPIVOT (stages/reshape.unpivot — the inverse of the
+    pivot op): late-1998 lineitem measures melted to
+    (l_orderkey, l_linenumber, measure, value_c) integer-cent rows.
+    Stateless row-expanding map, zero shuffle; the shipdate predicate is
+    applied at the scan so only the needed rows leave storage."""
+    from code_graph_rag_ray.stages.reshape import unpivot
+
+    ds = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+              "l_discount", "l_tax", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.greater_equal(
+            b["l_shipdate"],
+            pa.scalar(pd.Timestamp("1998-06-01"), pa.timestamp("us"))))
+        return pa.table(
+            {"l_orderkey": f["l_orderkey"],
+             "l_linenumber": pc.cast(f["l_linenumber"], pa.int64()),
+             "quantity": _cents(f["l_quantity"]),
+             "extendedprice": _cents(f["l_extendedprice"]),
+             "discount": _cents(f["l_discount"]),
+             "tax": _cents(f["l_tax"])}
+        )
+
+    return unpivot(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        value_col="value_c",
+    )
+
+
+LINEITEM_UNPIVOT_SQL = """
+WITH f AS (
+  SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+         CAST(round(l_quantity * 100) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ep,
+         CAST(round(l_discount * 100) AS BIGINT) AS d,
+         CAST(round(l_tax * 100) AS BIGINT) AS t
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01')
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure, q AS value_c FROM f
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', ep FROM f
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', d FROM f
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', t FROM f
+"""
+
+
+def corpus_bpe_fertility(sf_dir: str):
+    """Per-language tokenizer fertility (BPE tokens per word, the classic
+    multilingual tokenizer-quality metric): learn 6 merges, tokenize the
+    corpus (stages/bpe.bpe_tokenize), attach lang via one adaptive join,
+    fold per-lang sums two-phase; fertility_micro = (10^6·Σbpe) // Σwords
+    — pure BIGINT, bit-exact."""
+    from code_graph_rag_ray.stages.bpe import bpe_learn, bpe_tokenize
+    from code_graph_rag_ray.stages.relational import (
+        adaptive_join,
+        partial_groupby_sum,
+    )
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_learn(docs, num_merges=6)
+    tok = bpe_tokenize(docs, merges)
+    langs = _pq(sf_dir, "documents", ["doc_id", "lang"])
+    j = adaptive_join(
+        tok, langs, on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("n_words", pa.int64()),
+                               ("n_bpe_tokens", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("lang", pa.string())]),
+    )
+
+    def one(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n_words": pa.array([], pa.int64()),
+                             "n_bpe_tokens": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
+        return pa.table(
+            {"lang": pc.cast(b["lang"], pa.string()),
+             "n_words": pc.cast(b["n_words"], pa.int64()),
+             "n_bpe_tokens": pc.cast(b["n_bpe_tokens"], pa.int64()),
+             "one": pa.array(np.ones(b.num_rows, np.int64))}
+        )
+
+    agg = partial_groupby_sum(
+        j.map_batches(one, batch_format="pyarrow"),
+        ["lang"],
+        {"one": "n_docs", "n_words": "n_words", "n_bpe_tokens": "n_bpe_tokens"},
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        w = b["n_words"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b["n_bpe_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fert = np.where(w > 0, (t * 10**6) // np.maximum(w, 1), 0)
+        return b.append_column("fertility_micro",
+                               pa.array(fert.astype(np.int64)))
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+# CORPUS_BPE_FERTILITY_SQL is assigned after _bpe_ctes is defined (the
+# BPE CTE generator lives with the other tokenizer oracles below).
+
+
 def doc_dsir_scores(sf_dir: str):
     """DSIR importance scoring (Xie et al. 2023 analog, stages/dsir.py):
     every document scored by how target-domain-like (lang='en') its hashed
@@ -5407,6 +5516,28 @@ def corpus_bpe_tokenize(sf_dir: str):
     return bpe_tokenize(ds, merges)
 
 
+CORPUS_BPE_FERTILITY_SQL = (_bpe_ctes(6) + """,
+vn AS (SELECT word, len(string_split(trim(sym), '  '))::BIGINT AS ns
+       FROM v6),
+d AS (SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS ws
+      FROM documents),
+dw AS (SELECT doc_id, unnest(ws) AS word FROM d),
+per AS (SELECT dw.doc_id, count(*)::BIGINT AS nw, sum(vn.ns)::BIGINT AS nt
+        FROM dw JOIN vn USING (word) GROUP BY dw.doc_id),
+lj AS (SELECT d.lang, coalesce(p.nw, 0) AS nw, coalesce(p.nt, 0) AS nt
+       FROM d LEFT JOIN per p USING (doc_id)),
+ag AS (SELECT lang, count(*)::BIGINT AS n_docs, sum(nw)::BIGINT AS n_words,
+              sum(nt)::BIGINT AS n_bpe_tokens
+       FROM lj GROUP BY lang)
+SELECT lang, n_docs, n_words, n_bpe_tokens,
+       (CASE WHEN n_words > 0 THEN (n_bpe_tokens * 1000000) // n_words
+             ELSE 0 END)::BIGINT AS fertility_micro
+FROM ag
+""")
+
+
 CORPUS_BPE_TOKENIZE_SQL = (_bpe_ctes(6) + """,
 vn AS (SELECT word, len(string_split(trim(sym), '  '))::BIGINT AS ns
        FROM v6),
@@ -5996,6 +6127,8 @@ QUERIES = {
     "customer_record_linkage": customer_record_linkage,
     "cooccur_clustering": cooccur_clustering,
     "page_ppr": page_ppr,
+    "lineitem_unpivot": lineitem_unpivot,
+    "corpus_bpe_fertility": corpus_bpe_fertility,
     # r02-green, unchanged since: checked by the own oracle sweep instead
     "doc_shuffle_rank": doc_shuffle_rank,
     "events_sessions": events_sessions,
@@ -6156,6 +6289,8 @@ ORACLES = {
     "customer_record_linkage": CUSTOMER_RECORD_LINKAGE_SQL,
     "cooccur_clustering": COOCCUR_CLUSTERING_SQL,
     "page_ppr": PAGE_PPR_SQL,
+    "lineitem_unpivot": LINEITEM_UNPIVOT_SQL,
+    "corpus_bpe_fertility": CORPUS_BPE_FERTILITY_SQL,
     "events_value_quantiles_by_type": EVENTS_VALUE_QUANTILES_BY_TYPE_SQL,
     "doc_percent_rank": DOC_PERCENT_RANK_SQL,
     "doc_jaccard_join": DOC_JACCARD_JOIN_SQL,

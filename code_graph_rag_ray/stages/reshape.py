@@ -193,3 +193,49 @@ def pivot_sum(
     return wide.groupby(index).aggregate(
         *[Sum(cv, alias_name=cv) for cv in column_values]
     )
+
+
+def unpivot(
+    ds: Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    *,
+    name_col: str = "measure",
+    value_col: str = "value",
+    value_type: pa.DataType | None = None,
+) -> Dataset:
+    """Wide → long UNPIVOT (the inverse of :func:`pivot_sum` — SQL
+    ``UNPIVOT`` / pandas ``melt``): every input row emits one
+    (id_cols…, measure, value) row per entry of ``value_cols``, measures
+    ordered as given.
+
+    Scale shape: stateless row-expanding ``map_batches`` — zero-copy
+    column slices concatenated with a constant dictionary-scale measure
+    name per slice; no shuffle, no state. Output rows = input ×
+    len(value_cols) — the operator's inherent expansion, same contract
+    as chunk_documents. ``value_type`` pins the output value dtype (all
+    value columns are cast to it; default: the first value column's
+    type).
+
+    cgr analog: the reference reshapes per-node attribute maps into
+    per-attribute rows when exporting to Memgraph properties
+    (graph_updater.py node-property writes); this is the relational
+    form.
+    """
+
+    def melt(b: pa.Table) -> pa.Table:
+        vt = value_type or b.schema.field(value_cols[0]).type
+        if b.num_rows == 0:
+            cols = {c: pa.array([], b.schema.field(c).type) for c in id_cols}
+            cols[name_col] = pa.array([], pa.string())
+            cols[value_col] = pa.array([], vt)
+            return pa.table(cols)
+        parts = []
+        for vc in value_cols:
+            cols = {c: b[c] for c in id_cols}
+            cols[name_col] = pa.array([vc] * b.num_rows, pa.string())
+            cols[value_col] = pc.cast(b[vc], vt)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

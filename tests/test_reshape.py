@@ -80,3 +80,25 @@ def test_grouping_sets_single_shuffle_matches_manual():
                             [("k1",), ()], out_col="t").take_all()
     got = {(r["k1"], r["k2"]): r["t"] for r in out}
     assert got == {("a", None): 111, ("b", None): 11000, (None, None): 11111}
+
+
+def test_unpivot_melts_and_types():
+    from code_graph_rag_ray.stages.reshape import unpivot
+
+    rows = [{"id": 1, "x": 10, "y": 20}, {"id": 2, "x": 30, "y": 40}]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = unpivot(ds, ["id"], ["x", "y"]).take_all()
+    got = {(r["id"], r["measure"]): r["value"] for r in out}
+    assert got == {(1, "x"): 10, (1, "y"): 20, (2, "x"): 30, (2, "y"): 40}
+    assert len(out) == 4
+
+
+def test_unpivot_value_type_cast_and_empty_blocks():
+    from code_graph_rag_ray.stages.reshape import unpivot
+
+    rows = [{"id": 1, "x": 1, "y": 2.5}]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)  # empty blocks
+    out = unpivot(ds, ["id"], ["x", "y"],
+                  value_type=pa.float64()).take_all()
+    got = {r["measure"]: r["value"] for r in out}
+    assert got == {"x": 1.0, "y": 2.5}
