@@ -5481,14 +5481,18 @@ p{i} AS (
   GROUP BY lft, rgt),
 m{i} AS (SELECT {i}::BIGINT AS step, lft, rgt, cnt FROM p{i}
          ORDER BY cnt DESC, lft, rgt LIMIT 1),
--- single CTE reference per step (CROSS JOIN, not repeated scalar
+-- single CTE reference per step (one JOIN, not repeated scalar
 -- subqueries): an inlining planner would otherwise re-expand the whole
--- v-chain per reference — exponential in the merge count
+-- v-chain per reference — exponential in the merge count. LEFT JOIN ON
+-- TRUE (not CROSS JOIN) so an EXHAUSTED merge step (empty m{i} — the
+-- impl's early stop) passes the vocabulary through unchanged instead of
+-- annihilating it
 v{i} AS (
   SELECT v.word, v.wc,
-         replace(v.sym, ' ' || m.lft || '  ' || m.rgt || ' ',
-                        ' ' || m.lft || m.rgt || ' ') AS sym
-  FROM v{p} v CROSS JOIN m{i} m)""")
+         CASE WHEN m.lft IS NULL THEN v.sym
+              ELSE replace(v.sym, ' ' || m.lft || '  ' || m.rgt || ' ',
+                           ' ' || m.lft || m.rgt || ' ') END AS sym
+  FROM v{p} v LEFT JOIN m{i} m ON TRUE)""")
     return "".join(parts)
 
 

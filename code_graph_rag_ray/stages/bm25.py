@@ -82,8 +82,9 @@ def _candidate_rows(
 ) -> pa.Table:
     """(doc_id, term, tf, dl) for query terms only; dl counts ALL tokens
     of the doc (computed before the query-term filter)."""
+    # b carries its schema even at 0 rows — the id type is always real
     empty = pa.table(
-        {id_col: pa.array([], b[id_col].type if b.num_rows else pa.int64()),
+        {id_col: pa.array([], b[id_col].type),
          "term": pa.array([], pa.string()),
          "tf": pa.array([], pa.int64()),
          "dl": pa.array([], pa.int64())}
@@ -212,15 +213,19 @@ def bm25_topk(
         tfn = (44 * tf * avgdl_c * scale) // (
             20 * tf * avgdl_c + 6 * avgdl_c + 1800 * dl
         )
-        # fan out per (term, query) pair — one vectorized mask per pair,
-        # the pair list is dictionary-scale (query vocabulary × queries)
+        # ONE vectorized mask per DISTINCT term (a term shared by N
+        # queries must not rescan the batch N times), then fan out the
+        # cached selection per query containing it
+        sel_of: dict[str, np.ndarray] = {}
+        for t in set(ft):
+            sel_of[t] = np.flatnonzero(
+                pc.equal(b["term"], t).to_numpy(zero_copy_only=False)
+            )
         ri_parts: list[np.ndarray] = []
         qid_parts: list[np.ndarray] = []
         c_parts: list[np.ndarray] = []
         for t, q in zip(ft, fq):
-            sel = np.flatnonzero(
-                pc.equal(b["term"], t).to_numpy(zero_copy_only=False)
-            )
+            sel = sel_of[t]
             if len(sel) == 0:
                 continue
             ri_parts.append(sel)

@@ -998,12 +998,13 @@ def personalized_pagerank(
 
     from code_graph_rag_ray.functions.broadcast import get_broadcast
 
+    seeds = sorted(set(seeds))  # dedupe FIRST: |S| and membership must agree
     ns = len(seeds)
     if ns == 0:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
     base_seed = ((damping_den - damping_num) * scale) // (damping_den * ns)
     r0 = scale // ns
-    seed_ref = ray.put(pa.array(sorted(set(seeds)), pa.string()))
+    seed_ref = ray.put(pa.array(seeds, pa.string()))
 
     deg = partial_groupby_sum(edges.select_columns([src]), [src], {},
                               count_alias="deg")

@@ -19,6 +19,31 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 
+#: driver-side cache of concat'd broadcast sides, keyed on block ref ids
+_BROADCAST_CONCAT_CACHE: dict = {}
+
+
+def _concat_body(*tables):
+    tbls = [t for t in tables if t is not None and t.num_rows > 0]
+    if not tbls:
+        return tables[0] if tables else pa.table({})
+    return pa.concat_tables(tbls, promote_options="default")
+
+
+def _get_concat_task():
+    """Lazily wrap the concat body as a Ray task (module import must not
+    require an initialized Ray)."""
+    global _concat_tables_task
+    if _concat_tables_task is None:
+        import ray
+
+        _concat_tables_task = ray.remote(_concat_body)
+    return _concat_tables_task
+
+
+_concat_tables_task = None
+
+
 def broadcast_join(
     ds: Dataset,
     small: pd.DataFrame | Dataset,
@@ -47,15 +72,18 @@ def broadcast_join(
 
     if isinstance(small, Dataset):
         refs = small.to_arrow_refs()  # blocks stay in the object store
-
-        @ray.remote
-        def _concat(*tables):
-            tbls = [t for t in tables if t is not None and t.num_rows > 0]
-            if not tbls:
-                return tables[0] if tables else pa.table({})
-            return pa.concat_tables(tbls, promote_options="default")
-
-        ref = _concat.remote(*refs)
+        # concat ONCE per distinct materialized block set: iterative
+        # stages (pagerank rounds) re-broadcast the same static side every
+        # call, which would rebuild and re-pin an identical full-table
+        # object per iteration. Keyed on the block ref ids; bounded FIFO.
+        key = tuple(r.hex() for r in refs)
+        ref = _BROADCAST_CONCAT_CACHE.get(key)
+        if ref is None:
+            ref = _get_concat_task().remote(*refs)
+            if len(_BROADCAST_CONCAT_CACHE) >= 8:
+                _BROADCAST_CONCAT_CACHE.pop(
+                    next(iter(_BROADCAST_CONCAT_CACHE)))
+            _BROADCAST_CONCAT_CACHE[key] = ref
 
         def to_frame(obj):
             return obj.to_pandas() if isinstance(obj, pa.Table) else obj
@@ -67,6 +95,14 @@ def broadcast_join(
 
     def join(batch: pd.DataFrame) -> pd.DataFrame:
         small_df = get_broadcast_transformed(ref, "pandas", to_frame)
+        # SQL null semantics: a null join key never matches — pandas
+        # merge would match NaN==NaN, which made the result depend on the
+        # physical plan (the bucketed path drops null keys per SQL).
+        # Dropping null-key rows from the SMALL side is sufficient: left
+        # null keys then match nothing (inner drops them, left keeps them
+        # unmatched) — exactly SQL on both paths.
+        if len(small_df) and small_df[rkey].isna().any():
+            small_df = small_df[small_df[rkey].notna()]
         return batch.merge(small_df, how=how, left_on=on, right_on=rkey)
 
     # plain task fn + worker-global cache: no per-stage actor startup
@@ -459,12 +495,39 @@ def adaptive_join(
     right = right.materialize()
     size = right.size_bytes() or 0
     if how in ("inner", "left") and size <= broadcast_budget_bytes:
-        out = broadcast_join(left, right, on=on, right_on=right_on, how=how)
         rkey = right_on or on
+        # match bucketed_join's collision contract: overlapping non-key
+        # right columns come out `_r`-suffixed on BOTH physical plans —
+        # pandas merge would otherwise suffix _x/_y, making the output
+        # schema depend on the right side's SIZE
+        if left_schema is not None:
+            lnames = set(left_schema.names)
+        else:
+            # non-forcing probe only: executing a lazy left upstream for
+            # its names costs a full extra pass (NOTES fact 22). Unknown
+            # names ⇒ skip collision detection (pre-fix behavior).
+            s = left.schema(fetch_if_missing=False)
+            lnames = set(s.names) if s is not None else set()
+        rnames = (right_schema or _arrow_schema(right)).names
+        if rkey != on and rkey in lnames:
+            # pandas merge would suffix BOTH key columns; the bucketed
+            # plan keeps the left's — take that plan instead of fixing up
+            return bucketed_join(
+                left, right, on=on, right_on=right_on, how=how,
+                left_schema=left_schema, right_schema=right_schema,
+                num_buckets=num_buckets,
+            )
+        collide = {c: c + "_r" for c in rnames if c != rkey and c in lnames}
+        if collide:
+            right = right.map_batches(
+                lambda b, m=collide: b.rename_columns(
+                    [m.get(c, c) for c in b.column_names]),
+                batch_format="pyarrow",
+            ).materialize()
+        out = broadcast_join(left, right, on=on, right_on=rkey, how=how)
         if rkey != on:
-            # match bucketed_join's output contract: the right key column
-            # is redundant with the left's and dropped, so both physical
-            # plans present one schema to the consumer
+            # the right key column is redundant with the left's and
+            # dropped, so both physical plans present one schema
             out = out.map_batches(
                 lambda df: df.drop(columns=[rkey], errors="ignore"),
                 batch_format="pandas",

@@ -44,8 +44,10 @@ def extract_tf_batch(
     b: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> pa.Table:
     """(id, term, tf) rows — vectorized tokenize + Arrow groupby count."""
+    # id type mirrors the input (string ids work — the batch schema is
+    # present even at 0 rows)
     empty = pa.table(
-        {id_col: pa.array([], pa.int64()),
+        {id_col: pa.array([], b.schema.field(id_col).type),
          "term": pa.array([], pa.string()),
          "tf": pa.array([], pa.int64())}
     )

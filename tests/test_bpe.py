@@ -137,3 +137,15 @@ def test_bpe_tokenize_no_merges_counts_chars():
     got = bpe_tokenize(_mk_docs(["cat dog", ""]), empty).take_all()
     by_id = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"]) for r in got}
     assert by_id == {0: (2, 6), 1: (0, 0)}
+
+
+def test_bpe_tokenize_after_merge_exhaustion():
+    from code_graph_rag_ray.stages.bpe import bpe_tokenize
+
+    # only ONE merge is learnable; the extra requested steps must be
+    # no-ops on both the impl and (per the LEFT JOIN ON TRUE oracle
+    # chain) the SQL replay
+    merges = bpe_learn(_mk(["ab a b"]), num_merges=3)
+    assert merges.num_rows == 1
+    got = bpe_tokenize(_mk_docs(["ab a b"]), merges).take_all()
+    assert (got[0]["n_words"], got[0]["n_bpe_tokens"]) == (3, 3)

@@ -288,3 +288,10 @@ def test_ppr_multi_seed_with_dangling():
     edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "d")]
     got = _run_ppr(edges, nodes, ["a", "d"], iters=3)
     assert got == ref_ppr(edges, nodes, ["a", "d"], iters=3)
+
+
+def test_ppr_duplicate_seeds_deduped():
+    nodes = ["a", "b", "c"]
+    edges = [("a", "b"), ("b", "c")]
+    assert _run_ppr(edges, nodes, ["a", "a", "b"]) == \
+        _run_ppr(edges, nodes, ["a", "b"])

@@ -353,3 +353,56 @@ def test_adaptive_join_both_plans_identical():
     import pandas as pd
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)],
                                   check_dtype=False)
+
+
+def test_adaptive_join_null_keys_sql_semantics_on_both_plans():
+    # SQL: a NULL join key never matches. The pandas-merge broadcast path
+    # would match NaN==NaN without the small-side null drop.
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.relational import adaptive_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["a", None, "b"], pa.string()),
+        "v": pa.array([1, 2, 3], pa.int64()),
+    })).repartition(2)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["a", None], pa.string()),
+        "w": pa.array([10, 20], pa.int64()),
+    }))
+
+    for budget in (1 << 40, 0):
+        inner = adaptive_join(left, right, on="k",
+                              broadcast_budget_bytes=budget).to_pandas()
+        assert sorted(zip(inner["v"], inner["w"])) == [(1, 10)], budget
+        lft = adaptive_join(left, right, on="k", how="left",
+                            broadcast_budget_bytes=budget).to_pandas()
+        # null-key left rows survive UNMATCHED on both plans
+        assert len(lft) == 3 and lft["w"].notna().sum() == 1, budget
+
+
+def test_adaptive_join_collision_suffix_matches_bucketed():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.relational import adaptive_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "deg": pa.array([7, 8], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "n": pa.array([1, 2], pa.int64()),
+        "deg": pa.array([70, 80], pa.int64()),
+    }))
+    ls = pa.schema([("k", pa.int64()), ("deg", pa.int64())])
+    rs = pa.schema([("n", pa.int64()), ("deg", pa.int64())])
+    for budget in (1 << 40, 0):
+        df = adaptive_join(left, right, on="k", right_on="n",
+                           left_schema=ls, right_schema=rs,
+                           broadcast_budget_bytes=budget).to_pandas()
+        assert {"k", "deg", "deg_r"} <= set(df.columns), (budget, df.columns)
+        got = df.sort_values("k")
+        assert got["deg"].tolist() == [7, 8]
+        assert got["deg_r"].tolist() == [70, 80]
