@@ -1976,6 +1976,71 @@ def knn_brute(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def events_decayed_score(sf_dir: str):
+    """Recency-weighted engagement per user (stages/windows.decayed_score):
+    each event contributes 10^6 >> whole elapsed days vs a fixed 'now'
+    (2024-01-31) — exponential decay quantized to integer half-lives so
+    the fold is a BIGINT shift, bit-exact on both sides. One stateless
+    contribution pass + one two-phase grouped sum."""
+    from code_graph_rag_ray.stages.windows import decayed_score
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    return decayed_score(ds, key_col="user_id", ts_col="ts",
+                         now="2024-01-31 00:00:00", half_life_s=86400)
+
+
+EVENTS_DECAYED_SCORE_SQL = """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       sum(1000000 >> least(greatest(
+             (epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(ts))
+               // 86400000000, 0), 62))::BIGINT AS decayed
+FROM events GROUP BY user_id
+"""
+
+
+def knn_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training
+    (stages/similarity.knn_brute_force with per-query label masking):
+    for each of the 5 query vectors, the top-5 most-similar vectors of a
+    DIFFERENT label — the classic in-batch-negatives upgrade. Same
+    broadcast-query + partial-top-k-merge scale shape as knn_brute."""
+    from code_graph_rag_ray.stages.similarity import knn_brute_force
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    qdf = pd.DataFrame(ds.filter(expr="vec_id < 5").take_all()).sort_values(
+        "vec_id")
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf.embedding])
+    out = knn_brute_force(
+        ds, queries, qdf.vec_id.tolist(), k=5,
+        label_col="label", query_exclude_labels=qdf.label.tolist(),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"query_id": b["query_id"], "vec_id": b["vec_id"],
+             "cosine": _pc_round(b["cosine"], 5), "rank": b["rank"]}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+KNN_HARD_NEGATIVES_SQL = """
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 5)
+           AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])) DESC,
+                    e.vec_id) AS rank
+  FROM embeddings q, embeddings e
+  WHERE q.vec_id < 5 AND e.label <> q.label) t
+WHERE rank <= 5
+"""
+
+
 # DOUBLE[] casts: duckdb's float32 cosine differs from the engine's float64
 # matmul at ~1e-7 — in float64 both agree to <1e-15 (verified bitwise after
 # round(5))
@@ -6133,6 +6198,8 @@ QUERIES = {
     "page_ppr": page_ppr,
     "lineitem_unpivot": lineitem_unpivot,
     "corpus_bpe_fertility": corpus_bpe_fertility,
+    "knn_hard_negatives": knn_hard_negatives,
+    "events_decayed_score": events_decayed_score,
     # r02-green, unchanged since: checked by the own oracle sweep instead
     "doc_shuffle_rank": doc_shuffle_rank,
     "events_sessions": events_sessions,
@@ -6295,6 +6362,8 @@ ORACLES = {
     "page_ppr": PAGE_PPR_SQL,
     "lineitem_unpivot": LINEITEM_UNPIVOT_SQL,
     "corpus_bpe_fertility": CORPUS_BPE_FERTILITY_SQL,
+    "knn_hard_negatives": KNN_HARD_NEGATIVES_SQL,
+    "events_decayed_score": EVENTS_DECAYED_SCORE_SQL,
     "events_value_quantiles_by_type": EVENTS_VALUE_QUANTILES_BY_TYPE_SQL,
     "doc_percent_rank": DOC_PERCENT_RANK_SQL,
     "doc_jaccard_join": DOC_JACCARD_JOIN_SQL,

@@ -58,32 +58,51 @@ def knn_brute_force(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    label_col: str | None = None,
+    query_exclude_labels: list | None = None,
 ) -> Dataset:
     """Exact cosine top-k: (query_id, vec_id, cosine, rank), rank 1-based.
 
     Ties broken deterministically by (−cosine, vec_id).
+
+    ``label_col`` + ``query_exclude_labels`` (aligned with
+    ``query_ids``) turn this into HARD-NEGATIVE MINING: candidates whose
+    label equals the query's excluded label are masked out per query —
+    the contrastive-training "top-k most similar from a DIFFERENT class"
+    selection, same broadcast + partial-top-k-merge scale shape.
     """
     import ray
 
     from code_graph_rag_ray.functions.broadcast import get_broadcast
 
     qn = _normalize(queries.astype(np.float64))
-    q_ref = ray.put((qn, list(query_ids)))
+    qex = list(query_exclude_labels) if query_exclude_labels is not None else None
+    q_ref = ray.put((qn, list(query_ids), qex))
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        q, qids = get_broadcast(q_ref)
+        q, qids, qx = get_broadcast(q_ref)
         vecs = _normalize(_to_matrix(batch[vec_col]).astype(np.float64))
         ids = batch[id_col].to_pylist()
+        labels = (batch[label_col].to_pylist()
+                  if label_col is not None and qx is not None else None)
         sims = q @ vecs.T  # (nq, nb)
         out_q, out_v, out_s = [], [], []
-        kk = min(k, sims.shape[1])
+        ids_np = np.asarray(ids)
         for qi in range(sims.shape[0]):
             row = sims[qi]
+            if labels is not None:
+                keep = np.array([lb != qx[qi] for lb in labels], bool)
+                if not keep.any():
+                    continue
+                cand_ids, cand = ids_np[keep], row[keep]
+            else:
+                cand_ids, cand = ids_np, row
+            kk = min(k, len(cand))
             # deterministic partial top-k: sort by (-sim, vec_id)
-            order = np.lexsort((np.asarray(ids), -row))[:kk]
+            order = np.lexsort((cand_ids, -cand))[:kk]
             out_q.extend([qids[qi]] * len(order))
-            out_v.extend([ids[j] for j in order])
-            out_s.extend(row[order].astype(float).tolist())
+            out_v.extend(cand_ids[order].tolist())
+            out_s.extend(cand[order].astype(float).tolist())
         return pa.table(
             {"query_id": pa.array(out_q), id_col: pa.array(out_v),
              "cosine": pa.array(out_s, pa.float64())}

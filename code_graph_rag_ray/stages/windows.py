@@ -1007,3 +1007,56 @@ def strict_funnel(
     ))
     return partial_groupby_sum(parts.union(seed), ["step"], {"n_p": "n_keys"})
 
+
+
+def decayed_score(
+    events: Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    now: str = "2024-01-31 00:00:00",
+    half_life_s: int = 86400,
+    scale: int = 10**6,
+    max_shift: int = 62,
+) -> Dataset:
+    """Exponential time-decay scoring with EXACT integer arithmetic: each
+    event contributes ``scale >> min(age // half_life, max_shift)`` —
+    halving per elapsed half-life, quantized to whole half-lives so the
+    whole fold is a BIGINT shift on both sides (a float exp() would
+    diverge libm-by-libm). Events after ``now`` clamp to shift 0 (full
+    weight). Returns (key, n_events, decayed) — the recency-weighted
+    engagement score every feed/ranking pipeline keeps per user.
+
+    Scale shape: stateless per-row contribution + ONE two-phase grouped
+    sum — no window state, no sort; a whale user pre-reduces per block.
+
+    cgr analog: the reference ranks retrieval candidates with a
+    recency-weighted touch count on graph nodes (graph_updater.py
+    last-seen bookkeeping); this is the streaming-aggregate form.
+    """
+    import pandas as _pd
+
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+
+    now_us = int(_pd.Timestamp(now).value // 1000)
+    hl_us = half_life_s * 10**6
+
+    def contrib(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({key_col: pa.array([], b[key_col].type),
+                             "one": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        ts = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        shift = np.clip((now_us - ts) // hl_us, 0, max_shift).astype(np.int64)
+        c = np.right_shift(np.int64(scale), shift)
+        return pa.table(
+            {key_col: b[key_col],
+             "one": pa.array(np.ones(b.num_rows, np.int64)),
+             "c": pa.array(c)}
+        )
+
+    return partial_groupby_sum(
+        events.map_batches(contrib, batch_format="pyarrow"),
+        [key_col], {"one": "n_events", "c": "decayed"},
+    )

@@ -57,3 +57,40 @@ def test_knn_lsh_recall_vs_brute(sf_dir):
     # self-neighbor always found (query is in its own bucket)
     for q in qids:
         assert q in set(approx[approx.query_id == q].vec_id)
+
+
+def test_knn_hard_negatives_excludes_query_label(sf_dir):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack([np.asarray(v, np.float64)
+                    for v in tbl["embedding"].to_pylist()])
+    ids = np.asarray(tbl["vec_id"].to_pylist())
+    labels = np.asarray(tbl["label"].to_pylist())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+
+    q_idx = [0, 1]
+    out = knn_brute_force(
+        ds, mat[q_idx], ids[q_idx].tolist(), k=4,
+        label_col="label",
+        query_exclude_labels=labels[q_idx].tolist(),
+    ).take_all()
+    lab_of = dict(zip(ids.tolist(), labels.tolist()))
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+        # the mined negative NEVER shares the query's label
+        assert lab_of[r["vec_id"]] != lab_of[r["query_id"]]
+    # reference: numpy top-k over the label-filtered candidate set
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qi in q_idx:
+        keep = labels != labels[qi]
+        sims = mn[keep] @ mn[qi]
+        kidx = ids[keep]
+        order = np.lexsort((kidx, -sims))[:4]
+        want = [int(kidx[i]) for i in order]
+        got = [r["vec_id"] for r in sorted(by_q[int(ids[qi])],
+                                           key=lambda r: r["rank"])]
+        assert got == want

@@ -691,3 +691,27 @@ def test_strict_funnel_no_step_events_emits_zero_rows():
            for r in strict_funnel(ds, ["view", "cart", "buy"]).take_all()}
     assert out == {"1_view": 0, "2_cart": 0, "3_buy": 0}
 
+
+
+def test_decayed_score_integer_shifts_and_clamp():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.windows import decayed_score
+
+    now = "2024-01-31 00:00:00"
+    ts = [
+        "2024-01-30 23:00:00",  # age < 1 day  -> shift 0 -> 10^6
+        "2024-01-29 00:00:00",  # age 2 days   -> shift 2 -> 250000
+        "2024-02-05 00:00:00",  # FUTURE       -> clamp 0 -> 10^6
+        "2020-01-01 00:00:00",  # huge age     -> clamp 62 -> 0
+    ]
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([pd.Timestamp(x) for x in ts], pa.timestamp("us")),
+    })
+    out = {r["user_id"]: (r["n_events"], r["decayed"])
+           for r in decayed_score(rd.from_arrow(t).repartition(3),
+                                  now=now).take_all()}
+    assert out == {1: (2, 10**6 + 250000), 2: (2, 10**6 + 0)}
