@@ -1976,6 +1976,98 @@ def knn_brute(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def source_trigram_diversity(sf_dir: str):
+    """Per-source token-trigram diversity — distinct trigrams over total
+    trigram occurrences, the templated/boilerplate-source detector a
+    curation pipeline gates on (a source emitting the same template has
+    diversity → 0). Scale shape: per-batch (source, trigram) combine →
+    ONE two-phase grouped sum over (source, trigram) → per-source fold
+    of n_distinct (row count) + n_tri (occurrence sum);
+    diversity_micro = (10^6·n_distinct) // n_tri, pure BIGINT."""
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+
+    ds = _pq(sf_dir, "documents", ["source", "text"])
+
+    def tri_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "tri": pa.array([], pa.string()),
+                          "k": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(pc.utf8_lower(b["text"]),
+                                      pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        if len(flat) < 3:
+            return empty
+        f = np.asarray(flat.to_pandas(), dtype=object)
+        p = parent.to_numpy(zero_copy_only=False)
+        adj = (p[2:] == p[:-2])
+        if not adj.any():
+            return empty
+        tri = np.char.add(
+            np.char.add(f[:-2][adj].astype(str), " "),
+            np.char.add(np.char.add(f[1:-1][adj].astype(str), " "),
+                        f[2:][adj].astype(str)))
+        t = pa.table(
+            {"source": pc.take(b["source"],
+                               pa.array(p[:-2][adj], pa.int64())),
+             "tri": pa.array(tri, pa.string())}
+        )
+        g = pa.TableGroupBy(t, ["source", "tri"],
+                            use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "tri": g["tri"],
+                         "k": pc.cast(g["count_all"], pa.int64())})
+
+    per_tri = partial_groupby_sum(
+        ds.map_batches(tri_partial, batch_format="pyarrow"),
+        ["source", "tri"], {"k": "k"},
+    )
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table({"source": b["source"], "k": b["k"],
+                         "one": pa.array(np.ones(b.num_rows, np.int64))})
+
+    agg = partial_groupby_sum(
+        per_tri.map_batches(ones, batch_format="pyarrow"),
+        ["source"], {"one": "n_distinct", "k": "n_tri"},
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        d = b["n_distinct"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b["n_tri"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = (d * 10**6) // np.maximum(t, 1)
+        return b.append_column("diversity_micro",
+                               pa.array(dv.astype(np.int64)))
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SOURCE_TRIGRAM_DIVERSITY_SQL = """
+WITH tok AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+tri AS (
+  SELECT source, ws[j] || ' ' || ws[j + 1] || ' ' || ws[j + 2] AS tri
+  FROM (SELECT source, ws, unnest(generate_series(1, len(ws) - 2)) AS j
+        FROM tok WHERE len(ws) >= 3)),
+per AS (SELECT source, tri, count(*)::BIGINT AS k FROM tri
+        GROUP BY source, tri),
+ag AS (SELECT source, count(*)::BIGINT AS n_distinct,
+              sum(k)::BIGINT AS n_tri
+       FROM per GROUP BY source)
+SELECT source, n_distinct, n_tri,
+       ((n_distinct * 1000000) // greatest(n_tri, 1))::BIGINT
+         AS diversity_micro
+FROM ag
+"""
+
+
 def events_decayed_score(sf_dir: str):
     """Recency-weighted engagement per user (stages/windows.decayed_score):
     each event contributes 10^6 >> whole elapsed days vs a fixed 'now'
@@ -6200,6 +6292,7 @@ QUERIES = {
     "corpus_bpe_fertility": corpus_bpe_fertility,
     "knn_hard_negatives": knn_hard_negatives,
     "events_decayed_score": events_decayed_score,
+    "source_trigram_diversity": source_trigram_diversity,
     # r02-green, unchanged since: checked by the own oracle sweep instead
     "doc_shuffle_rank": doc_shuffle_rank,
     "events_sessions": events_sessions,
@@ -6364,6 +6457,7 @@ ORACLES = {
     "corpus_bpe_fertility": CORPUS_BPE_FERTILITY_SQL,
     "knn_hard_negatives": KNN_HARD_NEGATIVES_SQL,
     "events_decayed_score": EVENTS_DECAYED_SCORE_SQL,
+    "source_trigram_diversity": SOURCE_TRIGRAM_DIVERSITY_SQL,
     "events_value_quantiles_by_type": EVENTS_VALUE_QUANTILES_BY_TYPE_SQL,
     "doc_percent_rank": DOC_PERCENT_RANK_SQL,
     "doc_jaccard_join": DOC_JACCARD_JOIN_SQL,
