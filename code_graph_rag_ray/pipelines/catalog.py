@@ -1976,6 +1976,29 @@ def knn_brute(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def doc_pack_bpe(sf_dir: str):
+    """TOKENIZER-AWARE sequence packing: concat-and-chunk over REAL
+    subword counts — bpe_learn's 6 merges tokenize the corpus
+    (stages/bpe.bpe_tokenize) and the packer's budget is BPE tokens, not
+    whitespace words (stages/packing.pack_sequences with a counts
+    override). Same two-pass global-prefix-sum shape; seq_len 256."""
+    from code_graph_rag_ray.stages.bpe import bpe_learn, bpe_tokenize
+    from code_graph_rag_ray.stages.packing import pack_sequences
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_learn(docs, num_merges=6)
+    counts = bpe_tokenize(docs, merges).map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "n_tokens": b["n_bpe_tokens"]}),
+        batch_format="pyarrow",
+    )
+    return pack_sequences(docs, seq_len=256, counts=counts)
+
+
+# assigned after _bpe_ctes is defined (below, with the other BPE oracles)
+DOC_PACK_BPE_SQL = None
+
+
 def source_trigram_diversity(sf_dir: str):
     """Per-source token-trigram diversity — distinct trigrams over total
     trigram occurrences, the templated/boilerplate-source detector a
@@ -5699,6 +5722,33 @@ FROM ag
 """)
 
 
+DOC_PACK_BPE_SQL = (_bpe_ctes(6) + """,
+vn AS (SELECT word, len(string_split(trim(sym), '  '))::BIGINT AS ns
+       FROM v6),
+d AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS ws
+      FROM documents),
+dw AS (SELECT doc_id, unnest(ws) AS word FROM d),
+per AS (SELECT dw.doc_id, sum(vn.ns)::BIGINT AS nt
+        FROM dw JOIN vn USING (word) GROUP BY dw.doc_id),
+t AS (SELECT d.doc_id, coalesce(p.nt, 0)::BIGINT AS n_tokens
+      FROM d LEFT JOIN per p USING (doc_id)),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_off
+  FROM t)
+SELECT doc_id, n_tokens, start_off,
+       CAST(start_off // 256 AS BIGINT) AS seq_first,
+       CAST(CASE WHEN n_tokens = 0 THEN start_off // 256
+                 ELSE (start_off + n_tokens - 1) // 256 END AS BIGINT)
+         AS seq_last
+FROM o
+""")
+
+
 CORPUS_BPE_TOKENIZE_SQL = (_bpe_ctes(6) + """,
 vn AS (SELECT word, len(string_split(trim(sym), '  '))::BIGINT AS ns
        FROM v6),
@@ -6293,6 +6343,7 @@ QUERIES = {
     "knn_hard_negatives": knn_hard_negatives,
     "events_decayed_score": events_decayed_score,
     "source_trigram_diversity": source_trigram_diversity,
+    "doc_pack_bpe": doc_pack_bpe,
     # r02-green, unchanged since: checked by the own oracle sweep instead
     "doc_shuffle_rank": doc_shuffle_rank,
     "events_sessions": events_sessions,
@@ -6458,6 +6509,7 @@ ORACLES = {
     "knn_hard_negatives": KNN_HARD_NEGATIVES_SQL,
     "events_decayed_score": EVENTS_DECAYED_SCORE_SQL,
     "source_trigram_diversity": SOURCE_TRIGRAM_DIVERSITY_SQL,
+    "doc_pack_bpe": DOC_PACK_BPE_SQL,
     "events_value_quantiles_by_type": EVENTS_VALUE_QUANTILES_BY_TYPE_SQL,
     "doc_percent_rank": DOC_PERCENT_RANK_SQL,
     "doc_jaccard_join": DOC_JACCARD_JOIN_SQL,

@@ -60,11 +60,19 @@ def pack_sequences(
     text_col: str = "text",
     num_buckets: int = 64,
     sample_mod: int = 64,
+    counts: Dataset | None = None,
 ) -> Dataset:
     """Concat-and-chunk packing: docs (ordered by ``id_col``) → per-doc
     (id, n_tokens, start_off, seq_first, seq_last) with sequence ids of the
-    ``seq_len``-token training sequences the doc occupies."""
-    counted = token_counts(ds, id_col=id_col, text_col=text_col)
+    ``seq_len``-token training sequences the doc occupies.
+
+    ``counts`` (an (id, n_tokens) dataset) overrides the default
+    whitespace token counter — that is how TOKENIZER-AWARE packing works:
+    feed ``bpe_tokenize`` output (renamed to n_tokens) and the budget is
+    real subword tokens, not words. ``ds``/``text_col`` are ignored when
+    counts is given."""
+    counted = counts if counts is not None else token_counts(
+        ds, id_col=id_col, text_col=text_col)
 
     bounds = _sample_boundaries(counted, id_col, num_buckets, sample_mod)
     bounds_np = np.asarray(bounds) if bounds else None
