@@ -6316,9 +6316,9 @@ QUERIES = {
     "doc_simhash_pairs": doc_simhash_pairs,
     "doc_jaccard_join": doc_jaccard_join,
     "doc_para_dedup": doc_para_dedup,
-    "doc_para_dedup_apply": doc_para_dedup_apply,
+    "hybrid_retrieval": hybrid_retrieval,
     "doc_boilerplate": doc_boilerplate,
-    "doc_minhash_dedup_apply": doc_minhash_dedup_apply,
+    "page_ppr": page_ppr,
     "doc_semdedup": doc_semdedup,
     "doc_dup_spans_apply": doc_dup_spans_apply,
     "doc_source_mix": doc_source_mix,
@@ -6333,11 +6333,11 @@ QUERIES = {
     "doc_jaccard_pairs": doc_jaccard_pairs,
     "knn_brute": knn_brute,
     "page_community_terms": page_community_terms,
-    "hybrid_retrieval": hybrid_retrieval,
+    "doc_para_dedup_apply": doc_para_dedup_apply,
     "corpus_bpe_tokenize": corpus_bpe_tokenize,
     "customer_record_linkage": customer_record_linkage,
     "cooccur_clustering": cooccur_clustering,
-    "page_ppr": page_ppr,
+    "doc_minhash_dedup_apply": doc_minhash_dedup_apply,
     "lineitem_unpivot": lineitem_unpivot,
     "corpus_bpe_fertility": corpus_bpe_fertility,
     "knn_hard_negatives": knn_hard_negatives,
