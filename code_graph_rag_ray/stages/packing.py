@@ -4,9 +4,10 @@ Pretraining pipelines concatenate the tokenized corpus in a deterministic
 order and slice the stream into fixed-length sequences (GPT-style
 concat-and-chunk). The whole operator is ONE global exclusive prefix sum of
 per-doc token counts over the doc order — computed distributed with the
-two-pass range-bucket scheme of ``stages/ranking`` (deterministic sampled
-boundaries, per-bucket totals, only O(num_buckets) rows ever reach the
-driver), summing token counts instead of counting rows.
+two-pass range-bucket scheme of ``stages/ranking`` (bounded per-block
+boundary sampling, per-bucket totals — driver rows O(blocks × num_buckets),
+never a function of corpus size), summing token counts instead of counting
+rows.
 
 Output per doc: ``n_tokens``, ``start_off`` (global token offset of the
 doc's first token), ``seq_first`` / ``seq_last`` (the fixed-length

@@ -5,9 +5,12 @@ Curriculum ordering, "keep the best N per corpus", and stable exports all
 need a total order ``ORDER BY key [DESC], tiebreak`` with a 1-based global
 rank. The classic way is a full sort plus a driver-side index — neither
 survives 100 TB. This is the two-pass range-bucket scheme every distributed
-sort uses, with only O(num_buckets) rows ever reaching the driver:
+sort uses, with driver state bounded at O(blocks × num_buckets) sample
+rows + O(num_buckets) count rows — never a function of corpus row count:
 
-1. **Sample** keys with a deterministic content-hash filter (no RNG) and
+1. **Sample** keys with a bounded per-block quantile sketch (each block
+   emits ≤ num_buckets+1 evenly-spaced local keys; the driver merges
+   O(blocks × num_buckets) rows — never a rate-sample of all keys) and
    cut ``num_buckets`` range boundaries. Boundaries affect only balance —
    the final ranks are a pure function of the data, so ANY boundary choice
    yields identical output.
@@ -36,20 +39,43 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from code_graph_rag_ray.functions.hashing import stable_hash_array
 from code_graph_rag_ray.stages.relational import partial_groupby_sum
 
 
-def _sample_boundaries(
-    ds: Dataset, by: str, num_buckets: int, sample_mod: int
-) -> list:
-    """Deterministic key sample → ≤ num_buckets-1 sorted cut points."""
+def _block_key_sample(ds: Dataset, by: str, cap: int) -> Dataset:
+    """Per-block bounded key sample: each input block contributes at most
+    ``cap`` evenly-spaced keys from its own sorted key column. Driver-side
+    sample size is O(blocks × cap) — independent of row count, unlike a
+    hash-rate sample (which ships ~n/mod of ALL keys and OOMs the driver
+    at corpus scale)."""
 
     def pick(b: pa.Table) -> pa.Table:
-        mask = stable_hash_array(b[by]) % np.uint64(sample_mod) == 0
-        return b.select([by]).filter(pa.array(mask))
+        key_type = b.schema.field(by).type
+        col = pc.drop_null(b[by]).combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.table({by: pa.array([], type=key_type)})
+        srt = col.take(pc.sort_indices(col))
+        idx = np.unique(np.linspace(0, n - 1, min(cap, n)).astype(np.int64))
+        return pa.table({by: srt.take(idx)})
 
-    sample = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def _sample_boundaries(
+    ds: Dataset, by: str, num_buckets: int, sample_mod: int | None = None
+) -> list:
+    """Bounded two-phase key sample → ≤ num_buckets-1 sorted cut points.
+
+    Phase 1 (distributed): each block emits ≤ num_buckets+1 evenly-spaced
+    local keys (per-block quantile sketch). Phase 2 (driver): merge the
+    O(blocks × num_buckets) sampled keys and cut evenly-spaced boundaries.
+    Boundary choice affects only bucket balance — ranks/offsets downstream
+    are a pure function of the data, so any sample yields identical
+    output. ``sample_mod`` is accepted for call compatibility with the
+    retired hash-rate sampler and ignored."""
+    del sample_mod
+    sample = _block_key_sample(ds, by, num_buckets + 1).take_all()
     keys = sorted(r[by] for r in sample)
     if not keys:
         return []

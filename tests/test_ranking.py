@@ -51,6 +51,29 @@ def test_rank_float_keys():
     _check(keys, descending=False, blocks=5, num_buckets=8)
 
 
+def test_boundary_sample_is_bounded_per_block():
+    """Driver-side sample row count depends on (blocks × num_buckets),
+    NEVER on input row count — the 100 TB safety property (VERDICT r03 #1:
+    the retired hash-rate sampler shipped ~n/64 of all keys)."""
+    from code_graph_rag_ray.stages.ranking import _block_key_sample
+
+    for n_rows in (100, 10_000):
+        t = pa.table({"key": pa.array(range(n_rows), pa.int64())})
+        ds = rd.from_arrow(t).repartition(4)
+        sample = _block_key_sample(ds, "key", cap=9)
+        assert sample.count() <= 4 * 9, n_rows  # blocks × cap, not rows
+
+
+def test_boundary_sample_handles_nulls_and_empty_blocks():
+    from code_graph_rag_ray.stages.ranking import _sample_boundaries
+
+    t = pa.table({"key": pa.array([None, 3, 1, None, 2], pa.int64())})
+    bounds = _sample_boundaries(rd.from_arrow(t).repartition(5), "key", 4)
+    assert all(b is not None for b in bounds)
+    empty = pa.table({"key": pa.array([], pa.int64())})
+    assert _sample_boundaries(rd.from_arrow(empty), "key", 4) == []
+
+
 def test_shuffle_rank_is_total_permutation_and_sharded():
     import numpy as np
     import pyarrow as pa
