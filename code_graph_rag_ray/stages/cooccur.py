@@ -15,8 +15,12 @@ Scale shape:
 - pair expansion: ``groupby(doc).map_groups`` — fan-out is C(k,2) on the
   per-doc DISTINCT entity count k (vocabulary-bounded), never corpus-sized;
 - pair counts and entity marginals: two-phase grouped sums;
-- marginals are dictionary-scale, so they broadcast (``ray.put`` once) —
-  for open vocabularies swap the broadcast for a bucketed join on ``a``.
+- marginals reach the pair table ADAPTIVELY: broadcast (``ray.put`` once,
+  read per actor) while the measured marginal table fits the
+  ``GRAFT_BROADCAST_BUDGET``; past the budget the plan degrades to two
+  distributed bucketed joins (the ``item_cocitation`` shape) — both
+  physical plans are bit-exact identical, so an open 100 TB entity
+  vocabulary never lands on the driver.
 
 Overflow: lift_fp fits int64 while c_ab·N·scale < 2^63 — N ≤ ~3M docs at
 scale=10^6. Larger corpora: lower ``scale`` or compute per-shard.
@@ -37,12 +41,24 @@ def entity_cooccurrence(
     doc_col: str = "doc_id",
     ent_col: str = "surface",
     scale: int = 10**6,
+    broadcast_budget_bytes: int | None = None,
 ) -> Dataset:
     """mentions(doc, entity) → (a, b, c_ab, lift_fp) for a < b.
 
     Input rows need not be distinct per (doc, entity) — duplicates are
-    collapsed inside the per-doc group before pair expansion."""
+    collapsed inside the per-doc group before pair expansion. The marginal
+    table's physical plan (driver broadcast vs two bucketed joins) is
+    picked from its measured size against ``broadcast_budget_bytes``
+    (default: env ``GRAFT_BROADCAST_BUDGET``, else 256 MB); both plans
+    produce identical rows."""
+    import os
+
     import ray
+
+    from code_graph_rag_ray.stages.relational import (
+        BROADCAST_BUDGET_BYTES,
+        bucketed_join,
+    )
 
     def pairs(g: pa.Table) -> pa.Table:
         ents = sorted(set(g[ent_col].to_pylist()))
@@ -72,8 +88,9 @@ def entity_cooccurrence(
 
     de = mentions.map_batches(distinct_de, batch_format="pyarrow")
     de = de.groupby([doc_col, ent_col]).count().drop_columns(["count()"])
-    marg_rows = partial_groupby_sum(de, [ent_col], {}, count_alias="c").take_all()
-    marg = {r[ent_col]: r["c"] for r in marg_rows}
+    # marginal table stays a Dataset; materialize once to MEASURE it (the
+    # adaptive_join probe pattern) — both plans reuse the pinned blocks
+    marg_ds = partial_groupby_sum(de, [ent_col], {}, count_alias="c").materialize()
     # N = distinct docs: two-phase collapse, then a scalar count — no
     # corpus-sized rows ever reach the driver
     n_docs = (
@@ -81,19 +98,57 @@ def entity_cooccurrence(
         .select_columns([doc_col])
         .count()
     )
-    marg_ref = ray.put(marg)
+    if broadcast_budget_bytes is None:
+        broadcast_budget_bytes = int(
+            os.environ.get("GRAFT_BROADCAST_BUDGET", BROADCAST_BUDGET_BYTES)
+        )
 
-    def score(b: pa.Table) -> pa.Table:
-        from code_graph_rag_ray.functions.broadcast import get_broadcast
+    if (marg_ds.size_bytes() or 0) <= broadcast_budget_bytes:
+        # closed-vocabulary fast path: dict fits a worker heap → ship once
+        marg = {r[ent_col]: r["c"] for r in marg_ds.take_all()}
+        marg_ref = ray.put(marg)
 
-        m = get_broadcast(marg_ref)
-        ca = np.array([m[x] for x in b["a"].to_pylist()], np.int64)
-        cb = np.array([m[x] for x in b["b"].to_pylist()], np.int64)
+        def score(b: pa.Table) -> pa.Table:
+            from code_graph_rag_ray.functions.broadcast import get_broadcast
+
+            m = get_broadcast(marg_ref)
+            ca = np.array([m[x] for x in b["a"].to_pylist()], np.int64)
+            cb = np.array([m[x] for x in b["b"].to_pylist()], np.int64)
+            c_ab = b["c_ab"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lift = (c_ab * np.int64(n_docs) * np.int64(scale)) // (ca * cb)
+            return b.append_column("lift_fp", pa.array(lift))
+
+        return pair_counts.map_batches(score, batch_format="pyarrow")
+
+    # open-vocabulary path: marginals reach the pair table via two
+    # distributed bucketed joins (the item_cocitation / minhash-verify
+    # shape) — zero driver state beyond the scalar n_docs
+    pc_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                           ("c_ab", pa.int64())])
+    marg_schema = pa.schema([(ent_col, pa.string()), ("c", pa.int64())])
+    j1 = bucketed_join(pair_counts, marg_ds, on="a", right_on=ent_col,
+                       left_schema=pc_schema, right_schema=marg_schema)
+    j1 = j1.map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"], "c_ab": b["c_ab"],
+                            "c_a": b["c"]}),
+        batch_format="pyarrow",
+    )
+    j2 = bucketed_join(
+        j1, marg_ds, on="b", right_on=ent_col,
+        left_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
+                               ("c_ab", pa.int64()), ("c_a", pa.int64())]),
+        right_schema=marg_schema,
+    )
+
+    def score_joined(b: pa.Table, n=n_docs) -> pa.Table:
         c_ab = b["c_ab"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lift = (c_ab * np.int64(n_docs) * np.int64(scale)) // (ca * cb)
-        return b.append_column("lift_fp", pa.array(lift))
+        ca = b["c_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lift = (c_ab * np.int64(n) * np.int64(scale)) // (ca * cb)
+        return pa.table({"a": b["a"], "b": b["b"], "c_ab": pa.array(c_ab),
+                         "lift_fp": pa.array(lift)})
 
-    return pair_counts.map_batches(score, batch_format="pyarrow")
+    return j2.map_batches(score_joined, batch_format="pyarrow")
 
 
 def item_cocitation(
