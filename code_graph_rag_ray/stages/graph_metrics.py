@@ -320,43 +320,44 @@ def triangles(edges: Dataset, *, a: str = "a", b: str = "b") -> Dataset:
         k = len(outs)
         if k < 2:
             return pa.table({"center": pa.array([], pa.string()),
-                             "ekey": pa.array([], pa.string())})
+                             "v": pa.array([], pa.string()),
+                             "w": pa.array([], pa.string())})
         ia, ib = np.triu_indices(k, 1)
         arr = np.array(outs, dtype=object)
-        center = [g["src"][0].as_py()] * len(ia)
-        keys = [f"{x}|{y}" for x, y in zip(arr[ia], arr[ib])]
-        return pa.table({"center": pa.array(center, pa.string()),
-                         "ekey": pa.array(keys, pa.string())})
+        n = len(ia)
+        return pa.table({
+            "center": pa.array([g["src"][0].as_py()] * n, pa.string()),
+            "v": pa.array(arr[ia], pa.string()),
+            "w": pa.array(arr[ib], pa.string()),
+        })
 
     wedge_rows = oriented.groupby("src").map_groups(
         wedges, batch_format="pyarrow"
     )
-    ekeys = edges.map_batches(
-        lambda t: pa.table(
-            {"ekey": pc.binary_join_element_wise(
-                pc.cast(t[a], pa.string()), pc.cast(t[b], pa.string()), "|")}
-        ),
-        batch_format="pyarrow",
-    )
-    closed = adaptive_join(
-        wedge_rows, ekeys, on="ekey",
-        left_schema=pa.schema([("center", pa.string()), ("ekey", pa.string())]),
-        right_schema=pa.schema([("ekey", pa.string())]),
+    # close wedges against the edge set: composite-key SEMI join — only
+    # the right's key columns cross the shuffle, wedge payload stays as
+    # real (v, w) columns (no ad-hoc concatenated-string key)
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    closed = bucketed_join(
+        wedge_rows, edges.select_columns([a, b]),
+        on=["v", "w"], right_on=[a, b], how="semi",
+        left_schema=pa.schema([("center", pa.string()), ("v", pa.string()),
+                               ("w", pa.string())]),
+        right_schema=pa.schema([(a, pa.string()), (b, pa.string())]),
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        tri = []
-        for c, ek in zip(t["center"].to_pylist(), t["ekey"].to_pylist()):
-            v, w = ek.split("|", 1)
-            tri.append(tuple(sorted((c, v, w))))
-        if not tri:
-            return pa.table({"ta": pa.array([], pa.string()),
-                             "tb": pa.array([], pa.string()),
-                             "tc": pa.array([], pa.string())})
-        ta, tb, tc = zip(*tri)
-        return pa.table({"ta": pa.array(ta, pa.string()),
-                         "tb": pa.array(tb, pa.string()),
-                         "tc": pa.array(tc, pa.string())})
+        # v < w by wedge construction: sorting (center, v, w) reduces to
+        # inserting center into the ordered pair — three if_else kernels
+        c, v, w = t["center"], t["v"], t["w"]
+        c_lt_v = pc.less(c, v)
+        c_gt_w = pc.greater(c, w)
+        return pa.table({
+            "ta": pc.if_else(c_lt_v, c, v),
+            "tb": pc.if_else(c_lt_v, v, pc.if_else(c_gt_w, w, c)),
+            "tc": pc.if_else(c_gt_w, c, w),
+        })
 
     return closed.map_batches(finish, batch_format="pyarrow")
 
