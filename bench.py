@@ -180,7 +180,11 @@ def run_bench() -> dict:
             "corpus_bpe_merges", "corpus_bpe_tokenize",
             "cooccur_clustering", "customer_record_linkage",
             "doc_dsir_scores")
+        from code_graph_rag_ray.stages.relational import clear_broadcast_cache
+
         for name in names:
+            clear_broadcast_cache()  # don't let a prior query's pinned
+            # broadcast sides add object-store pressure to this one
             t0 = time.perf_counter()
             res = catalog.QUERIES[name](sf_dir)
             if hasattr(res, "count"):

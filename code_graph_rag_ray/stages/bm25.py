@@ -210,6 +210,16 @@ def bm25_topk(
             )
         tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
         dl = b["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # enforce the documented int64 headroom (exact Python-int check,
+        # O(1) per batch): long-doc corpora with high tf would otherwise
+        # wrap the numerator silently and score wrong with no error
+        max_tf = int(tf.max()) if len(tf) else 0
+        if 44 * max_tf * avgdl_c * scale >= 2**63:
+            raise OverflowError(
+                f"bm25 tf-saturation numerator exceeds int64: max tf="
+                f"{max_tf}, avgdl_c={avgdl_c}, scale={scale}; lower "
+                f"`scale` or pre-truncate pathological documents"
+            )
         tfn = (44 * tf * avgdl_c * scale) // (
             20 * tf * avgdl_c + 6 * avgdl_c + 1800 * dl
         )

@@ -160,7 +160,17 @@ def dsir_scores(
     if len(counts):
         ct[counts["bucket"].to_numpy()] = counts["ct"].to_numpy()
         cr[counts["bucket"].to_numpy()] = counts["cr"].to_numpy()
-    q = ((ct + 1) << scale_bits) // (cr + 1)
+    # shift in uint64 with an exact headroom check: int64 would wrap
+    # silently once a bucket's smoothed count reaches 2^(63-scale_bits)
+    max_ct = int(ct.max()) if len(ct) else 0
+    if (max_ct + 1) >= (1 << (64 - scale_bits)):
+        raise OverflowError(
+            f"dsir bucket count {max_ct} overflows the uint64 ratio at "
+            f"scale_bits={scale_bits}; raise num_buckets or lower scale_bits"
+        )
+    q = ((ct.astype(np.uint64) + np.uint64(1)) << np.uint64(scale_bits)) // (
+        cr.astype(np.uint64) + np.uint64(1)
+    )
     lam = _bit_length_u64(q) - (scale_bits + 1)
     lam_ref = ray.put(lam)
 

@@ -19,8 +19,21 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 
-#: driver-side cache of concat'd broadcast sides, keyed on block ref ids
+#: driver-side cache of concat'd broadcast sides, keyed on block ref ids.
+#: Bounded FIFO (8 entries); entries pin their concat'd table in the
+#: object store for the driver's lifetime, so long multi-query sessions
+#: should call :func:`clear_broadcast_cache` between queries — bench.py
+#: and the catalog checker do.
 _BROADCAST_CONCAT_CACHE: dict = {}
+
+
+def clear_broadcast_cache() -> None:
+    """Drop all cached broadcast-side concat refs, releasing their pinned
+    object-store copies. Safe at any time: the next broadcast_join simply
+    rebuilds its side. Call between queries in long-lived sessions —
+    up to 8 fully-concatenated tables (≤ the broadcast budget each) stay
+    pinned otherwise."""
+    _BROADCAST_CONCAT_CACHE.clear()
 
 
 def _concat_body(*tables):

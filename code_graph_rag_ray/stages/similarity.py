@@ -91,7 +91,11 @@ def knn_brute_force(
         for qi in range(sims.shape[0]):
             row = sims[qi]
             if labels is not None:
-                keep = np.array([lb != qx[qi] for lb in labels], bool)
+                # null-label candidates are EXCLUDED — matching the SQL
+                # oracle's `label <> q.label` (NULL <> x is NULL ⇒ drop),
+                # not Python's None != x (which would keep them)
+                keep = np.array(
+                    [lb is not None and lb != qx[qi] for lb in labels], bool)
                 if not keep.any():
                     continue
                 cand_ids, cand = ids_np[keep], row[keep]

@@ -94,3 +94,24 @@ def test_knn_hard_negatives_excludes_query_label(sf_dir):
         got = [r["vec_id"] for r in sorted(by_q[int(ids[qi])],
                                            key=lambda r: r["rank"])]
         assert got == want
+
+
+def test_knn_hard_negatives_drops_null_label_candidates():
+    """NULL-label candidates are excluded — SQL `label <> q.label` is NULL
+    for them (ADVICE r03: Python's None != x would otherwise keep them)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    vecs = np.eye(4, dtype=np.float64)
+    t = pa.table({
+        "vec_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "embedding": pa.array([list(v) for v in vecs],
+                              pa.list_(pa.float64())),
+        "label": pa.array(["a", None, "b", None], pa.string()),
+    })
+    out = knn_brute_force(
+        rd.from_arrow(t), vecs[[0]], [10], k=4,
+        label_col="label", query_exclude_labels=["a"],
+    ).take_all()
+    got = sorted(r["vec_id"] for r in out)
+    assert got == [12]  # nulls (11, 13) and same-label (10) all dropped

@@ -110,11 +110,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    from code_graph_rag_ray.stages.relational import clear_broadcast_cache
+
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
+            clear_broadcast_cache()  # release prior query's pinned sides
             ray_df = to_pandas(fn(sf_dir))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: ray query raised {type(e).__name__}: {e}")
