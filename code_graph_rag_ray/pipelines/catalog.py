@@ -6264,26 +6264,90 @@ FROM f GROUP BY first_doc
 # ---------------------------------------------------------------------------
 
 # Insertion order is deliberate: the driver's correctness gate checks the
-# FIRST 50 entries, so the window leads with the flagship KG family, the
-# page/link graph, the NULL-bearing reshape/outer-join trio (round-2's
-# only hash fails — keep them under the hard signal), the distributed
-# joins, and the dedup family. Everything below position 50 was
-# driver-green in r01/r02 or is covered by tools/check_oracles.py
-# --exact --physical (the driver-equivalent sweep).
+# FIRST 50 entries. Rounds 1-3 drove 102 of the catalog green; this round
+# ROTATES the window onto the 48 oracle-backed queries that have never had
+# a driver CORRECTNESS row (plus the two flagship anchors), so driver
+# evidence accumulates across rounds instead of re-proving the same 50.
+# Everything below position 50 was driver-green in r01-r03 or is covered
+# by tools/check_oracles.py --exact --physical (the driver-equivalent
+# sweep).
 QUERIES = {
-    # --- flagship KG family (north-star pipeline) ---
+    # --- anchors (kept from every round's window) ---
     "kg_doc_triples": kg_doc_triples,
+    "kg_fixture_pr": kg_fixture_pr,
+    # --- windows / sessions / streaming-shaped (first driver check) ---
+    "events_session_assign": events_session_assign,
+    "events_scd2": events_scd2,
+    "events_debounce": events_debounce,
+    "events_funnel_strict": events_funnel_strict,
+    "events_bounce_rate": events_bounce_rate,
+    "events_cohort_retention": events_cohort_retention,
+    "events_hourly_top_types": events_hourly_top_types,
+    "events_heavy_users": events_heavy_users,
+    "events_rate_spikes": events_rate_spikes,
+    "events_decayed_score": events_decayed_score,
+    "events_dow_hour_heatmap": events_dow_hour_heatmap,
+    # --- sketches ---
+    "events_user_hll": events_user_hll,
+    "events_user_cms": events_user_cms,
+    # --- quantiles / robust aggregates ---
+    "events_value_quantiles": events_value_quantiles,
+    "doc_percent_rank": doc_percent_rank,
+    "doc_mad_outliers": doc_mad_outliers,
+    "orders_trimmed_mean": orders_trimmed_mean,
+    # --- splits / sampling / privacy ---
+    "doc_split_leaks": doc_split_leaks,
+    "doc_sample_stratified": doc_sample_stratified,
+    "doc_split_by_source": doc_split_by_source,
+    "customer_k_anonymity": customer_k_anonymity,
+    # --- reshape ---
+    "lineitem_unpivot": lineitem_unpivot,
+    # --- text analysis / terms ---
+    "doc_tfidf_topk": doc_tfidf_topk,
+    "doc_inverted_index": doc_inverted_index,
+    "corpus_vocab_growth": corpus_vocab_growth,
+    "source_trigram_diversity": source_trigram_diversity,
+    "doc_lang_confusion": doc_lang_confusion,
+    # --- tokenizer / packing ---
+    "corpus_bpe_tokenize": corpus_bpe_tokenize,
+    "corpus_bpe_fertility": corpus_bpe_fertility,
+    "doc_pack_bpe": doc_pack_bpe,
+    "doc_pack_sequences": doc_pack_sequences,
+    # --- record linkage / similarity / embeddings ---
+    "customer_record_linkage": customer_record_linkage,
+    "knn_hard_negatives": knn_hard_negatives,
+    "doc_kmeans": doc_kmeans,
+    "doc_embedding_vectors": doc_embedding_vectors,
+    # --- dedup appliers / pair families ---
+    "doc_jaccard_pairs": doc_jaccard_pairs,
+    "doc_para_dedup_apply": doc_para_dedup_apply,
+    "doc_minhash_dedup_apply": doc_minhash_dedup_apply,
+    # --- global ordering (new bounded sampler underneath) ---
+    "doc_global_rank": doc_global_rank,
+    "doc_shuffle_rank": doc_shuffle_rank,
+    # --- graph family ---
+    "doc_components": doc_components,
+    "doc_cooccurrence": doc_cooccurrence,
+    "cooccur_triangles": cooccur_triangles,
+    "cooccur_clustering": cooccur_clustering,
+    "page_community_terms": page_community_terms,
+    # --- manifest readers ---
+    "page_manifest": page_manifest,
+    "ext_packages": ext_packages,
+    # --- pareto ---
+    "nation_revenue_pareto": nation_revenue_pareto,
+    # ------- end of the driver's 50-entry window (exactly 50 above) -------
+    # driver-green in r01-r03 (see CORRECTNESS_r0*.json), oracle sweep
+    # re-proves them every session:
     "kg_doc_nodes": kg_doc_nodes,
     "kg_typed_nodes": kg_typed_nodes,
     "kg_edge_violations": kg_edge_violations,
-    "kg_fixture_pr": kg_fixture_pr,
     "kg_mined_aliases": kg_mined_aliases,
     "kg_negative_samples": kg_negative_samples,
     "kg_entity_timeline": kg_entity_timeline,
     "kg_live_nodes": kg_live_nodes,
     "kg_dead_nodes": kg_dead_nodes,
     "kg_entity_salience": kg_entity_salience,
-    # --- page / link graph ---
     "page_extract_text": page_extract_text,
     "page_hosts": page_hosts,
     "page_structure": page_structure,
@@ -6298,18 +6362,15 @@ QUERIES = {
     "page_cocitation": page_cocitation,
     "page_neighbor_agg": page_neighbor_agg,
     "page_sssp": page_sssp,
-    # --- NULL-bearing outputs (round-2 hash-canonicalization fixes) ---
     "orders_rollup": orders_rollup,
     "orders_cube": orders_cube,
     "events_customer_outer": events_customer_outer,
-    # --- distributed joins ---
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_nation_revenue": q5_nation_revenue,
     "q10_returned_items": q10_returned_items,
     "q12_priority_by_returnflag": q12_priority_by_returnflag,
     "q18_large_volume_customers": q18_large_volume_customers,
     "customer_name_ed1": customer_name_ed1,
-    # --- dedup family ---
     "corpus_bpe_merges": corpus_bpe_merges,
     "doc_minhash_pairs": doc_minhash_pairs,
     "page_communities": page_communities,
@@ -6323,29 +6384,12 @@ QUERIES = {
     "doc_dup_spans_apply": doc_dup_spans_apply,
     "doc_source_mix": doc_source_mix,
     "doc_dsir_scores": doc_dsir_scores,
-    # --- redesigned / never-driver-checked round-3 operators ---
     "events_attribution": events_attribution,
     "events_transitions": events_transitions,
     "doc_bm25_topk": doc_bm25_topk,
-    # ------- end of the driver's 50-entry window (exactly 50 above) -------
     "doc_minhash_sig": doc_minhash_sig,
     "doc_simhash": doc_simhash,
-    "doc_jaccard_pairs": doc_jaccard_pairs,
     "knn_brute": knn_brute,
-    "page_community_terms": page_community_terms,
-    "doc_para_dedup_apply": doc_para_dedup_apply,
-    "corpus_bpe_tokenize": corpus_bpe_tokenize,
-    "customer_record_linkage": customer_record_linkage,
-    "cooccur_clustering": cooccur_clustering,
-    "doc_minhash_dedup_apply": doc_minhash_dedup_apply,
-    "lineitem_unpivot": lineitem_unpivot,
-    "corpus_bpe_fertility": corpus_bpe_fertility,
-    "knn_hard_negatives": knn_hard_negatives,
-    "events_decayed_score": events_decayed_score,
-    "source_trigram_diversity": source_trigram_diversity,
-    "doc_pack_bpe": doc_pack_bpe,
-    # r02-green, unchanged since: checked by the own oracle sweep instead
-    "doc_shuffle_rank": doc_shuffle_rank,
     "events_sessions": events_sessions,
     "page_bfs_hops": page_bfs_hops,
     "doc_dup_spans": doc_dup_spans,
@@ -6393,57 +6437,23 @@ QUERIES = {
     "corpus_top_terms": corpus_top_terms,
     "doc_lang_counts": doc_lang_counts,
     "doc_top_by_lang": doc_top_by_lang,
-    "doc_global_rank": doc_global_rank,
-    "doc_components": doc_components,
-    "doc_cooccurrence": doc_cooccurrence,
-    "events_user_hll": events_user_hll,
-    "events_user_cms": events_user_cms,
-    "cooccur_triangles": cooccur_triangles,
-    "page_manifest": page_manifest,
     "page_deps": page_deps,
-    "ext_packages": ext_packages,
     "doc_split": doc_split,
-    "doc_sample_stratified": doc_sample_stratified,
     "doc_sample_weighted": doc_sample_weighted,
-    "doc_split_leaks": doc_split_leaks,
-    "doc_tfidf_topk": doc_tfidf_topk,
-    "doc_inverted_index": doc_inverted_index,
-    "events_session_assign": events_session_assign,
-    "doc_kmeans": doc_kmeans,
     "doc_lang_pred": doc_lang_pred,
-    "events_debounce": events_debounce,
-    "doc_pack_sequences": doc_pack_sequences,
     "doc_chunks": doc_chunks,
     "events_user_history": events_user_history,
-    "events_heavy_users": events_heavy_users,
-    "events_scd2": events_scd2,
-    "events_hourly_top_types": events_hourly_top_types,
-    "events_cohort_retention": events_cohort_retention,
-    "orders_trimmed_mean": orders_trimmed_mean,
-    "doc_split_by_source": doc_split_by_source,
-    "doc_mad_outliers": doc_mad_outliers,
-    "events_value_quantiles": events_value_quantiles,
     "corpus_bigrams": corpus_bigrams,
     "events_value_quantiles_by_type": events_value_quantiles_by_type,
-    "doc_percent_rank": doc_percent_rank,
-    "events_rate_spikes": events_rate_spikes,
-    "doc_lang_confusion": doc_lang_confusion,
-    "events_funnel_strict": events_funnel_strict,
-    "events_bounce_rate": events_bounce_rate,
-    "customer_k_anonymity": customer_k_anonymity,
-    "events_dow_hour_heatmap": events_dow_hour_heatmap,
-    "nation_revenue_pareto": nation_revenue_pareto,
-    "corpus_vocab_growth": corpus_vocab_growth,
     # rows-only (no SQL-expressible oracle; semantics pinned in tests/)
+    # and production (siphash) hash twins — md5 twins above carry the
+    # bit-exact oracles; pytest pins cross-family structural parity
     "doc_embeddings": doc_embeddings,
-    "doc_embedding_vectors": doc_embedding_vectors,
     "embedding_dup_pairs": embedding_dup_pairs,
     "knn_lsh_recall": knn_lsh_recall,
     "knn_ivf_recall": knn_ivf_recall,
     "media_features": media_features,
     "doc_compression": doc_compression,
-    # production (siphash) hash family — md5 twins above carry the
-    # bit-exact oracles; pytest pins cross-family structural parity
     "doc_minhash_pairs_fast": doc_minhash_pairs_fast,
     "doc_simhash_pairs_fast": doc_simhash_pairs_fast,
     "doc_dup_spans_fast": doc_dup_spans_fast,

@@ -1206,12 +1206,13 @@ def semantic_dedup(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | None = 8,
     iters: int = 2,
     scale: int = 1000,
     threshold_num: int = 9,
     threshold_den: int = 10,
     max_group: int = 4096,
+    target_cluster_size: int = 1024,
 ) -> Dataset:
     """SemDeDup-style semantic dedup: k-means bucketing, then exact
     within-cluster cosine; a row is dropped when a LOWER-id row in the
@@ -1233,8 +1234,21 @@ def semantic_dedup(
     LSH band cap). Reference analog: semantic grouping is absent from the
     reference (exact MERGE only); this is the embedding-space member of
     the near-dup family (SemDeDup, Abbas et al. 2023, arXiv:2303.09540).
+
+    **k-sizing rule**: the within-cluster pairwise stage is O(cluster²),
+    so k must GROW with the corpus — pass ``k=None`` and k is derived as
+    ``ceil(n / target_cluster_size)`` from one streaming count (the
+    SemDeDup paper's n/expected-cluster-size sizing; at 10^10 docs and
+    target 1024 that is ~10^7 clusters, all distributed state). The
+    default k=8 is a FIXTURE-SCALE setting (540 vectors → ~64/cluster)
+    and must not ship to a 100 TB run; ``keep``/``truncated`` flags are
+    exact at any k, only the recall/cost trade moves.
     """
     from code_graph_rag_ray.stages.clustering import _quantize, kmeans_train
+
+    if k is None:
+        n = ds.count()
+        k = max(1, -(-n // target_cluster_size))
 
     cent_ids, cent = kmeans_train(
         ds, k=k, iters=iters, scale=scale, id_col=id_col, vec_col=vec_col

@@ -436,6 +436,23 @@ def test_semantic_dedup_exists_semantics_not_greedy():
     assert keep == {0: True, 1: False, 2: False}
 
 
+def test_semantic_dedup_k_sizing_rule_and_second_k():
+    """k=None derives k = ceil(n / target_cluster_size) (the documented
+    100 TB sizing rule); exact duplicates dedup at ANY k because identical
+    vectors always share a cluster, and every row appears exactly once."""
+    from code_graph_rag_ray.stages.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(12, 8))
+    rows = [(i, base[i]) for i in range(12)]
+    rows.append((20, base[5]))  # exact duplicate of vec 5
+    for kwargs in ({"k": None, "target_cluster_size": 4}, {"k": 5}):
+        out = semantic_dedup(_vecs(rows), iters=1, **kwargs).to_pandas()
+        assert sorted(out.vec_id) == sorted(r[0] for r in rows)
+        keep = dict(zip(out.vec_id, out.keep))
+        assert keep[5] and not keep[20], kwargs
+
+
 def test_dup_span_apply_keep_one_semantics():
     from code_graph_rag_ray.stages.dedup import dup_span_apply
 
