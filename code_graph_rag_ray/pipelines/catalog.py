@@ -4697,6 +4697,37 @@ FROM grid g JOIN norm n USING (doc_id)
 """
 
 
+def doc_spectral_embeddings(sf_dir: str):
+    """LEARNED document embeddings, trained and served entirely in-engine
+    (stages/spectral.py): spectral factorization of the corpus PPMI
+    co-occurrence matrix (Levy & Goldberg 2014) via distributed
+    exact-integer subspace iteration, then an actor-pool inference stage
+    (T5 — a model path that genuinely EXECUTES in this container, unlike
+    the import-gated SentenceModelEmbedder). Rows-only: the driver-side QR
+    has no SQL closed form; determinism and topic structure are pinned in
+    tests/test_spectral.py. Long-form (doc_id, i, v) output."""
+    from code_graph_rag_ray.stages.spectral import spectral_doc_embeddings
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    dim = 16
+    emb = spectral_doc_embeddings(ds, vocab_size=256, dim=dim,
+                                  concurrency=2)
+
+    def explode(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, dim)),
+            "i": pa.array(np.tile(np.arange(dim, dtype=np.int64), n)),
+            "v": col.flatten(),
+        })
+
+    return emb.map_batches(explode, batch_format="pyarrow")
+
+
 def doc_lang_pred(sf_dir: str):
     """Heuristic language-ID over documents (actor-pool stage). Bit-exact
     DuckDB oracle: the marker-word argmax (CJK char-range → zh; else
@@ -6449,6 +6480,7 @@ QUERIES = {
     # and production (siphash) hash twins — md5 twins above carry the
     # bit-exact oracles; pytest pins cross-family structural parity
     "doc_embeddings": doc_embeddings,
+    "doc_spectral_embeddings": doc_spectral_embeddings,
     "embedding_dup_pairs": embedding_dup_pairs,
     "knn_lsh_recall": knn_lsh_recall,
     "knn_ivf_recall": knn_ivf_recall,
