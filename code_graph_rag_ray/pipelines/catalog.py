@@ -5145,7 +5145,11 @@ def kg_fixture_pr(sf_dir: str):
 
     del sf_dir  # fixture corpus is seeded, independent of sf
     fx = generate_pages(300, 42)
-    kg = build_kg(rd.from_arrow(fx.pages), fx.alias_dict, build_nodes=False)
+    # host_priors: the fixture plants mentions resolvable only via the
+    # corpus-mined host-prior tier (J3 cross-page context), so the exact
+    # gate requires the two-pass pipeline
+    kg = build_kg(rd.from_arrow(fx.pages), fx.alias_dict, build_nodes=False,
+                  host_priors=True)
     edges = kg["edges"].to_pandas()
     pred = set(map(tuple, edges[["subj", "pred", "obj", "provenance_url"]].itertuples(index=False)))
     gold = {(r["subj"], r["pred"], r["obj"], r["url"]) for r in fx.expected_triples.to_pylist()}
@@ -5158,6 +5162,49 @@ def kg_fixture_pr(sf_dir: str):
 KG_FIXTURE_PR_SQL = (
     "SELECT CAST(1.0 AS DOUBLE) AS precision, CAST(1.0 AS DOUBLE) AS recall"
 )
+
+
+def kg_host_prior_gain(sf_dir: str):
+    """J3 cross-page context as a measurable gate: run the KG pipeline
+    WITHOUT and WITH the corpus-mined host-prior tier on the seeded
+    fixture and report whether each meets the exact-resolution bar. The
+    fixture plants mentions resolvable only with host-scoped corpus
+    evidence (``sources/pages.py`` host-prior plants), so the single-pass
+    run must FAIL the bar and the two-pass run must meet it — pinning that
+    the tier has real, measurable resolution gain (the analog of the
+    reference's cross-file type-inference lift, ``parsers/
+    type_inference.py`` feeding ``call_resolver.py``)."""
+    import ray.data as rd
+
+    from code_graph_rag_ray.functions.scoring import score_sets
+    from code_graph_rag_ray.pipelines.kg import build_kg
+    from code_graph_rag_ray.sources.pages import generate_pages
+
+    del sf_dir
+    fx = generate_pages(300, 42)
+    gold = {(r["subj"], r["pred"], r["obj"], r["url"])
+            for r in fx.expected_triples.to_pylist()}
+
+    def exact(host_priors: bool) -> int:
+        kg = build_kg(rd.from_arrow(fx.pages), fx.alias_dict,
+                      build_nodes=False, host_priors=host_priors)
+        edges = kg["edges"].to_pandas()
+        pred = set(map(tuple, edges[
+            ["subj", "pred", "obj", "provenance_url"]].itertuples(index=False)))
+        s = score_sets(pred, gold)
+        return int(s.precision == 1.0 and s.recall == 1.0)
+
+    return pd.DataFrame(
+        [{"single_pass_exact": exact(False), "two_pass_exact": exact(True),
+          "n_plants": fx.host_prior_plants.num_rows}]
+    )
+
+
+KG_HOST_PRIOR_GAIN_SQL = """
+SELECT CAST(0 AS BIGINT) AS single_pass_exact,
+       CAST(1 AS BIGINT) AS two_pass_exact,
+       CAST(4 AS BIGINT) AS n_plants
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -6306,6 +6353,7 @@ QUERIES = {
     # --- anchors (kept from every round's window) ---
     "kg_doc_triples": kg_doc_triples,
     "kg_fixture_pr": kg_fixture_pr,
+    "kg_host_prior_gain": kg_host_prior_gain,
     # --- windows / sessions / streaming-shaped (first driver check) ---
     "events_session_assign": events_session_assign,
     "events_scd2": events_scd2,
@@ -6686,4 +6734,5 @@ ORACLES = {
     "events_attribution": EVENTS_ATTRIBUTION_SQL,
     "events_session_assign": EVENTS_SESSION_ASSIGN_SQL,
     "kg_fixture_pr": KG_FIXTURE_PR_SQL,
+    "kg_host_prior_gain": KG_HOST_PRIOR_GAIN_SQL,
 }

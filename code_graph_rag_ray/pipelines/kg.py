@@ -63,6 +63,8 @@ def build_kg(
     materialize_mentions: bool = True,
     build_nodes: bool = True,
     build_links: bool = False,
+    host_priors: bool = False,
+    host_prior_min_count: int = 2,
 ) -> dict:
     """Run the full KG construction over a pages Dataset.
 
@@ -88,6 +90,17 @@ def build_kg(
 
     def build_mentions() -> Dataset:
         text = pages.map_batches(extract_text_batch, batch_format="pyarrow")
+        if host_priors:
+            # two-pass linking with the corpus-mined host-prior side table
+            # (J3 cross-page context) — opt-in: it scans the corpus twice,
+            # like the reference's registry-then-resolve two-phase ingest
+            from code_graph_rag_ray.stages.linking import link_mentions_two_pass
+
+            return link_mentions_two_pass(
+                text, alias_ref, relations=relations, registry=registry,
+                concurrency=linker_concurrency,
+                min_count=host_prior_min_count,
+            )
         return link_mentions(
             text, alias_ref, relations=relations, registry=registry,
             concurrency=linker_concurrency,

@@ -103,6 +103,13 @@ class PagesFixture:
     expected_triples: pa.Table
     alias_dict: pa.Table
     expected_links: pa.Table
+    #: planted host-prior pages (J3 cross-page context): (url, surface,
+    #: kind, entity_id) — ``kind`` ∈ {known, unknown}. These mentions are
+    #: resolvable ONLY with the corpus-mined host-prior side table
+    #: (``stages/linking.py mine_host_priors``): single-pass linking
+    #: resolves them to the global-prior argmax / an ``ext::`` mint and
+    #: loses the gold triple.
+    host_prior_plants: pa.Table | None = None
 
 
 def _build_entities(n_entities: int, rng: np.random.Generator):
@@ -202,7 +209,22 @@ def _pick_alias(
 def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
     rng = np.random.default_rng(seed)
     n_entities = max(12, n_pages // 8)
-    entities, _alias_map, alias_tbl = _build_entities(n_entities, rng)
+    entities, alias_map, alias_tbl = _build_entities(n_entities, rng)
+
+    # host-prior evidence mirror (J3): counts of CONFIDENT resolutions per
+    # (host, surface) — exactly the rows ``mine_host_priors`` counts from
+    # the linker's pass-1 output. Ambiguous full names (the planted
+    # collision) are excluded: they resolve via unique/prior, and unique-
+    # tier evidence can only ever point at the global argmax (E1 is never
+    # planted), so the mined winner for them equals the prior fallback —
+    # recording them here would add nothing and require mirroring ``seen``.
+    host_ev: dict[tuple[str, str], dict[str, int]] = {}
+
+    def record_conf(host: str, alias: str, ent: dict) -> None:
+        if alias == ent["name"] and len(alias_map[alias]) != 1:
+            return
+        d = host_ev.setdefault((host, alias), {})
+        d[ent["entity_id"]] = d.get(ent["entity_id"], 0) + 1
 
     urls: list[str] = []
     warc_ts: list[int] = []
@@ -318,6 +340,7 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
                             {"url": url, "surface": s_alias, "start": start,
                              "end": start + len(s_alias), "type": "ENTITY"}
                         )
+                        record_conf(host, s_alias, subj)
                     for w in rel_surface.split(" "):
                         emit(w)
                     if obj_external:
@@ -332,6 +355,8 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
                          "end": start + len(o_alias),
                          "type": "EXTERNAL" if obj_external else "ENTITY"}
                     )
+                    if not obj_external:
+                        record_conf(host, o_alias, obj)
                     emit(".")
                     if not obj_external and not builtin_subj:
                         triple_rows.append(
@@ -362,12 +387,152 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
         htmls.append(html.encode())
         exp_text_rows.append({"url": url, "text": page_text})
 
+    # --- host-prior plant pages (J3 cross-page context) -------------------
+    # Replay the engine's mining rule (``mine_host_priors``: winner needs
+    # ≥2 confident sightings AND a strict margin over the runner-up) over
+    # the recorded evidence, then append one page per selected (host,
+    # surface): a fact sentence whose SUBJECT has no page-local antecedent,
+    # so only the host-prior tier resolves it to the mined winner.
+    # Known-surface plants pick pairs whose mined winner differs from the
+    # global dictionary argmax (else the prior fallback would accidentally
+    # be right); unknown-surface plants (adjectives/acronyms absent from
+    # the dictionary) would mint ``ext::`` without the tier. Single-pass
+    # linking therefore CANNOT reach recall 1.0 on this fixture.
+    mined: dict[tuple[str, str], str] = {}
+    for key in sorted(host_ev):
+        ranked = sorted(host_ev[key].items(), key=lambda kv: (-kv[1], kv[0]))
+        if ranked[0][1] >= 2 and (len(ranked) == 1 or ranked[0][1] > ranked[1][1]):
+            mined[key] = ranked[0][0]
+    # global argmax by (-prior, entity_id) — mirrors build_alias_index order
+    best: dict[str, tuple[float, str]] = {}
+    for r in alias_tbl.to_pylist():
+        cand = (-r["prior"], r["entity_id"])
+        if r["alias"] not in best or cand < best[r["alias"]]:
+            best[r["alias"]] = cand
+    global_argmax = {a: e for a, (_, e) in best.items()}
+
+    known_sel = [
+        (h, s) for (h, s) in sorted(mined)
+        if s in alias_map and len(alias_map[s]) > 1
+        and mined[(h, s)] != global_argmax[s]
+    ][:3]
+    unknown_sel = [(h, s) for (h, s) in sorted(mined) if s not in alias_map][:3]
+
+    plant_rows: list[dict] = []
+    obj_ent = entities[2] if n_entities > 2 else entities[0]
+
+    # Forced known-surface plant: organic evidence may not yield a known
+    # candidate at every (n_pages, seed) — e.g. (300, 42) mines only
+    # unknown surfaces — so guarantee ≥1 dictionary-ambiguity plant by
+    # CONSTRUCTING the evidence: pick an ambiguous noun N and its SECOND
+    # candidate X (≠ global argmax), then append two evidence pages that
+    # legitimately resolve N→X via the recency tier (full mention, then
+    # bare noun — single-pass-resolvable, ordinary gold) on a host where
+    # the added sightings win the mined margin. The plant page then uses
+    # bare N with no antecedent: only the host-prior tier recovers X.
+    def _forced_known() -> tuple[str, str, str] | None:
+        taken = {(h, s) for h, s in known_sel}
+        for noun in sorted(a for a in alias_map if len(alias_map[a]) > 1
+                           and " " not in a):
+            cands = sorted(alias_map[noun])  # id asc == linker prior order
+            if len(cands) < 2:
+                continue
+            x_eid = cands[1][0]
+            x_ent = next(e for e in entities if e["entity_id"] == x_eid)
+            if len(alias_map[x_ent["name"]]) != 1:
+                continue  # collision twin — exact evidence unavailable
+            for h in sorted((HEAD_HOST,) + TAIL_HOSTS):
+                if (h, noun) in mined or (h, noun) in taken:
+                    continue
+                organic = host_ev.get((h, noun), {})
+                cx = organic.get(x_eid, 0) + 2
+                others = max((c for e, c in organic.items() if e != x_eid),
+                             default=0)
+                if cx > others:
+                    return h, noun, x_eid
+        return None
+
+    forced = _forced_known()
+    if forced is not None:
+        f_host, f_noun, f_eid = forced
+        f_ent = next(e for e in entities if e["entity_id"] == f_eid)
+        ev_obj = next(
+            e for e in entities[2:]
+            if len(alias_map[e["name"]]) == 1
+            and e["name"].rsplit(" ", 1)[1] != f_noun
+            and e["entity_id"] != f_eid
+        )
+        for _ev in range(2):
+            i = len(urls)
+            e_url = f"https://{f_host}/page/{i:06d}"
+            e_title = f"Report {i:06d} from {f_host}"
+            toks = [f_ent["name"], "founded", ev_obj["name"], ".",
+                    f_noun, "acquired", ev_obj["name"], "."]
+            sent = " ".join(toks)
+            urls.append(e_url)
+            warc_ts.append(base_ts + i * 1_000_000)
+            langs.append("en")
+            htmls.append((
+                "<html><head><title>" + e_title + "</title></head><body><p>"
+                + sent + "</p></body></html>").encode())
+            exp_text_rows.append({"url": e_url, "text": e_title + "\n" + sent})
+            pos = len(e_title) + 1
+            for tok, ment in (
+                (f_ent["name"], f_eid), ("founded", None),
+                (ev_obj["name"], ev_obj["entity_id"]), (".", None),
+                (f_noun, f_eid), ("acquired", None),
+                (ev_obj["name"], ev_obj["entity_id"]), (".", None),
+            ):
+                if ment is not None:
+                    mention_rows.append(
+                        {"url": e_url, "surface": tok, "start": pos,
+                         "end": pos + len(tok), "type": "ENTITY"})
+                pos += len(tok) + 1
+            triple_rows.append(
+                {"subj": f_eid, "pred": RELATIONS["founded"],
+                 "obj": ev_obj["entity_id"], "url": e_url})
+            triple_rows.append(
+                {"subj": f_eid, "pred": RELATIONS["acquired"],
+                 "obj": ev_obj["entity_id"], "url": e_url})
+        mined[(f_host, f_noun)] = f_eid
+        known_sel.append((f_host, f_noun))
+
+    for kind, sel in (("known", known_sel), ("unknown", unknown_sel)):
+        for p_host, p_surface in sel:
+            i = len(urls)
+            p_url = f"https://{p_host}/page/{i:06d}"
+            p_title = f"Report {i:06d} from {p_host}"
+            rel_surface = "acquired"
+            sent = f"{p_surface} {rel_surface} {obj_ent['name']} ."
+            urls.append(p_url)
+            warc_ts.append(base_ts + i * 1_000_000)
+            langs.append("en")
+            htmls.append((
+                "<html><head><title>" + p_title + "</title></head><body><p>"
+                + sent + "</p></body></html>").encode())
+            exp_text_rows.append({"url": p_url, "text": p_title + "\n" + sent})
+            s_start = len(p_title) + 1
+            o_start = s_start + len(p_surface) + 1 + len(rel_surface) + 1
+            mention_rows.append(
+                {"url": p_url, "surface": p_surface, "start": s_start,
+                 "end": s_start + len(p_surface), "type": "ENTITY"})
+            mention_rows.append(
+                {"url": p_url, "surface": obj_ent["name"], "start": o_start,
+                 "end": o_start + len(obj_ent["name"]), "type": "ENTITY"})
+            triple_rows.append(
+                {"subj": mined[(p_host, p_surface)],
+                 "pred": RELATIONS[rel_surface],
+                 "obj": obj_ent["entity_id"], "url": p_url})
+            plant_rows.append(
+                {"url": p_url, "surface": p_surface, "kind": kind,
+                 "entity_id": mined[(p_host, p_surface)]})
+
     pages = pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(warc_ts, pa.timestamp("us")),
             "html": pa.array(htmls, pa.binary()),
-            "text": pa.array([""] * n_pages, pa.string()),
+            "text": pa.array([""] * len(urls), pa.string()),
             "lang": pa.array(langs, pa.string()),
         }
     )
@@ -408,9 +573,14 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
         schema=pa.schema([("url", pa.string()), ("target", pa.string()),
                           ("anchor", pa.string())]),
     )
+    host_prior_plants = pa.Table.from_pylist(
+        plant_rows,
+        schema=pa.schema([("url", pa.string()), ("surface", pa.string()),
+                          ("kind", pa.string()), ("entity_id", pa.string())]),
+    )
     return PagesFixture(
         pages, expected_text, expected_mentions, expected_triples, alias_tbl,
-        expected_links,
+        expected_links, host_prior_plants,
     )
 
 

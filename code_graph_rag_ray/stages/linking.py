@@ -33,6 +33,15 @@ exact qn → receiver-type chain → suffix fallback; registry
   a relation pattern mint ``ext::<normalized>`` External entities (cgr's
   deferred-import rule: unknown target ⇒ ExternalModule node,
   ``import_processor.py:861-983``),
+- the **host-prior tier** (cross-page J3 context — the web analog of the
+  reference's cross-file receiver-type propagation,
+  ``parsers/type_inference.py`` feeding ``call_resolver.py``): a first
+  corpus pass mines host-scoped mention→entity frequencies from the
+  CONFIDENT cascade tiers (:func:`mine_host_priors`), and a second pass
+  consults that side table — after every page-local signal, before the
+  global-prior fallback (known aliases) / External minting (unknown runs).
+  Page-local evidence always outranks corpus evidence, mirroring the
+  reference's local-scope-first resolution order,
 - **triple pairing** happens in the same pass: consecutive mentions whose
   gap text strips to a known relation surface form a triple, attached to
   the subject mention row (``rel``/``obj_*`` columns) so downstream stages
@@ -40,7 +49,8 @@ exact qn → receiver-type chain → suffix fallback; registry
 
 Output schema (one row per detected mention):
     url, start, end, surface, entity_id, method, rel, obj_entity_id, lang
-``method`` ∈ {exact, recency, unique, context, acronym, prior, external}.
+``method`` ∈ {exact, recency, unique, context, acronym, host_prior, prior,
+external}.
 """
 
 from __future__ import annotations
@@ -156,11 +166,27 @@ class MentionLinker:
         alias_ref,
         relations: dict[str, str] | None = None,
         registry: dict[str, ExtractorSpec] | None = None,
+        host_prior_ref=None,
     ):
         import ray
 
         alias_tbl = ray.get(alias_ref) if isinstance(alias_ref, ray.ObjectRef) else alias_ref
         self.index = build_alias_index(alias_tbl)
+        # host-prior side table (second broadcast, J3 cross-page context):
+        # (host, surface) → entity_id. None/empty disables the tier.
+        hp_tbl = (
+            ray.get(host_prior_ref)
+            if host_prior_ref is not None and isinstance(host_prior_ref, ray.ObjectRef)
+            else host_prior_ref
+        )
+        self.host_prior: dict[tuple[str, str], str] = {}
+        if hp_tbl is not None and hp_tbl.num_rows:
+            for h, s, e in zip(
+                hp_tbl["host"].to_pylist(),
+                hp_tbl["surface"].to_pylist(),
+                hp_tbl["entity_id"].to_pylist(),
+            ):
+                self.host_prior[(h, s)] = e
         # longest alias first → leftmost-longest match in Python's re
         alts = sorted(self.index, key=len, reverse=True)
         self.alias_re = (
@@ -207,6 +233,13 @@ class MentionLinker:
         recent_prefix: dict[str, str] = {}  # first token  -> entity_id
         recent_acr: dict[str, str] = {}     # initials     -> entity_id
         seen: set[str] = set()              # entity ids resolved on this page
+        host_prior = self.host_prior
+        host = ""
+        if host_prior:
+            # scheme://host/... → host (cheap string ops, once per page)
+            i0 = url.find("://")
+            rest = url[i0 + 3 :] if i0 >= 0 else url
+            host = rest.split("/", 1)[0]
         n = len(spans)
         eids: list[str] = [""] * n
         methods: list[str] = [""] * n
@@ -235,6 +268,15 @@ class MentionLinker:
                         if eid is not None:
                             eids[i] = eid
                             methods[i] = "acronym"
+                if eid is None and host_prior:
+                    # host-prior tier (J3 cross-page context): the corpus-
+                    # mined host-scoped expansion of this surface — consulted
+                    # only after every page-local antecedent missed, before
+                    # External minting
+                    eid = host_prior.get((host, surface))
+                    if eid is not None:
+                        eids[i] = eid
+                        methods[i] = "host_prior"
                 if eid is None:
                     eids[i] = "ext::" + normalize_surface(surface)
                     methods[i] = "external"
@@ -260,7 +302,15 @@ class MentionLinker:
                 if hit is not None:
                     eid, method = hit, "unique"
                 else:
-                    eid, method = cands[0][0], "prior"
+                    # host-prior tier for KNOWN ambiguous aliases: the
+                    # corpus-mined host-scoped winner outranks the global
+                    # dictionary prior, but only if it is actually a
+                    # candidate of this alias (the dictionary constrains)
+                    hp = host_prior.get((host, surface)) if host_prior else None
+                    if hp is not None and any(c == hp for c, _ in cands):
+                        eid, method = hp, "host_prior"
+                    else:
+                        eid, method = cands[0][0], "prior"
             if " " in surface:
                 recent_full[surface.rsplit(" ", 1)[1]] = eid
                 recent_prefix[surface.split(" ", 1)[0]] = eid
@@ -359,22 +409,24 @@ def _cached_linker(
     alias_ref,
     relations: dict[str, str] | None,
     registry: dict[str, ExtractorSpec] | None = None,
+    host_prior_ref=None,
 ) -> MentionLinker:
     import ray
 
-    key_ref = (
-        alias_ref.hex()
-        if isinstance(alias_ref, ray.ObjectRef)
-        else _table_content_key(alias_ref)
-    )
+    def _ref_key(ref):
+        if ref is None:
+            return None
+        return ref.hex() if isinstance(ref, ray.ObjectRef) else _table_content_key(ref)
+
     key = (
-        key_ref,
+        _ref_key(alias_ref),
         None if relations is None else tuple(sorted(relations.items())),
         _registry_key(registry),
+        _ref_key(host_prior_ref),
     )
     linker = _LINKER_CACHE.get(key)
     if linker is None:
-        linker = MentionLinker(alias_ref, relations, registry)
+        linker = MentionLinker(alias_ref, relations, registry, host_prior_ref)
         _LINKER_CACHE[key] = linker
     return linker
 
@@ -387,6 +439,7 @@ def link_mentions(
     registry: dict[str, ExtractorSpec] | None = None,
     concurrency: int | None = None,
     batch_size: int | None = None,
+    host_prior_ref=None,
 ):
     """Wire the linking stage: pages-with-text Dataset → mentions Dataset.
 
@@ -406,7 +459,7 @@ def link_mentions(
     if concurrency is not None:
         return pages_text_ds.map_batches(
             MentionLinker,
-            fn_constructor_args=(alias_ref, relations, registry),
+            fn_constructor_args=(alias_ref, relations, registry, host_prior_ref),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
@@ -414,7 +467,7 @@ def link_mentions(
         )
 
     def link(batch: pa.Table) -> pa.Table:
-        return _cached_linker(alias_ref, relations, registry)(batch)
+        return _cached_linker(alias_ref, relations, registry, host_prior_ref)(batch)
 
     return pages_text_ds.map_batches(link, batch_format="pyarrow", batch_size=batch_size)
 
@@ -462,3 +515,193 @@ def link_mentions_two_tier(
         concurrency=precise_concurrency,
     )
     return cheap.union(precise)
+
+
+# ---------------------------------------------------------------------------
+# host-prior mining (J3 cross-page context, pass 1 → side table)
+# ---------------------------------------------------------------------------
+
+#: cascade methods whose resolutions count as corpus evidence. ``prior`` is
+#: deliberately excluded (it is the fallback the mined table improves on —
+#: counting it would launder the global prior into the host prior), and so
+#: are ``external``/``host_prior`` (no entity grounding / pass-2-only).
+CONFIDENT_METHODS = ("exact", "recency", "unique", "context", "acronym")
+
+HOST_PRIOR_SCHEMA = pa.schema(
+    [("host", pa.string()), ("surface", pa.string()),
+     ("entity_id", pa.string()), ("n", pa.int64())]
+)
+
+
+def mine_host_priors(
+    mentions,
+    *,
+    min_count: int = 2,
+    num_buckets: int = 64,
+):
+    """Mine host-scoped alias priors from a pass-1 mentions Dataset.
+
+    The J3 cross-page context feature (receiver-type-propagation analog,
+    ``parsers/type_inference.py``): for every (host, surface) pair, count
+    how CONFIDENT cascade tiers resolved that surface across the host's
+    pages, and keep the winner iff it has ``min_count`` sightings AND a
+    strict margin over the runner-up (no-margin pairs stay unmined — an
+    ambiguous host signal must not override the global prior).
+
+    Scale shape: batch-local Arrow combiner (one row per (host, surface,
+    entity) per block) → two-phase grouped sum → ONE hash-bucket cogroup
+    over the count table for the vectorized winner/margin scan. Output is
+    bounded by hosts × confidently-seen surfaces — dictionary-scale per
+    host; at 100 TB cap delivery with the broadcast budget (see
+    :func:`link_mentions_two_pass`).
+
+    Returns a Dataset with schema ``HOST_PRIOR_SCHEMA``.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from code_graph_rag_ray.functions.hashing import partition_ids
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+
+    methods = pa.array(CONFIDENT_METHODS, pa.string())
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_in(b["method"], value_set=methods))
+        if f.num_rows == 0:
+            return pa.table(
+                {"host": pa.array([], pa.string()),
+                 "surface": pa.array([], pa.string()),
+                 "entity_id": pa.array([], pa.string()),
+                 "one": pa.array([], pa.int64())}
+            )
+        # scheme://host/... → host, vectorized
+        host = pc.replace_substring_regex(
+            f["url"], pattern=r"^[a-z0-9+.-]+://([^/]*).*$", replacement=r"\1"
+        )
+        t = pa.table(
+            {"host": host, "surface": f["surface"],
+             "entity_id": f["entity_id"],
+             "one": pa.array(np.ones(f.num_rows, np.int64))}
+        )
+        g = pa.TableGroupBy(t, ["host", "surface", "entity_id"],
+                            use_threads=False).aggregate([("one", "sum")])
+        return pa.table(
+            {"host": g["host"], "surface": g["surface"],
+             "entity_id": g["entity_id"],
+             "one": pc.cast(g["one_sum"], pa.int64())}
+        )
+
+    counts = partial_groupby_sum(
+        mentions.map_batches(partial, batch_format="pyarrow"),
+        ["host", "surface", "entity_id"], {"one": "n"},
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        g = pc.binary_join_element_wise(b["host"], b["surface"], "|")
+        return b.append_column(
+            "__bk", pa.array(partition_ids(g, num_buckets), pa.int32())
+        )
+
+    def winners(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return HOST_PRIOR_SCHEMA.empty_table()
+        t = g.take(pc.sort_indices(
+            g, sort_keys=[("host", "ascending"), ("surface", "ascending"),
+                          ("n", "descending"), ("entity_id", "ascending")]
+        ))
+        h = np.asarray(t["host"].to_pandas(), dtype=object)
+        s = np.asarray(t["surface"].to_pandas(), dtype=object)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(h), bool)
+        first[1:] = (h[1:] != h[:-1]) | (s[1:] != s[:-1])
+        idx = np.flatnonzero(first)
+        # strict margin: winner count > runner-up count (single-candidate
+        # groups have no runner-up → margin holds by definition)
+        nxt = np.r_[idx[1:], len(h)]
+        has_runner = (nxt - idx) > 1
+        runner_n = np.where(has_runner, n[np.minimum(idx + 1, len(n) - 1)], -1)
+        keep = (n[idx] >= min_count) & (n[idx] > runner_n)
+        sel = idx[keep]
+        out = t.take(pa.array(sel, pa.int64()))
+        return pa.table(
+            {"host": out["host"], "surface": out["surface"],
+             "entity_id": out["entity_id"], "n": out["n"]},
+            schema=HOST_PRIOR_SCHEMA,
+        )
+
+    return (
+        counts.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bk")
+        .map_groups(lambda g: winners(g.drop_columns("__bk")),
+                    batch_format="pyarrow")
+    )
+
+
+def link_mentions_two_pass(
+    pages_text_ds,
+    alias_ref,
+    *,
+    relations: dict[str, str] | None = None,
+    registry: dict[str, ExtractorSpec] | None = None,
+    concurrency: int | None = None,
+    min_count: int = 2,
+    max_prior_rows: int = 1_000_000,
+):
+    """Two-pass linking with corpus-mined host priors (J3 cross-page
+    context). Pass 1 links with page-local context only; the confident
+    resolutions are mined into a (host, surface) → entity side table; pass
+    2 re-links with that table as a SECOND broadcast consulted after every
+    page-local signal.
+
+    Delivery is a driver-side table → ``ray.put`` broadcast, so its size
+    must stay within the broadcast budget: the table is bounded by hosts ×
+    confidently-evidenced surfaces, and ``max_prior_rows`` enforces a hard
+    cap by keeping the most-evidenced rows (deterministic order: n desc,
+    host, surface) and logging the truncation — the degrade mode loses the
+    least-attested priors first, never correctness (an unmined pair simply
+    falls back to pass-1 behavior).
+
+    Cost model: the corpus is scanned twice (the reference pays the same
+    shape — its pass 2 re-walks every AST with the registry built by pass
+    1, ``graph_updater.py`` two-phase ingest). Materialize the text
+    upstream if extraction dominates and memory allows; by default both
+    passes stream.
+    """
+    import ray
+
+    pass1 = link_mentions(
+        pages_text_ds, alias_ref, relations=relations, registry=registry,
+        concurrency=concurrency,
+    )
+    priors_ds = mine_host_priors(pass1, min_count=min_count)
+
+    def cap_local(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if b.num_rows <= max_prior_rows:
+            return b
+        idx = pc.sort_indices(
+            b, sort_keys=[("n", "descending"), ("host", "ascending"),
+                          ("surface", "ascending")]
+        )[:max_prior_rows]
+        return b.take(idx)
+
+    capped = (
+        priors_ds.map_batches(cap_local, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(cap_local, batch_format="pyarrow", batch_size=None)
+    )
+    parts = capped.to_arrow_refs()
+    tbl = pa.concat_tables([ray.get(r) for r in parts])
+    if tbl.num_rows >= max_prior_rows:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "host-prior table hit max_prior_rows=%d — least-attested priors "
+            "dropped (raise the cap or min_count)", max_prior_rows,
+        )
+    hp_ref = ray.put(tbl)
+    return link_mentions(
+        pages_text_ds, alias_ref, relations=relations, registry=registry,
+        concurrency=concurrency, host_prior_ref=hp_ref,
+    )

@@ -35,7 +35,10 @@ def kg_run(pages_fixture):
     """One shared pipeline run: edges/nodes/external materialized to pandas."""
     fx, fx_dir = pages_fixture
     pages = rd.read_parquet(f"{fx_dir}/pages.parquet")
-    kg = build_kg(pages, fx.alias_dict)
+    # host_priors: the fixture plants mentions resolvable only with the
+    # corpus-mined host-prior side table (J3 cross-page context) — the
+    # full pipeline must run two-pass to meet the exact P/R gate
+    kg = build_kg(pages, fx.alias_dict, host_priors=True)
     return {
         "edges": kg["edges"].to_pandas(),
         "nodes": kg["nodes"].to_pandas(),
@@ -302,6 +305,91 @@ def test_cascade_unique_seen_redirect():
     assert t3.iloc[0].entity_id == "EA" and t3.iloc[0].method == "prior"
 
 
+def test_cascade_host_prior_tier():
+    """J3 cross-page context: the host-prior side table resolves (a) a
+    known ambiguous alias with no page-local signal — outranking the
+    global prior, but only when the mined winner is a real candidate —
+    and (b) an unknown surface before External minting; every page-local
+    tier still wins over it, and other hosts are unaffected."""
+    import pyarrow as pa
+
+    from code_graph_rag_ray.stages.linking import MentionLinker
+
+    alias = pa.Table.from_pylist(
+        [{"alias": "Titan", "entity_id": "EA", "prior": 0.9},
+         {"alias": "Titan", "entity_id": "EB", "prior": 0.1},
+         {"alias": "Orbit Media", "entity_id": "E2", "prior": 1.0}],
+        schema=pa.schema([("alias", pa.string()), ("entity_id", pa.string()),
+                          ("prior", pa.float64())]),
+    )
+    hp = pa.table({"host": ["h.com", "h.com", "h.com"],
+                   "surface": ["Titan", "QX", "Ghost"],
+                   "entity_id": ["EB", "E2", "E_NOT_A_CAND"],
+                   "n": [3, 2, 2]})
+    linker = MentionLinker(alias, host_prior_ref=hp)
+
+    def run(text, url="https://h.com/1"):
+        return linker(pa.table({
+            "url": pa.array([url]), "text": pa.array([text]),
+            "lang": pa.array(["en"]),
+        })).to_pandas()
+
+    # (a) known ambiguous, no local signal → host prior beats global prior
+    out = run("Titan acquired Orbit Media .")
+    t = out[out.surface == "Titan"].iloc[0]
+    assert (t.entity_id, t.method) == ("EB", "host_prior")
+    # other host → global prior fallback unchanged
+    t2 = run("Titan acquired Orbit Media .", "https://z.com/1")
+    t2 = t2[t2.surface == "Titan"].iloc[0]
+    assert (t2.entity_id, t2.method) == ("EA", "prior")
+    # (b) unknown surface in a triple → host prior instead of ext:: mint
+    out3 = run("QX acquired Orbit Media .")
+    q = out3[out3.surface == "QX"].iloc[0]
+    assert (q.entity_id, q.method) == ("E2", "host_prior")
+    out4 = run("QX acquired Orbit Media .", "https://z.com/1")
+    assert out4[out4.surface == "QX"].iloc[0].entity_id == "ext::qx"
+    # page-local unique-seen still outranks the host prior... and a mined
+    # winner that is NOT a candidate of the alias never applies
+    out5 = run("Orbit Media sued Titan .")
+    # (Titan has no seen candidate here: E2 not a Titan candidate → host tier)
+    assert out5[out5.surface == "Titan"].iloc[0].method == "host_prior"
+
+
+def test_mine_host_priors_rule(ray_session):
+    """Mining rule: confident methods only, min_count floor, strict margin,
+    deterministic winner, block-layout invariance."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.linking import MENTION_SCHEMA, mine_host_priors
+
+    rows = []
+
+    def add(url, surface, eid, method, n=1):
+        for _ in range(n):
+            rows.append({"url": url, "start": 0, "end": 1, "surface": surface,
+                         "entity_id": eid, "method": method, "rel": None,
+                         "obj_entity_id": None, "lang": "en"})
+
+    add("https://h1.com/a", "Systems", "EA", "recency", 3)
+    add("https://h1.com/b", "Systems", "EB", "recency", 1)   # margin holds
+    add("https://h1.com/c", "AS", "EA", "acronym", 2)
+    add("https://h2.com/a", "Systems", "EA", "recency", 2)
+    add("https://h2.com/b", "Systems", "EB", "recency", 2)   # tie → unmined
+    add("https://h3.com/a", "Systems", "EA", "recency", 1)   # < min_count
+    add("https://h4.com/a", "Systems", "EA", "prior", 5)     # not confident
+
+    tbl = pa.Table.from_pylist(rows, schema=MENTION_SCHEMA)
+    out = (mine_host_priors(rd.from_arrow(tbl).repartition(5))
+           .to_pandas().sort_values(["host", "surface"]).reset_index(drop=True))
+    assert set(map(tuple, out[["host", "surface", "entity_id"]]
+                   .itertuples(index=False))) == {
+        ("h1.com", "Systems", "EA"), ("h1.com", "AS", "EA")}
+    out2 = (mine_host_priors(rd.from_arrow(tbl).repartition(11))
+            .to_pandas().sort_values(["host", "surface"]).reset_index(drop=True))
+    assert out.equals(out2)
+
+
 def test_fixture_plants_exercise_new_cascade_steps(pages_fixture, kg_run):
     """The seeded corpus must actually contain prefix-context and
     builtin-gated plants (otherwise the P/R gate doesn't pin them)."""
@@ -323,6 +411,42 @@ def test_fixture_plants_exercise_new_cascade_steps(pages_fixture, kg_run):
     # planted builtin sentences exist in the raw text
     texts = " ".join(r["text"] for r in fx.expected_text.to_pylist())
     assert any(b + " " in texts for b in BUILTINS_PLANTED)
+
+
+def test_host_prior_tier_recovers_plants(pages_fixture, kg_run):
+    """J3 cross-page context: the fixture's host-prior plants are
+    resolvable ONLY with the corpus-mined side table — single-pass linking
+    must lose exactly those gold triples, two-pass must recover them, and
+    the recovered mention rows must carry method == host_prior."""
+    import ray.data as rd
+
+    from code_graph_rag_ray.pipelines.kg import build_kg
+
+    fx, fx_dir = pages_fixture
+    plants = fx.host_prior_plants.to_pylist()
+    assert len(plants) >= 2, "fixture lost its host-prior plants"
+    assert {p["kind"] for p in plants} == {"known", "unknown"}
+
+    gold = _gold_set(fx)
+    single = build_kg(
+        rd.read_parquet(f"{fx_dir}/pages.parquet"), fx.alias_dict,
+        build_nodes=False, host_priors=False,
+    )["edges"].to_pandas()
+    s1 = score_sets(_edge_set(single), gold)
+    assert s1.recall < 1.0, "plants resolvable single-pass — not planted right"
+    plant_urls = {p["url"] for p in plants}
+    missing = {g for g in gold - _edge_set(single)}
+    assert {u for _, _, _, u in missing} <= plant_urls
+
+    # the two-pass run (kg_run) is exact, and each plant page's subject
+    # mention resolved via the host-prior tier to the mined winner
+    s2 = score_sets(_edge_set(kg_run["edges"]), gold)
+    assert s2.precision == 1.0 and s2.recall == 1.0
+    mentions = kg_run["kg"]["mentions"].to_pandas()
+    hp = mentions[mentions.method == "host_prior"]
+    for p in plants:
+        rows = hp[(hp.url == p["url"]) & (hp.surface == p["surface"])]
+        assert len(rows) == 1 and rows.iloc[0].entity_id == p["entity_id"], p
 
 
 def test_head_entity_skew_present(pages_fixture):
