@@ -5207,6 +5207,50 @@ SELECT CAST(0 AS BIGINT) AS single_pass_exact,
 """
 
 
+def kg_precise_tier_gain(sf_dir: str):
+    """M13/M14 heavy-frontend analog as a measurable gate: the fixture
+    adds ALL-CAPS plant pages whose dictionary mentions the cheap
+    case-sensitive tier structurally cannot detect; the two-tier routing
+    sends exactly those pages to the bounded PreciseLinker actor pool
+    (normalized token-trie detection, ``stages/linking.py``). Reports
+    whether the pipeline meets the exact bar without and with the precise
+    tier — both runs use host priors, isolating the precise-tier lift
+    (the analog of routing C++/C# files to the libclang/Roslyn frontends,
+    ``graph_updater.py:320-497``)."""
+    import ray.data as rd
+
+    from code_graph_rag_ray.functions.scoring import score_sets
+    from code_graph_rag_ray.pipelines.kg import build_kg
+    from code_graph_rag_ray.sources.pages import generate_pages
+
+    del sf_dir
+    fx = generate_pages(300, 42, shouty_plants=4)
+    gold = {(r["subj"], r["pred"], r["obj"], r["url"])
+            for r in fx.expected_triples.to_pylist()}
+
+    def exact(two_tier: bool) -> int:
+        kg = build_kg(rd.from_arrow(fx.pages), fx.alias_dict,
+                      build_nodes=False, host_priors=True,
+                      shouty_two_tier=two_tier)
+        edges = kg["edges"].to_pandas()
+        pred = set(map(tuple, edges[
+            ["subj", "pred", "obj", "provenance_url"]].itertuples(index=False)))
+        s = score_sets(pred, gold)
+        return int(s.precision == 1.0 and s.recall == 1.0)
+
+    return pd.DataFrame(
+        [{"cheap_only_exact": exact(False), "two_tier_exact": exact(True),
+          "n_shouty_plants": 4}]
+    )
+
+
+KG_PRECISE_TIER_GAIN_SQL = """
+SELECT CAST(0 AS BIGINT) AS cheap_only_exact,
+       CAST(1 AS BIGINT) AS two_tier_exact,
+       CAST(4 AS BIGINT) AS n_shouty_plants
+"""
+
+
 # ---------------------------------------------------------------------------
 # page manifest (S7 dependency-manifest reader analog)
 # ---------------------------------------------------------------------------
@@ -6354,6 +6398,7 @@ QUERIES = {
     "kg_doc_triples": kg_doc_triples,
     "kg_fixture_pr": kg_fixture_pr,
     "kg_host_prior_gain": kg_host_prior_gain,
+    "kg_precise_tier_gain": kg_precise_tier_gain,
     # --- windows / sessions / streaming-shaped (first driver check) ---
     "events_session_assign": events_session_assign,
     "events_scd2": events_scd2,
@@ -6735,4 +6780,5 @@ ORACLES = {
     "events_session_assign": EVENTS_SESSION_ASSIGN_SQL,
     "kg_fixture_pr": KG_FIXTURE_PR_SQL,
     "kg_host_prior_gain": KG_HOST_PRIOR_GAIN_SQL,
+    "kg_precise_tier_gain": KG_PRECISE_TIER_GAIN_SQL,
 }

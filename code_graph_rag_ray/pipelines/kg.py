@@ -65,6 +65,7 @@ def build_kg(
     build_links: bool = False,
     host_priors: bool = False,
     host_prior_min_count: int = 2,
+    shouty_two_tier: bool = False,
 ) -> dict:
     """Run the full KG construction over a pages Dataset.
 
@@ -100,6 +101,16 @@ def build_kg(
                 text, alias_ref, relations=relations, registry=registry,
                 concurrency=linker_concurrency,
                 min_count=host_prior_min_count,
+                shouty_two_tier=shouty_two_tier,
+            )
+        if shouty_two_tier:
+            # ALL-CAPS pages route to the bounded PreciseLinker pool
+            # (M13/M14 heavy-frontend analog)
+            from code_graph_rag_ray.stages.linking import link_mentions_two_tier
+
+            return link_mentions_two_tier(
+                text, alias_ref, relations=relations, registry=registry,
+                shouty_to_precise=True,
             )
         return link_mentions(
             text, alias_ref, relations=relations, registry=registry,

@@ -206,7 +206,9 @@ def _pick_alias(
     return name
 
 
-def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
+def generate_pages(
+    n_pages: int = 200, seed: int = 42, shouty_plants: int = 0
+) -> PagesFixture:
     rng = np.random.default_rng(seed)
     n_entities = max(12, n_pages // 8)
     entities, alias_map, alias_tbl = _build_entities(n_entities, rng)
@@ -526,6 +528,43 @@ def generate_pages(n_pages: int = 200, seed: int = 42) -> PagesFixture:
             plant_rows.append(
                 {"url": p_url, "surface": p_surface, "kind": kind,
                  "entity_id": mined[(p_host, p_surface)]})
+
+    # --- shouty plant pages (M13/M14 precise-tier ground truth) -----------
+    # ALL-CAPS pages whose dictionary mentions the cheap case-sensitive
+    # tier structurally cannot detect (and whose cap-run fallback sees the
+    # whole sentence as one run): only the PreciseLinker token-trie tier
+    # recovers the planted triples. Off by default (shouty_plants=0) so
+    # the base fixture contract is unchanged; the precise-tier gate
+    # queries/tests opt in.
+    unambiguous = [e for e in entities[2:] if len(alias_map[e["name"]]) == 1]
+    for k in range(shouty_plants):
+        subj_e = unambiguous[k % len(unambiguous)]
+        obj_e = unambiguous[(k + 1) % len(unambiguous)]
+        i = len(urls)
+        s_host = TAIL_HOSTS[k % len(TAIL_HOSTS)]
+        s_url = f"https://{s_host}/page/{i:06d}"
+        s_title = f"REPORT {i:06d} FROM {s_host.upper()}"
+        s_subj = subj_e["name"].upper()
+        s_obj = obj_e["name"].upper()
+        sent = f"{s_subj} ACQUIRED {s_obj} ."
+        urls.append(s_url)
+        warc_ts.append(base_ts + i * 1_000_000)
+        langs.append("en")
+        htmls.append((
+            "<html><head><title>" + s_title + "</title></head><body><p>"
+            + sent + "</p></body></html>").encode())
+        exp_text_rows.append({"url": s_url, "text": s_title + "\n" + sent})
+        s_start = len(s_title) + 1
+        o_start = s_start + len(s_subj) + 1 + len("ACQUIRED") + 1
+        mention_rows.append(
+            {"url": s_url, "surface": s_subj, "start": s_start,
+             "end": s_start + len(s_subj), "type": "ENTITY"})
+        mention_rows.append(
+            {"url": s_url, "surface": s_obj, "start": o_start,
+             "end": o_start + len(s_obj), "type": "ENTITY"})
+        triple_rows.append(
+            {"subj": subj_e["entity_id"], "pred": RELATIONS["acquired"],
+             "obj": obj_e["entity_id"], "url": s_url})
 
     pages = pa.table(
         {

@@ -202,19 +202,36 @@ class MentionLinker:
             lang: {**self.relations, **dict(spec.relations)}
             for lang, spec in self.registry.items()
         }
+        # normalized relation tables are a precise-tier feature (see
+        # PreciseLinker); the base tier keeps them empty so its pairing
+        # semantics — and every oracle built on them — are unchanged
+        self._rel_norm_by_lang: dict = {}
+        self._rel_norm_default = None
+
+    # -- detection hooks (overridden by the precise tier) -------------------
+    def _extra_spans(
+        self, text: str, spans: list[tuple[int, int, str, list | None]]
+    ) -> None:
+        """Append additional KNOWN spans (with their candidate lists) the
+        base alternation regex cannot find. Base tier: none."""
 
     # -- per-page resolution ------------------------------------------------
     def _link_page(self, url: str, text: str, lang: str, out: "_Cols") -> None:
         if not text:
             return
-        spans: list[tuple[int, int, str, bool]] = []  # start, end, surface, known
+        # span = (start, end, surface, candidates-or-None); None = unknown
+        spans: list[tuple[int, int, str, list | None]] = []
+        index = self.index
         if self.alias_re is not None:
             for m in self.alias_re.finditer(text):
-                spans.append((m.start(), m.end(), m.group(), True))
-        # overlap check against the KNOWN spans: they come from finditer, so
-        # they are sorted and non-overlapping — the only candidate overlap
-        # for a cap-run match is the last known span starting before its
-        # end (bisect, O(log n) instead of the quadratic any() scan)
+                s = m.group()
+                spans.append((m.start(), m.end(), s, index[s]))
+        self._extra_spans(text, spans)
+        spans.sort()
+        # overlap check against the KNOWN spans: sorted and non-overlapping
+        # by construction — the only candidate overlap for a cap-run match
+        # is the last known span starting before its end (bisect, O(log n)
+        # instead of the quadratic any() scan)
         known_starts = [s for s, _, _, _ in spans]
         known_ends = [e for _, e, _, _ in spans]
         builtins = BUILTIN_SURFACES
@@ -224,7 +241,7 @@ class MentionLinker:
             i = bisect_left(known_starts, m.end())
             if i and known_ends[i - 1] > m.start():
                 continue
-            spans.append((m.start(), m.end(), m.group(), False))
+            spans.append((m.start(), m.end(), m.group(), None))
         spans.sort()
 
         # cascade link for dictionary mentions — parallel local arrays (a
@@ -245,9 +262,8 @@ class MentionLinker:
         methods: list[str] = [""] * n
         rels: list[str | None] = [None] * n
         objs: list[str | None] = [None] * n
-        index = self.index
-        for i, (start, end, surface, known) in enumerate(spans):
-            if not known:
+        for i, (start, end, surface, cands) in enumerate(spans):
+            if cands is None:
                 # prefix-antecedent step: a bare capitalized token matching
                 # the FIRST token of an earlier full mention on this page
                 # resolves to that entity (registry prefix query analog);
@@ -281,7 +297,6 @@ class MentionLinker:
                     eids[i] = "ext::" + normalize_surface(surface)
                     methods[i] = "external"
                 continue
-            cands = index[surface]
             if len(cands) == 1:
                 eid, method = cands[0][0], "exact"
             elif " " not in surface and surface in recent_full:
@@ -325,9 +340,15 @@ class MentionLinker:
         # surface — dispatched per content type (lang) through the registry
         in_triple = bytearray(n)
         relations = self._rel_by_lang.get(lang, self.relations)
+        # precise tier only: normalized relation-surface fallback (base
+        # linkers carry no normalized tables, so this stays None for them
+        # and the hot loop is unchanged)
+        rel_norm = self._rel_norm_by_lang.get(lang, self._rel_norm_default)
         for i in range(n - 1):
             gap = text[spans[i][1] : spans[i + 1][0]].strip()
             pred = relations.get(gap)
+            if pred is None and rel_norm is not None:
+                pred = rel_norm.get(normalize_surface(gap))
             if pred is not None:
                 rels[i] = pred
                 objs[i] = eids[i + 1]
@@ -382,6 +403,92 @@ class _Cols:
         )
 
 
+_TOKEN = re.compile(r"[A-Za-z0-9]+")
+
+
+class PreciseLinker(MentionLinker):
+    """The genuinely heavy precise tier (M13/M14 analog — the place the
+    reference pays for a libclang/Roslyn subprocess frontend,
+    ``graph_updater.py:320-497``): a case- and punctuation-insensitive
+    token-trie matcher layered over the base detection.
+
+    Heavy per-actor state, built once in ``__init__`` (the actor-pool
+    justification): a trie over the NORMALIZED token sequences of every
+    dictionary alias, plus normalized relation-surface tables per lang.
+    Per page it tokenizes the text and greedily longest-matches the trie
+    over token runs the base regex left uncovered — catching mentions the
+    cheap tier structurally cannot see (ALL-CAPS headline text, case- or
+    hyphen-mangled surfaces: ``ACME SYSTEMS``, ``acme-systems``), at
+    roughly 2× the per-page cost. Precedence: base exact spans win over
+    trie spans; trie spans win over unknown cap-runs (on a shouty page
+    the whole sentence is one capitalized run — without the trie tier it
+    would mint one garbage External and lose every triple).
+
+    The cascade is shared with the base class (spans carry their candidate
+    lists), so resolution semantics — including the host-prior tier — are
+    identical; only DETECTION is stronger.
+    """
+
+    def __init__(
+        self,
+        alias_ref,
+        relations: dict[str, str] | None = None,
+        registry: dict[str, ExtractorSpec] | None = None,
+        host_prior_ref=None,
+    ):
+        super().__init__(alias_ref, relations, registry, host_prior_ref)
+        # trie over normalized alias token tuples: node = {token: node},
+        # terminal candidates under the None key
+        root: dict = {}
+        for alias, cands in self.index.items():
+            node = root
+            for tok in _TOKEN.findall(alias.lower()):
+                node = node.setdefault(tok, {})
+            node[None] = cands
+        self._trie = root
+        self._rel_norm_by_lang = {
+            lang: {normalize_surface(s): p for s, p in tbl.items()}
+            for lang, tbl in self._rel_by_lang.items()
+        }
+        self._rel_norm_default = {
+            normalize_surface(s): p for s, p in self.relations.items()
+        }
+
+    def _extra_spans(
+        self, text: str, spans: list[tuple[int, int, str, list | None]]
+    ) -> None:
+        # base spans come sorted & non-overlapping (finditer); bisect for
+        # the overlap test like the cap-run scan does
+        known_starts = [s for s, _, _, _ in spans]
+        known_ends = [e for _, e, _, _ in spans]
+        toks = [(m.start(), m.end(), m.group().lower())
+                for m in _TOKEN.finditer(text)]
+        trie = self._trie
+        extra: list[tuple[int, int, str, list]] = []
+        i, n = 0, len(toks)
+        while i < n:
+            node = trie.get(toks[i][2])
+            j = i
+            best = None  # (end_token_idx, cands) of the LONGEST terminal
+            while node is not None:
+                if None in node:
+                    best = (j, node[None])
+                j += 1
+                node = node.get(toks[j][2]) if j < n else None
+            if best is None:
+                i += 1
+                continue
+            jend, cands = best
+            start, end = toks[i][0], toks[jend][1]
+            k = bisect_left(known_starts, end)
+            if k and known_ends[k - 1] > start:
+                i += 1  # base detection already covers this region
+                continue
+            extra.append((start, end, text[start:end], cands))
+            i = jend + 1
+        spans.extend(extra)
+
+
 # per-worker-process linker cache: state (dictionary index + compiled
 # alternation regex) is built once per worker per alias table, exactly like
 # an actor's __init__ — but task pools reuse warm worker processes, so no
@@ -410,6 +517,7 @@ def _cached_linker(
     relations: dict[str, str] | None,
     registry: dict[str, ExtractorSpec] | None = None,
     host_prior_ref=None,
+    linker_cls: type = MentionLinker,
 ) -> MentionLinker:
     import ray
 
@@ -423,10 +531,11 @@ def _cached_linker(
         None if relations is None else tuple(sorted(relations.items())),
         _registry_key(registry),
         _ref_key(host_prior_ref),
+        linker_cls.__qualname__,
     )
     linker = _LINKER_CACHE.get(key)
     if linker is None:
-        linker = MentionLinker(alias_ref, relations, registry, host_prior_ref)
+        linker = linker_cls(alias_ref, relations, registry, host_prior_ref)
         _LINKER_CACHE[key] = linker
     return linker
 
@@ -440,6 +549,7 @@ def link_mentions(
     concurrency: int | None = None,
     batch_size: int | None = None,
     host_prior_ref=None,
+    linker_cls: type = MentionLinker,
 ):
     """Wire the linking stage: pages-with-text Dataset → mentions Dataset.
 
@@ -458,7 +568,7 @@ def link_mentions(
     """
     if concurrency is not None:
         return pages_text_ds.map_batches(
-            MentionLinker,
+            linker_cls,
             fn_constructor_args=(alias_ref, relations, registry, host_prior_ref),
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -467,7 +577,9 @@ def link_mentions(
         )
 
     def link(batch: pa.Table) -> pa.Table:
-        return _cached_linker(alias_ref, relations, registry, host_prior_ref)(batch)
+        return _cached_linker(
+            alias_ref, relations, registry, host_prior_ref, linker_cls
+        )(batch)
 
     return pages_text_ds.map_batches(link, batch_format="pyarrow", batch_size=batch_size)
 
@@ -476,43 +588,70 @@ def link_mentions_two_tier(
     pages_text_ds,
     alias_ref,
     *,
-    precise_langs: set[str],
+    precise_langs: set[str] = frozenset(),
     registry: dict[str, ExtractorSpec] | None = None,
     relations: dict[str, str] | None = None,
     precise_concurrency: int = 2,
+    shouty_to_precise: bool = False,
+    host_prior_ref=None,
 ):
     """Two-tier extraction routing (M13/M14 analog).
 
     cgr layers optional heavyweight frontends (libclang C++,
     ``graph_updater.py:320-383``; Roslyn C#, ``:384-497``) over the cheap
     tree-sitter default, routing inputs by predicate and merging results.
-    Here: pages whose ``lang`` is in ``precise_langs`` route to a bounded
-    ACTOR-POOL linker carrying the full per-lang registry (the expensive
-    precise tier — the place a loaded model or heavy parser would live);
-    everything else takes the cheap stateless-task tier with the default
-    relations only. The union feeds the same downstream derivation.
+    Here two content predicates route to a bounded ACTOR-POOL
+    :class:`PreciseLinker` (normalized token-trie detection — the
+    genuinely heavier frontend):
 
-    Both tiers filter the same upstream; materialize the input first if
-    the upstream scan is expensive enough that two passes matter.
+    - ``lang ∈ precise_langs`` — per-language registry dispatch, and
+    - ``shouty_to_precise`` — pages whose text equals its own uppercase
+      image (ALL-CAPS headline/teletype content): the cheap tier's
+      case-sensitive alternation structurally cannot match a dictionary
+      surface there, and its cap-run fallback sees the whole sentence as
+      one run — so these pages are exactly the ones worth the heavy tier.
+
+    Everything else takes the cheap stateless-task tier. The union feeds
+    the same downstream derivation. Both tiers filter the same upstream;
+    materialize the input first if the scan is expensive enough that two
+    passes matter.
     """
     import pyarrow.compute as pc
 
     langs_arr = pa.array(sorted(precise_langs), pa.string())
 
+    def precise_mask(b: pa.Table):
+        m = pc.is_in(b["lang"], value_set=langs_arr)
+        if shouty_to_precise:
+            t = b["text"]
+            shouty = pc.and_(
+                pc.equal(t, pc.utf8_upper(t)),      # no lowercase letters
+                pc.not_equal(t, pc.utf8_lower(t)),  # …but has letters
+            )
+            m = pc.or_kleene(m, shouty)
+        return pc.fill_null(m, False)
+
     def precise_rows(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b["lang"], value_set=langs_arr))
+        return b.filter(precise_mask(b))
 
     def cheap_rows(b: pa.Table) -> pa.Table:
-        return b.filter(pc.invert(pc.is_in(b["lang"], value_set=langs_arr)))
+        return b.filter(pc.invert(precise_mask(b)))
 
+    # when routing is purely lang-based, the cheap tier never sees a
+    # spec-lang page, so it can skip the registry entirely (original
+    # behavior); shouty routing sends pages of ANY lang to the precise
+    # tier, so the cheap tier keeps the registry for the rest
+    cheap_registry = registry if shouty_to_precise else {}
     cheap = link_mentions(
         pages_text_ds.map_batches(cheap_rows, batch_format="pyarrow"),
-        alias_ref, relations=relations, registry={},
+        alias_ref, relations=relations, registry=cheap_registry,
+        host_prior_ref=host_prior_ref,
     )
     precise = link_mentions(
         pages_text_ds.map_batches(precise_rows, batch_format="pyarrow"),
         alias_ref, relations=relations, registry=registry,
-        concurrency=precise_concurrency,
+        concurrency=precise_concurrency, host_prior_ref=host_prior_ref,
+        linker_cls=PreciseLinker,
     )
     return cheap.union(precise)
 
@@ -646,6 +785,8 @@ def link_mentions_two_pass(
     concurrency: int | None = None,
     min_count: int = 2,
     max_prior_rows: int = 1_000_000,
+    shouty_two_tier: bool = False,
+    precise_concurrency: int = 2,
 ):
     """Two-pass linking with corpus-mined host priors (J3 cross-page
     context). Pass 1 links with page-local context only; the confident
@@ -669,10 +810,19 @@ def link_mentions_two_pass(
     """
     import ray
 
-    pass1 = link_mentions(
-        pages_text_ds, alias_ref, relations=relations, registry=registry,
-        concurrency=concurrency,
-    )
+    def _link(host_prior_ref=None):
+        if shouty_two_tier:
+            return link_mentions_two_tier(
+                pages_text_ds, alias_ref, relations=relations,
+                registry=registry, precise_concurrency=precise_concurrency,
+                shouty_to_precise=True, host_prior_ref=host_prior_ref,
+            )
+        return link_mentions(
+            pages_text_ds, alias_ref, relations=relations, registry=registry,
+            concurrency=concurrency, host_prior_ref=host_prior_ref,
+        )
+
+    pass1 = _link()
     priors_ds = mine_host_priors(pass1, min_count=min_count)
 
     def cap_local(b: pa.Table) -> pa.Table:
@@ -701,7 +851,4 @@ def link_mentions_two_pass(
             "dropped (raise the cap or min_count)", max_prior_rows,
         )
     hp_ref = ray.put(tbl)
-    return link_mentions(
-        pages_text_ds, alias_ref, relations=relations, registry=registry,
-        concurrency=concurrency, host_prior_ref=hp_ref,
-    )
+    return _link(host_prior_ref=hp_ref)
