@@ -5251,6 +5251,21 @@ SELECT CAST(0 AS BIGINT) AS cheap_only_exact,
 """
 
 
+def kg_robustness_curve(sf_dir: str):
+    """Messy-input eval (the analog of the reference's organic-corpus
+    evals, ``evals/README.md:61-141``): deterministic adversarial damage
+    — uppercasing, typos, truncation, spam injection — at rising rates
+    over the seeded fixture, with the FULL pipeline's precision/recall
+    against the unmutated gold per tier (``sources/adversarial.py``).
+    Rows-only (no SQL oracle: the metric is a pipeline property, not a
+    relational expression); pytest pins rate-0 exactness, monotone recall
+    decay, and the per-kind properties."""
+    from code_graph_rag_ray.sources.adversarial import robustness_curve
+
+    del sf_dir
+    return robustness_curve()
+
+
 # ---------------------------------------------------------------------------
 # page manifest (S7 dependency-manifest reader analog)
 # ---------------------------------------------------------------------------
@@ -6399,6 +6414,7 @@ QUERIES = {
     "kg_fixture_pr": kg_fixture_pr,
     "kg_host_prior_gain": kg_host_prior_gain,
     "kg_precise_tier_gain": kg_precise_tier_gain,
+    "kg_robustness_curve": kg_robustness_curve,
     # --- windows / sessions / streaming-shaped (first driver check) ---
     "events_session_assign": events_session_assign,
     "events_scd2": events_scd2,

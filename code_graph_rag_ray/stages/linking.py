@@ -841,8 +841,10 @@ def link_mentions_two_pass(
         .repartition(1)
         .map_batches(cap_local, batch_format="pyarrow", batch_size=None)
     )
-    parts = capped.to_arrow_refs()
-    tbl = pa.concat_tables([ray.get(r) for r in parts])
+    # take_all, not to_arrow_refs: the latter issues a schema probe
+    # (limit=1 plan) that EXECUTES the whole mining pipeline a second time
+    # and races Ray 2.49's limit-cancellation refcount bug (NOTES fact 22)
+    tbl = pa.Table.from_pylist(capped.take_all(), schema=HOST_PRIOR_SCHEMA)
     if tbl.num_rows >= max_prior_rows:
         import logging
 
