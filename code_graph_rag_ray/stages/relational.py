@@ -19,20 +19,30 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 
-#: driver-side cache of concat'd broadcast sides, keyed on block ref ids.
-#: Bounded FIFO (8 entries); entries pin their concat'd table in the
+#: driver-side cache of concat'd broadcast sides, keyed on block ref ids:
+#: key -> (concat ObjectRef, estimated input bytes). Bounded by TOTAL
+#: ESTIMATED BYTES (``GRAFT_BROADCAST_CACHE_BUDGET``, default 2 GiB) with
+#: a 32-entry FIFO backstop for refs whose size the store can't report —
+#: an entry-count bound alone lets 8 near-budget tables pin ~2 GiB even
+#: after their joins finish. Entries pin their concat'd table in the
 #: object store for the driver's lifetime, so long multi-query sessions
-#: should call :func:`clear_broadcast_cache` between queries — bench.py
-#: and the catalog checker do.
+#: should still call :func:`clear_broadcast_cache` between queries —
+#: bench.py and the catalog checker do.
 _BROADCAST_CONCAT_CACHE: dict = {}
+_BROADCAST_CACHE_MAX_ENTRIES = 32
+
+
+def _broadcast_cache_budget() -> int:
+    import os
+
+    return int(os.environ.get("GRAFT_BROADCAST_CACHE_BUDGET",
+                              2 * 1024 ** 3))
 
 
 def clear_broadcast_cache() -> None:
     """Drop all cached broadcast-side concat refs, releasing their pinned
     object-store copies. Safe at any time: the next broadcast_join simply
-    rebuilds its side. Call between queries in long-lived sessions —
-    up to 8 fully-concatenated tables (≤ the broadcast budget each) stay
-    pinned otherwise."""
+    rebuilds its side. Call between queries in long-lived sessions."""
     _BROADCAST_CONCAT_CACHE.clear()
 
 
@@ -90,13 +100,29 @@ def broadcast_join(
         # call, which would rebuild and re-pin an identical full-table
         # object per iteration. Keyed on the block ref ids; bounded FIFO.
         key = tuple(r.hex() for r in refs)
-        ref = _BROADCAST_CONCAT_CACHE.get(key)
-        if ref is None:
+        entry = _BROADCAST_CONCAT_CACHE.get(key)
+        if entry is None:
+            # bytes-aware eviction: estimate this side's size from the
+            # store's block metadata (0 when unreported — the FIFO entry
+            # backstop covers that case), then evict oldest-first until
+            # the running total fits the budget
+            try:
+                locs = ray.experimental.get_object_locations(refs)
+                est = sum(int((locs.get(r) or {}).get("object_size") or 0)
+                          for r in refs)
+            except Exception:  # pragma: no cover - location API unavailable
+                est = 0
+            budget = _broadcast_cache_budget()
+            cache = _BROADCAST_CONCAT_CACHE
+            while cache and (
+                len(cache) >= _BROADCAST_CACHE_MAX_ENTRIES
+                or sum(b for _, b in cache.values()) + est > budget
+            ):
+                cache.pop(next(iter(cache)))
             ref = _get_concat_task().remote(*refs)
-            if len(_BROADCAST_CONCAT_CACHE) >= 8:
-                _BROADCAST_CONCAT_CACHE.pop(
-                    next(iter(_BROADCAST_CONCAT_CACHE)))
-            _BROADCAST_CONCAT_CACHE[key] = ref
+            cache[key] = (ref, est)
+        else:
+            ref = entry[0]
 
         def to_frame(obj):
             return obj.to_pandas() if isinstance(obj, pa.Table) else obj

@@ -406,3 +406,30 @@ def test_adaptive_join_collision_suffix_matches_bucketed():
         got = df.sort_values("k")
         assert got["deg"].tolist() == [7, 8]
         assert got["deg_r"].tolist() == [70, 80]
+
+
+def test_broadcast_cache_bytes_bound(ray_session, monkeypatch):
+    """The concat cache evicts by ESTIMATED BYTES, not only entry count: a
+    1-byte budget keeps at most one entry alive, a repeat side is a cache
+    hit, and clear_broadcast_cache() empties it."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import code_graph_rag_ray.stages.relational as rel
+
+    monkeypatch.setenv("GRAFT_BROADCAST_CACHE_BUDGET", "1")
+    rel.clear_broadcast_cache()
+    left = rd.from_arrow(pa.table({"k": list(range(100)), "v": [1.0] * 100}))
+    for i in range(3):
+        small = rd.from_arrow(pa.table(
+            {"k": list(range(50)), f"w{i}": list(range(50))})).materialize()
+        assert rel.broadcast_join(left, small, on="k").count() == 50
+        assert len(rel._BROADCAST_CONCAT_CACHE) == 1
+    small2 = rd.from_arrow(pa.table(
+        {"k": list(range(50)), "z": list(range(50))})).materialize()
+    rel.broadcast_join(left, small2, on="k").count()
+    n = len(rel._BROADCAST_CONCAT_CACHE)
+    rel.broadcast_join(left, small2, on="k").count()  # hit — no growth
+    assert len(rel._BROADCAST_CONCAT_CACHE) == n
+    rel.clear_broadcast_cache()
+    assert not rel._BROADCAST_CONCAT_CACHE
