@@ -6396,6 +6396,53 @@ FROM f GROUP BY first_doc
 """
 
 
+def doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix-C-style n-gram overlap):
+    documents with ``doc_id % 31 == 0`` play the held-out eval set; every
+    other document is flagged when any of its word 4-gram md5-low32
+    shingles appears in the eval set's shingle vocabulary. One streaming
+    corpus pass against a broadcast benchmark hash set — no shuffle
+    (`stages/decontaminate.py`; md5 family so DuckDB replays the hashes
+    bit-exactly)."""
+    import pyarrow.compute as pc
+
+    from code_graph_rag_ray.stages.decontaminate import (
+        benchmark_ngram_hashes,
+        decontaminate,
+    )
+
+    def _mod31(b, keep_zero: bool):
+        m = pc.subtract(b["doc_id"], pc.multiply(pc.divide(b["doc_id"], 31), 31))
+        return b.filter(pc.equal(m, 0) if keep_zero else pc.not_equal(m, 0))
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    bench = ds.map_batches(lambda b: _mod31(b, True), batch_format="pyarrow")
+    bh = benchmark_ngram_hashes(bench, n=4, hash_family="md5")
+    train = ds.map_batches(lambda b: _mod31(b, False), batch_format="pyarrow")
+    return decontaminate(train, bh, n=4, hash_family="md5")
+
+
+DOC_DECONTAMINATE_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 8))::UBIGINT::BIGINT AS h
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 4)
+  UNION ALL
+  SELECT d.doc_id, ('0x' || substr(md5(d.text), 1, 8))::UBIGINT::BIGINT AS h
+  FROM documents d JOIN toks USING (doc_id) WHERE len(toks.t) < 4
+),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 31 = 0)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(*) FILTER (WHERE h IN (SELECT h FROM bench)) AS BIGINT) AS n_hits,
+       (count(*) FILTER (WHERE h IN (SELECT h FROM bench)) > 0) AS contaminated
+FROM sh WHERE doc_id % 31 <> 0
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6598,6 +6645,7 @@ QUERIES = {
     "doc_minhash_pairs_fast": doc_minhash_pairs_fast,
     "doc_simhash_pairs_fast": doc_simhash_pairs_fast,
     "doc_dup_spans_fast": doc_dup_spans_fast,
+    "doc_decontaminate": doc_decontaminate,
 }
 
 MEDIA_FRAMES_SQL = """
@@ -6797,4 +6845,5 @@ ORACLES = {
     "kg_fixture_pr": KG_FIXTURE_PR_SQL,
     "kg_host_prior_gain": KG_HOST_PRIOR_GAIN_SQL,
     "kg_precise_tier_gain": KG_PRECISE_TIER_GAIN_SQL,
+    "doc_decontaminate": DOC_DECONTAMINATE_SQL,
 }
