@@ -6422,6 +6422,88 @@ def doc_decontaminate(sf_dir: str):
     return decontaminate(train, bh, n=4, hash_family="md5")
 
 
+def corpus_wordpiece_vocab(sf_dir: str):
+    """MaxMatch/WordPiece-style piece vocabulary: top-64 substrings
+    (length 2-5) of the corpus's distinct words by occurrence-weighted
+    frequency (≥ 5), ties broken by piece text — pure counting, so DuckDB
+    replays it exactly (`stages/wordpiece.py`)."""
+    from code_graph_rag_ray.stages.wordpiece import wordpiece_vocab
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return wordpiece_vocab(ds, lmax=5, min_freq=5, top_k=64)
+
+
+def corpus_wordpiece_tokenize(sf_dir: str):
+    """Greedy longest-match-first tokenization (the WordPiece inference
+    rule) against the mined vocabulary: per-document word, subword-token
+    and single-char-fallback counts. The oracle replays the greedy walk
+    with a recursive CTE advancing by the longest matching piece."""
+    from code_graph_rag_ray.stages.wordpiece import (
+        wordpiece_tokenize,
+        wordpiece_vocab,
+    )
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    # the mined vocab is ≤ 64 rows by construction — bounded driver state
+    vt = pa.Table.from_pylist(
+        wordpiece_vocab(ds, lmax=5, min_freq=5, top_k=64).take_all(),
+        schema=pa.schema([("piece", pa.string()), ("freq", pa.int64())]),
+    )
+    return wordpiece_tokenize(ds, vt, lmax=5)
+
+
+_WP_VOCAB_CTES = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+  FROM documents),
+tw AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+wcnt AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM tw GROUP BY word),
+pieces AS (
+  SELECT substr(word, i, l) AS piece, CAST(sum(wc) AS BIGINT) AS freq
+  FROM (
+    SELECT word, wc, l, unnest(range(1, len(word) - l + 2)) AS i
+    FROM (SELECT word, wc, unnest([2, 3, 4, 5]) AS l FROM wcnt)
+    WHERE len(word) >= l)
+  GROUP BY piece),
+vocab AS (
+  SELECT piece, freq FROM pieces WHERE freq >= 5
+  ORDER BY freq DESC, piece ASC LIMIT 64)
+"""
+
+CORPUS_WORDPIECE_VOCAB_SQL = _WP_VOCAB_CTES + "SELECT piece, freq FROM vocab"
+
+CORPUS_WORDPIECE_TOKENIZE_SQL = _WP_VOCAB_CTES + """,
+dwords AS (SELECT DISTINCT word FROM tw),
+walk AS (
+  SELECT word, 1 AS pos, 0 AS ntok, 0 AS nfb FROM dwords
+  UNION ALL
+  SELECT word, pos + adv, ntok + 1,
+         nfb + CASE WHEN adv = 1 THEN 1 ELSE 0 END
+  FROM (
+    SELECT w.word, w.pos, w.ntok, w.nfb,
+           coalesce((SELECT max(len(v.piece)) FROM vocab v
+                     WHERE len(v.piece) <= len(w.word) - w.pos + 1
+                       AND substr(w.word, w.pos, len(v.piece)) = v.piece),
+                    1) AS adv
+    FROM walk w WHERE w.pos <= len(w.word))
+),
+fin AS (SELECT word, ntok, nfb FROM walk WHERE pos > len(word)),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(f.ntok) AS BIGINT) AS n_wp_tokens,
+         CAST(sum(f.nfb) AS BIGINT) AS n_fallback
+  FROM tw t JOIN fin f USING (word)
+  GROUP BY t.doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_words, 0) AS n_words,
+       coalesce(p.n_wp_tokens, 0) AS n_wp_tokens,
+       coalesce(p.n_fallback, 0) AS n_fallback
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 DOC_DECONTAMINATE_SQL = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
@@ -6646,6 +6728,8 @@ QUERIES = {
     "doc_simhash_pairs_fast": doc_simhash_pairs_fast,
     "doc_dup_spans_fast": doc_dup_spans_fast,
     "doc_decontaminate": doc_decontaminate,
+    "corpus_wordpiece_vocab": corpus_wordpiece_vocab,
+    "corpus_wordpiece_tokenize": corpus_wordpiece_tokenize,
 }
 
 MEDIA_FRAMES_SQL = """
@@ -6846,4 +6930,6 @@ ORACLES = {
     "kg_host_prior_gain": KG_HOST_PRIOR_GAIN_SQL,
     "kg_precise_tier_gain": KG_PRECISE_TIER_GAIN_SQL,
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
+    "corpus_wordpiece_vocab": CORPUS_WORDPIECE_VOCAB_SQL,
+    "corpus_wordpiece_tokenize": CORPUS_WORDPIECE_TOKENIZE_SQL,
 }
