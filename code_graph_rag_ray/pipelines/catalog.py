@@ -6473,7 +6473,7 @@ vocab AS (
 
 CORPUS_WORDPIECE_VOCAB_SQL = _WP_VOCAB_CTES + "SELECT piece, freq FROM vocab"
 
-CORPUS_WORDPIECE_TOKENIZE_SQL = _WP_VOCAB_CTES + """,
+_WP_WALK_CTES = """,
 dwords AS (SELECT DISTINCT word FROM tw),
 walk AS (
   SELECT word, 1 AS pos, 0 AS ntok, 0 AS nfb FROM dwords
@@ -6496,11 +6496,102 @@ per_doc AS (
          CAST(sum(f.nfb) AS BIGINT) AS n_fallback
   FROM tw t JOIN fin f USING (word)
   GROUP BY t.doc_id)
+"""
+
+CORPUS_WORDPIECE_TOKENIZE_SQL = _WP_VOCAB_CTES + _WP_WALK_CTES + """
 SELECT d.doc_id,
        coalesce(p.n_words, 0) AS n_words,
        coalesce(p.n_wp_tokens, 0) AS n_wp_tokens,
        coalesce(p.n_fallback, 0) AS n_fallback
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def corpus_wordpiece_fertility(sf_dir: str):
+    """Per-language MaxMatch tokenizer fertility + fallback rate: the
+    corpus_bpe_fertility twin for the WordPiece-style tokenizer, with the
+    extra OOV-mass signal the char-fallback rule exposes —
+    fallback_rate_micro = (10^6·Σfallback) // Σtokens. Pure BIGINT."""
+    from code_graph_rag_ray.stages.relational import (
+        adaptive_join,
+        partial_groupby_sum,
+    )
+    from code_graph_rag_ray.stages.wordpiece import (
+        wordpiece_tokenize,
+        wordpiece_vocab,
+    )
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    vt = pa.Table.from_pylist(
+        wordpiece_vocab(docs, lmax=5, min_freq=5, top_k=64).take_all(),
+        schema=pa.schema([("piece", pa.string()), ("freq", pa.int64())]),
+    )
+    tok = wordpiece_tokenize(docs, vt, lmax=5)
+    langs = _pq(sf_dir, "documents", ["doc_id", "lang"])
+    j = adaptive_join(
+        tok, langs, on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("n_words", pa.int64()),
+                               ("n_wp_tokens", pa.int64()),
+                               ("n_fallback", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("lang", pa.string())]),
+    )
+
+    def one(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n_words": pa.array([], pa.int64()),
+                             "n_wp_tokens": pa.array([], pa.int64()),
+                             "n_fallback": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
+        return pa.table(
+            {"lang": pc.cast(b["lang"], pa.string()),
+             "n_words": pc.cast(b["n_words"], pa.int64()),
+             "n_wp_tokens": pc.cast(b["n_wp_tokens"], pa.int64()),
+             "n_fallback": pc.cast(b["n_fallback"], pa.int64()),
+             "one": pa.array(np.ones(b.num_rows, np.int64))}
+        )
+
+    agg = partial_groupby_sum(
+        j.map_batches(one, batch_format="pyarrow"),
+        ["lang"],
+        {"one": "n_docs", "n_words": "n_words",
+         "n_wp_tokens": "n_wp_tokens", "n_fallback": "n_fallback"},
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        w = b["n_words"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b["n_wp_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = b["n_fallback"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fert = np.where(w > 0, (t * 10**6) // np.maximum(w, 1), 0)
+        fbr = np.where(t > 0, (f * 10**6) // np.maximum(t, 1), 0)
+        b = b.append_column("fertility_micro", pa.array(fert.astype(np.int64)))
+        return b.append_column("fallback_rate_micro",
+                               pa.array(fbr.astype(np.int64)))
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+CORPUS_WORDPIECE_FERTILITY_SQL = _WP_VOCAB_CTES + _WP_WALK_CTES + """,
+base AS (
+  SELECT d.doc_id, d.lang,
+         coalesce(p.n_words, 0) AS n_words,
+         coalesce(p.n_wp_tokens, 0) AS n_wp_tokens,
+         coalesce(p.n_fallback, 0) AS n_fallback
+  FROM documents d LEFT JOIN per_doc p USING (doc_id))
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_wp_tokens) AS BIGINT) AS n_wp_tokens,
+       CAST(sum(n_fallback) AS BIGINT) AS n_fallback,
+       CAST(CASE WHEN sum(n_words) > 0
+                 THEN (1000000::HUGEINT * sum(n_wp_tokens)) // sum(n_words)
+                 ELSE 0 END AS BIGINT) AS fertility_micro,
+       CAST(CASE WHEN sum(n_wp_tokens) > 0
+                 THEN (1000000::HUGEINT * sum(n_fallback)) // sum(n_wp_tokens)
+                 ELSE 0 END AS BIGINT) AS fallback_rate_micro
+FROM base GROUP BY lang
 """
 
 
@@ -6730,6 +6821,7 @@ QUERIES = {
     "doc_decontaminate": doc_decontaminate,
     "corpus_wordpiece_vocab": corpus_wordpiece_vocab,
     "corpus_wordpiece_tokenize": corpus_wordpiece_tokenize,
+    "corpus_wordpiece_fertility": corpus_wordpiece_fertility,
 }
 
 MEDIA_FRAMES_SQL = """
@@ -6932,4 +7024,5 @@ ORACLES = {
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
     "corpus_wordpiece_vocab": CORPUS_WORDPIECE_VOCAB_SQL,
     "corpus_wordpiece_tokenize": CORPUS_WORDPIECE_TOKENIZE_SQL,
+    "corpus_wordpiece_fertility": CORPUS_WORDPIECE_FERTILITY_SQL,
 }

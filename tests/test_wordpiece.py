@@ -69,6 +69,38 @@ def test_tokenize_counts_per_doc_and_zero_word_docs():
     assert list(out["n_fallback"]) == [1, 0]
 
 
+def test_fertility_catalog_metrics_integer_exact(tmp_path):
+    import pyarrow.parquet as pq
+
+    from code_graph_rag_ray.pipelines.catalog import corpus_wordpiece_fertility
+
+    t = pa.Table.from_pylist(
+        [
+            {"doc_id": 0, "text": "merge merge merge merge merge", "lang": "en"},
+            {"doc_id": 1, "text": "zzz qqq", "lang": "fr"},
+        ],
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string())]
+        ),
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (
+        corpus_wordpiece_fertility(str(tmp_path))
+        .to_pandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    # en: vocab covers "merge" fully via mined pieces (freq 5 >= 5):
+    # greedy takes "merge" (len 5) as one token per word, zero fallback
+    assert out.loc["en", "n_words"] == 5
+    assert out.loc["en", "fertility_micro"] == 1_000_000
+    assert out.loc["en", "fallback_rate_micro"] == 0
+    # fr: no piece reaches min_freq except merge substrings; zzz/qqq have
+    # substrings below threshold -> all single-char fallback (3+3 tokens)
+    assert out.loc["fr", "n_wp_tokens"] == 6
+    assert out.loc["fr", "fallback_rate_micro"] == 1_000_000
+
+
 def test_tokenize_layout_invariance():
     vocab_src = _docs([(0, "merge merge merge batch batch batch")])
     vocab = pa.Table.from_pylist(
