@@ -179,7 +179,8 @@ def run_bench() -> dict:
             "page_communities", "page_community_terms", "page_ppr",
             "corpus_bpe_merges", "corpus_bpe_tokenize",
             "cooccur_clustering", "customer_record_linkage",
-            "doc_dsir_scores", "doc_decontaminate")
+            "doc_dsir_scores", "doc_decontaminate",
+            "doc_decontaminate_fast", "corpus_wordpiece_tokenize")
         from code_graph_rag_ray.stages.relational import clear_broadcast_cache
 
         for name in names:

@@ -6595,6 +6595,30 @@ FROM base GROUP BY lang
 """
 
 
+def doc_decontaminate_fast(sf_dir: str):
+    """Benchmark decontamination on the PRODUCTION hash family (dict-encoded
+    siphash n-gram combine — the vectorized path `decontaminate` defaults
+    to). Rows-only by design: siphash isn't replayable in SQL;
+    `doc_decontaminate` (md5 family, same code path) carries the bit-exact
+    oracle, and a pytest pins flag/count parity between the families."""
+    import pyarrow.compute as pc
+
+    from code_graph_rag_ray.stages.decontaminate import (
+        benchmark_ngram_hashes,
+        decontaminate,
+    )
+
+    def _mod31(b, keep_zero: bool):
+        m = pc.subtract(b["doc_id"], pc.multiply(pc.divide(b["doc_id"], 31), 31))
+        return b.filter(pc.equal(m, 0) if keep_zero else pc.not_equal(m, 0))
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    bench = ds.map_batches(lambda b: _mod31(b, True), batch_format="pyarrow")
+    bh = benchmark_ngram_hashes(bench, n=4, hash_family="fast")
+    train = ds.map_batches(lambda b: _mod31(b, False), batch_format="pyarrow")
+    return decontaminate(train, bh, n=4, hash_family="fast")
+
+
 DOC_DECONTAMINATE_SQL = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
@@ -6819,6 +6843,7 @@ QUERIES = {
     "doc_simhash_pairs_fast": doc_simhash_pairs_fast,
     "doc_dup_spans_fast": doc_dup_spans_fast,
     "doc_decontaminate": doc_decontaminate,
+    "doc_decontaminate_fast": doc_decontaminate_fast,
     "corpus_wordpiece_vocab": corpus_wordpiece_vocab,
     "corpus_wordpiece_tokenize": corpus_wordpiece_tokenize,
     "corpus_wordpiece_fertility": corpus_wordpiece_fertility,
