@@ -5,6 +5,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from code_graph_rag_ray.stages.decontaminate import (
     benchmark_ngram_hashes,
@@ -75,6 +77,46 @@ def test_decontaminate_empty_benchmark_is_all_clean():
     ).to_pandas()
     assert not out["contaminated"].any()
     assert (out["n_hits"] == 0).all()
+
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_texts = st.lists(_words, max_size=12).map(" ".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=6), st.lists(_texts, max_size=4))
+def test_fuzz_hits_match_brute_force_and_batch_layout(train, bench):
+    """The vectorized flat-hash membership count equals a per-doc brute
+    force (set intersection over shingle strings), and hashing is
+    batch-composition independent — the per-row identity invariant."""
+    from code_graph_rag_ray.stages.decontaminate import _flat_hashes
+
+    n = 3
+
+    def shingles(t):
+        toks = t.split()
+        if len(toks) < n:
+            return [t]
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    # batch hashes == concatenation of single-doc hashes (layout-free)
+    h_all, off = _flat_hashes(train, n, "fast")
+    for i, t in enumerate(train):
+        h_one, _ = _flat_hashes([t], n, "fast")
+        assert list(h_all[off[i] : off[i + 1]]) == list(h_one)
+
+    bench_sh = {s for t in bench for s in shingles(t)}
+    bh, _ = _flat_hashes(bench, n, "fast")
+    bh = np.sort(np.unique(bh))
+    for i, t in enumerate(train):
+        h = h_all[off[i] : off[i + 1]]
+        if len(bh):
+            idx = np.searchsorted(bh, h)
+            got = int(((idx < len(bh)) & (bh[np.minimum(idx, len(bh) - 1)] == h)).sum())
+        else:
+            got = 0
+        want = sum(1 for s in shingles(t) if s in bench_sh)
+        assert got == want
 
 
 def test_benchmark_hashes_sorted_distinct():
