@@ -164,6 +164,9 @@ def q3_top_revenue_orders(sf_dir: str):
             [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
              ("o_orderdate", pa.string())]
         ),
+        # explicit: a filter(expr)+select_columns plan's schema probe is
+        # session-state dependent (NOTES fact 31) — never probe it
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
     ).select_columns(["o_orderkey", "o_orderdate"])
 
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -693,7 +696,10 @@ def orders_anti_building(sf_dir: str):
     ).select_columns(["c_custkey"])
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     return bucketed_join(orders, cust, on="o_custkey", right_on="c_custkey",
-                         how="anti")
+                         how="anti",
+                         left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                                ("o_custkey", pa.int64())]),
+                         right_schema=pa.schema([("c_custkey", pa.int64())]))
 
 
 ORDERS_ANTI_BUILDING_SQL = """

@@ -197,6 +197,15 @@ def _pack_side(
         )
         if b.num_rows == 0:
             return empty
+        missing = [c for c in keep_cols if c not in b.column_names]
+        if missing:
+            # almost always a stale schema PROBE on a filter/select plan
+            # (NOTES fact 31) — tell the caller the deterministic fix
+            raise KeyError(
+                f"bucketed_join pack: columns {missing} not in batch schema "
+                f"{b.column_names}; the side's inferred schema is stale — "
+                "pass left_schema/right_schema explicitly at the call site"
+            )
         sub = pa.table({"__key": key, **{c: b[c] for c in keep_cols}})
         buckets = partition_ids(key, num_buckets)
         order = np.argsort(buckets, kind="stable")
