@@ -433,3 +433,24 @@ def test_broadcast_cache_bytes_bound(ray_session, monkeypatch):
     assert len(rel._BROADCAST_CONCAT_CACHE) == n
     rel.clear_broadcast_cache()
     assert not rel._BROADCAST_CONCAT_CACHE
+
+
+def test_bucketed_join_stale_schema_raises_descriptive_error():
+    """A wrong explicit schema (stand-in for a stale probe, NOTES fact 31)
+    must fail loudly with the pass-schemas fix named, not a bare KeyError
+    or — worse — a silently wrong join."""
+    import pytest
+    import ray.data as rd
+
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    left = rd.from_arrow(pa.table({"k": [1, 2], "v": [10, 20]}))
+    right = rd.from_arrow(pa.table({"k": [1, 2], "w": [7, 8]}))
+    bad = bucketed_join(
+        left, right, on="k",
+        left_schema=pa.schema([("k", pa.int64()), ("v", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("w", pa.int64()),
+                                ("ghost", pa.int64())]),
+    )
+    with pytest.raises(Exception, match="right_schema explicitly"):
+        bad.count()
