@@ -47,9 +47,24 @@ def clear_broadcast_cache() -> None:
 
 
 def _concat_body(*tables):
-    tbls = [t for t in tables if t is not None and t.num_rows > 0]
+    # Ray 2.49's to_arrow_refs takes its zero-copy path whenever the
+    # DATASET-level schema reports Arrow — but a mixed-block dataset
+    # (pandas merge outputs ∪ schema-typed Arrow empties, the
+    # bucketed_join shape per NOTES facts 23/27) then leaks its PANDAS
+    # blocks through unconverted, and WHICH block the schema probe lands
+    # on is session/parallelism dependent. Normalize per block here.
+    norm = []
+    for t in tables:
+        if t is None:
+            continue
+        if not isinstance(t, pa.Table):
+            if len(getattr(t, "columns", ())) == 0:
+                continue  # schema-less empty pandas sort partition
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        norm.append(t)
+    tbls = [t for t in norm if t.num_rows > 0]
     if not tbls:
-        return tables[0] if tables else pa.table({})
+        return norm[0] if norm else pa.table({})
     return pa.concat_tables(tbls, promote_options="default")
 
 

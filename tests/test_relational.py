@@ -454,3 +454,39 @@ def test_bucketed_join_stale_schema_raises_descriptive_error():
     )
     with pytest.raises(Exception, match="right_schema explicitly"):
         bad.count()
+
+
+def test_concat_body_normalizes_mixed_and_schemaless_blocks():
+    """Ray 2.49's to_arrow_refs leaks PANDAS blocks through its zero-copy
+    path when a mixed-block dataset's schema probe lands on an Arrow block
+    (session-dependent — the q3 flake). _concat_body must normalize."""
+    import pandas as pd
+
+    from code_graph_rag_ray.stages.relational import _concat_body
+
+    arrow = pa.table({"k": [1], "v": [10]})
+    pandas_blk = pd.DataFrame({"k": [2], "v": [20]})
+    schemaless_empty = pd.DataFrame()
+    out = _concat_body(arrow, pandas_blk, schemaless_empty, None)
+    assert isinstance(out, pa.Table)
+    assert sorted(out["k"].to_pylist()) == [1, 2]
+    # all-empty: still an Arrow table with the typed schema preserved
+    out2 = _concat_body(arrow.slice(0, 0), pd.DataFrame())
+    assert isinstance(out2, pa.Table) and out2.num_rows == 0
+    assert out2.schema.names == ["k", "v"]
+
+
+def test_broadcast_join_mixed_block_small_side():
+    import pandas as pd
+    import ray.data as rd
+
+    import code_graph_rag_ray.stages.relational as rel
+
+    rel.clear_broadcast_cache()
+    small = rd.from_arrow(pa.table({"k": [1, 2], "w": [7, 8]})).union(
+        rd.from_pandas(pd.DataFrame({"k": [3], "w": [9]}))
+    ).materialize()
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3, 4], "v": [1, 2, 3, 4]}))
+    out = rel.broadcast_join(left, small, on="k").to_pandas()
+    assert sorted(out["k"]) == [1, 2, 3]
+    rel.clear_broadcast_cache()
