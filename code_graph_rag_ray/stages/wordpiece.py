@@ -55,6 +55,19 @@ def _substring_partials(words: pa.Array, wc: np.ndarray, lmax: int) -> pa.Table:
     ws = words.to_numpy(zero_copy_only=False)
     lens = np.asarray([len(w) for w in ws], dtype=np.int64)
     buf = np.frombuffer("".join(ws).encode("utf-8"), np.uint8)
+    if len(buf) != int(lens.sum()):
+        # non-ASCII word (custom token_split): byte offsets ≠ char offsets,
+        # so the strided-window view is invalid — per-word fallback over
+        # the (vocab-scale) distinct-word block, same output contract
+        piece_l: list[str] = []
+        freq_l: list[int] = []
+        for w, c in zip(ws, wc):
+            for l in range(2, lmax + 1):
+                for i in range(len(w) - l + 1):
+                    piece_l.append(w[i : i + l])
+                    freq_l.append(int(c))
+        return pa.table({"piece": pa.array(piece_l, pa.string()),
+                         "freq": pa.array(freq_l, pa.int64())})
     starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
     pieces: list[pa.Array] = []
     freqs: list[np.ndarray] = []

@@ -116,3 +116,20 @@ def test_tokenize_layout_invariance():
     a = one[key].sort_values("doc_id").reset_index(drop=True)
     b = many[key].sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_vocab_non_ascii_words_fall_back_correctly():
+    """A custom token_split can yield non-ASCII words; the byte-window
+    vectorization must detect the char/byte mismatch and fall back to the
+    per-word path with identical counting semantics."""
+    ds = _docs([(0, "héllo héllo naïve")])
+    out = (
+        wordpiece_vocab(ds, lmax=3, min_freq=2, top_k=50,
+                        token_split="[^a-zà-ÿ0-9]+")
+        .to_pandas()
+        .set_index("piece")["freq"]
+        .to_dict()
+    )
+    # substrings of "héllo" (freq 2 per occurrence position)
+    assert out["hé"] == 2 and out["hél"] == 2 and out["ll"] == 2
+    assert "na" not in out  # freq 1 < min_freq
