@@ -2551,6 +2551,58 @@ WHERE (pred = 'dup' AND {_LABEL_SQL.format(c='subj')} <> 'Term')
 """
 
 
+def kg_induced_schema(sf_dir: str):
+    """Schema induction: mine each predicate's dominant (subj_label,
+    obj_label) signature with support counts from the typed edge table —
+    the learned counterpart of kg_edge_violations' fixed legality matrix
+    (stages/schema.induce_schema)."""
+    from code_graph_rag_ray.pipelines.kg import build_kg
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+    from code_graph_rag_ray.stages.schema import induce_schema
+
+    pages = pages_from_documents(sf_dir)
+    relations = {w: w for w in RELATION_VOCAB_SORTED}
+    kg = build_kg(
+        pages, _typed_vocab_alias_tbl(), relations=relations,
+        materialize_mentions=False, build_nodes=False,
+    )
+    import ray
+
+    return induce_schema(
+        kg["edges"].select_columns(["subj", "pred", "obj", "provenance_url"]),
+        ray.put(_typed_vocab_alias_tbl()),
+    )
+
+
+KG_INDUCED_SCHEMA_SQL = f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+     idx AS (SELECT doc_id, source, toks, unnest(range(1, len(toks) - 1)) AS i FROM t),
+     e AS (
+       SELECT DISTINCT toks[i] AS subj, toks[i+1] AS pred, toks[i+2] AS obj,
+              'https://' || source || '.example.org/doc/' || doc_id AS provenance_url
+       FROM idx
+       WHERE toks[i] IN {_ENT_SQL} AND toks[i+1] IN {_REL_SQL} AND toks[i+2] IN {_ENT_SQL}
+     ),
+     lab AS (
+       SELECT pred, {_LABEL_SQL.format(c='subj')} AS subj_label,
+              {_LABEL_SQL.format(c='obj')} AS obj_label
+       FROM e),
+     cnt AS (
+       SELECT pred, subj_label, obj_label, CAST(count(*) AS BIGINT) AS support
+       FROM lab GROUP BY pred, subj_label, obj_label),
+     ranked AS (
+       SELECT *,
+              row_number() OVER (PARTITION BY pred
+                                 ORDER BY support DESC, subj_label, obj_label) AS rn,
+              sum(support) OVER (PARTITION BY pred) AS tot
+       FROM cnt)
+SELECT pred, subj_label, obj_label, support,
+       CAST(tot AS BIGINT) AS total,
+       CAST((1000000::HUGEINT * support) // tot AS BIGINT) AS support_micro
+FROM ranked WHERE rn = 1
+"""
+
+
 def page_hosts(sf_dir: str):
     """Structure pass analog (M4): host hierarchy counts from page urls."""
     from ray.data.aggregate import Count
@@ -6850,6 +6902,7 @@ QUERIES = {
     "doc_dup_spans_fast": doc_dup_spans_fast,
     "doc_decontaminate": doc_decontaminate,
     "doc_decontaminate_fast": doc_decontaminate_fast,
+    "kg_induced_schema": kg_induced_schema,
     "corpus_wordpiece_vocab": corpus_wordpiece_vocab,
     "corpus_wordpiece_tokenize": corpus_wordpiece_tokenize,
     "corpus_wordpiece_fertility": corpus_wordpiece_fertility,
@@ -7056,4 +7109,5 @@ ORACLES = {
     "corpus_wordpiece_vocab": CORPUS_WORDPIECE_VOCAB_SQL,
     "corpus_wordpiece_tokenize": CORPUS_WORDPIECE_TOKENIZE_SQL,
     "corpus_wordpiece_fertility": CORPUS_WORDPIECE_FERTILITY_SQL,
+    "kg_induced_schema": KG_INDUCED_SCHEMA_SQL,
 }

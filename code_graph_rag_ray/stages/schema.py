@@ -93,3 +93,75 @@ def validate_edges(
         return df
 
     return edges.map_batches(check, batch_format="pandas")
+
+
+def induce_schema(edges: Dataset, alias_ref) -> Dataset:
+    """Schema INDUCTION — the learned counterpart of :func:`validate_edges`'
+    fixed legality matrix (reference: the hand-written per-relation
+    endpoint constraints, ``docs/architecture/graph-schema.md:40-68``):
+    mine each predicate's dominant ``(subj_label, obj_label)`` signature
+    from the edge table itself, with support counts, so constraint tables
+    can be bootstrapped from data instead of authored.
+
+    Output per predicate: ``(pred, subj_label, obj_label, support,
+    total, support_micro)`` — the most frequent label pair (ties broken
+    by label text, deterministic), its edge count, the predicate's total
+    edge count, and the integer-exact dominance ratio in micro-units.
+
+    Scale shape: one streaming pass folds batch-local ``(pred, slabel,
+    olabel)`` counts (pandas value_counts per batch), a grouped sum
+    merges the partials, and — because the merged table is SCHEMA-scale
+    (≤ |preds| × |labels|², dictionary-bounded, not corpus-bounded) —
+    the argmax/total finish runs vectorized in one block. The edge table
+    itself never leaves the streaming pass.
+    """
+    import pyarrow as pa
+
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        types = get_broadcast_transformed(alias_ref, "etype_map", entity_type_map)
+        out = pd.DataFrame(
+            {"pred": df["pred"],
+             "subj_label": _labels_for(df["subj"], types),
+             "obj_label": _labels_for(df["obj"], types)}
+        )
+        g = (out.groupby(["pred", "subj_label", "obj_label"], sort=False)
+                .size().rename("n").reset_index())
+        return g
+
+    counts = partial_groupby_sum(
+        edges.map_batches(partial, batch_format="pandas"),
+        ["pred", "subj_label", "obj_label"], {"n": "support"},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("pred", pa.string()), ("subj_label", pa.string()),
+             ("obj_label", pa.string()), ("support", pa.int64()),
+             ("total", pa.int64()), ("support_micro", pa.int64())]
+        ).empty_table()
+        if b.num_rows == 0:
+            return empty
+        df = b.to_pandas()
+        df["total"] = df.groupby("pred")["support"].transform("sum")
+        df = df.sort_values(
+            ["pred", "support", "subj_label", "obj_label"],
+            ascending=[True, False, True, True], kind="mergesort",
+        )
+        dom = df.drop_duplicates("pred", keep="first").reset_index(drop=True)
+        support = dom["support"].to_numpy(np.int64)
+        total = dom["total"].to_numpy(np.int64)
+        micro = (support.astype(object) * 10**6) // total  # exact int
+        return pa.table(
+            {"pred": pa.array(dom["pred"], pa.string()),
+             "subj_label": pa.array(dom["subj_label"], pa.string()),
+             "obj_label": pa.array(dom["obj_label"], pa.string()),
+             "support": pa.array(support),
+             "total": pa.array(total),
+             "support_micro": pa.array(micro.astype(np.int64))}
+        )
+
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

@@ -78,3 +78,33 @@ def test_validate_edges_modes():
 
     viols = validate_edges(_edges(), _TYPED_ALIAS, _LEGALITY, mode="violations").to_pandas()
     assert sorted(viols.provenance_url) == ["u2", "u3"]
+
+
+def test_induce_schema_dominant_pairs_ties_and_externals():
+    from code_graph_rag_ray.stages.schema import induce_schema
+
+    rows = [
+        # pred "works_at": Person→Org twice, Org→Org once → dominant Person→Org
+        {"subj": "E1", "pred": "works_at", "obj": "E0", "provenance_url": "u1"},
+        {"subj": "E1", "pred": "works_at", "obj": "E0", "provenance_url": "u2"},
+        {"subj": "E0", "pred": "works_at", "obj": "E0", "provenance_url": "u3"},
+        # pred "ships": exact tie Org→Entity vs Person→Org → label-text
+        # ascending wins (Org < Person)
+        {"subj": "E0", "pred": "ships", "obj": "E2", "provenance_url": "u4"},
+        {"subj": "E1", "pred": "ships", "obj": "E0", "provenance_url": "u5"},
+        # pred "cites": ext:: endpoint → ExternalEntity label
+        {"subj": "ext::x", "pred": "cites", "obj": "E1", "provenance_url": "u6"},
+    ]
+    edges = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = (
+        induce_schema(edges, _TYPED_ALIAS)
+        .to_pandas()
+        .set_index("pred")
+        .sort_index()
+    )
+    assert out.loc["works_at", ["subj_label", "obj_label"]].tolist() == ["Person", "Org"]
+    assert out.loc["works_at", "support"] == 2 and out.loc["works_at", "total"] == 3
+    assert out.loc["works_at", "support_micro"] == 666_666
+    assert out.loc["ships", ["subj_label", "obj_label"]].tolist() == ["Org", "Entity"]
+    assert out.loc["ships", "support_micro"] == 500_000
+    assert out.loc["cites", "subj_label"] == "ExternalEntity"
