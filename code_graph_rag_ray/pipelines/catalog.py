@@ -2603,6 +2603,84 @@ FROM ranked WHERE rn = 1
 """
 
 
+def kg_edge_diff(sf_dir: str):
+    """KG diff between two corpus versions — the CDC counterpart of
+    incremental_update at EDGE granularity (reference analog: the
+    incremental == clean equivalence eval, `evals/incremental_scores.csv`):
+    v1 = documents with doc_id % 7 != 0, v2 = documents with
+    doc_id % 5 != 0 (each version misses some docs, so both directions
+    are non-empty). Added = v2-only edges, removed = v1-only edges, via
+    the composite-key bucketed ANTI join both ways — edge tables are
+    corpus-scale on BOTH sides, so neither is broadcast and nothing
+    lands on the driver."""
+    import pyarrow.compute as pc
+
+    from code_graph_rag_ray.pipelines.kg import build_kg
+    from code_graph_rag_ray.sources.pages import _docs_to_pages_batch
+    from code_graph_rag_ray.stages.relational import bucketed_join
+
+    relations = {w: w for w in RELATION_VOCAB_SORTED}
+    alias = pa.Table.from_pylist(
+        [{"alias": w, "entity_id": w, "prior": 1.0} for w in ENTITY_VOCAB_SORTED]
+    )
+
+    def edges_version(mod: int):
+        docs = _pq(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+        def keep(b: pa.Table) -> pa.Table:
+            m = pc.subtract(b["doc_id"],
+                            pc.multiply(pc.divide(b["doc_id"], mod), mod))
+            return b.filter(pc.not_equal(m, 0))
+
+        pages = docs.map_batches(keep, batch_format="pyarrow").map_batches(
+            _docs_to_pages_batch, batch_format="pyarrow"
+        )
+        kg = build_kg(pages, alias, relations=relations,
+                      materialize_mentions=False, build_nodes=False)
+        return kg["edges"].select_columns(
+            ["subj", "pred", "obj", "provenance_url"])
+
+    key = ["subj", "pred", "obj", "provenance_url"]
+    schema = pa.schema([(c, pa.string()) for c in key])
+    v1, v2 = edges_version(7), edges_version(5)
+
+    def tag(change: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "change", pa.array([change] * b.num_rows, pa.string()))
+        return f
+
+    # each version's lineage re-executes once per consuming branch (plan
+    # duplication is the streaming-safe choice; a production diff over a
+    # checkpointed build reads the edge parquet twice instead)
+    added = bucketed_join(v2, v1, on=key, how="anti",
+                          left_schema=schema, right_schema=schema
+                          ).map_batches(tag("added"), batch_format="pyarrow")
+    removed = bucketed_join(v1, v2, on=key, how="anti",
+                            left_schema=schema, right_schema=schema
+                            ).map_batches(tag("removed"), batch_format="pyarrow")
+    return added.union(removed)
+
+
+KG_EDGE_DIFF_SQL = f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+     idx AS (SELECT doc_id, source, toks, unnest(range(1, len(toks) - 1)) AS i FROM t),
+     e AS (
+       SELECT DISTINCT doc_id, toks[i] AS subj, toks[i+1] AS pred, toks[i+2] AS obj,
+              'https://' || source || '.example.org/doc/' || doc_id AS provenance_url
+       FROM idx
+       WHERE toks[i] IN {{ent}} AND toks[i+1] IN {{rel}} AND toks[i+2] IN {{ent}}
+     ),
+     v1 AS (SELECT subj, pred, obj, provenance_url FROM e WHERE doc_id % 7 <> 0),
+     v2 AS (SELECT subj, pred, obj, provenance_url FROM e WHERE doc_id % 5 <> 0)
+SELECT subj, pred, obj, provenance_url, 'added' AS change
+FROM (SELECT * FROM v2 EXCEPT SELECT * FROM v1)
+UNION ALL
+SELECT subj, pred, obj, provenance_url, 'removed' AS change
+FROM (SELECT * FROM v1 EXCEPT SELECT * FROM v2)
+""".format(ent=_ENT_SQL, rel=_REL_SQL)
+
+
 def page_hosts(sf_dir: str):
     """Structure pass analog (M4): host hierarchy counts from page urls."""
     from ray.data.aggregate import Count
@@ -6903,6 +6981,7 @@ QUERIES = {
     "doc_decontaminate": doc_decontaminate,
     "doc_decontaminate_fast": doc_decontaminate_fast,
     "kg_induced_schema": kg_induced_schema,
+    "kg_edge_diff": kg_edge_diff,
     "corpus_wordpiece_vocab": corpus_wordpiece_vocab,
     "corpus_wordpiece_tokenize": corpus_wordpiece_tokenize,
     "corpus_wordpiece_fertility": corpus_wordpiece_fertility,
@@ -7110,4 +7189,5 @@ ORACLES = {
     "corpus_wordpiece_tokenize": CORPUS_WORDPIECE_TOKENIZE_SQL,
     "corpus_wordpiece_fertility": CORPUS_WORDPIECE_FERTILITY_SQL,
     "kg_induced_schema": KG_INDUCED_SCHEMA_SQL,
+    "kg_edge_diff": KG_EDGE_DIFF_SQL,
 }

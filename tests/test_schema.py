@@ -108,3 +108,28 @@ def test_induce_schema_dominant_pairs_ties_and_externals():
     assert out.loc["ships", ["subj_label", "obj_label"]].tolist() == ["Org", "Entity"]
     assert out.loc["ships", "support_micro"] == 500_000
     assert out.loc["cites", "subj_label"] == "ExternalEntity"
+
+
+def test_kg_edge_diff_directions(tmp_path):
+    """Edge-granularity corpus diff: v2-only edges tag 'added', v1-only
+    'removed', shared edges vanish — both directions via composite-key
+    anti joins (the CDC-at-the-KG-level operator)."""
+    import pyarrow.parquet as pq
+
+    from code_graph_rag_ray.pipelines.catalog import kg_edge_diff
+
+    rows = []
+    for i in range(1, 36):
+        rows.append({"doc_id": i, "text": "batch join data key merge row",
+                     "lang": "en", "source": "s"})
+    t = pa.Table.from_pylist(rows)
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = kg_edge_diff(str(tmp_path)).to_pandas()
+    assert set(out["change"]) == {"added", "removed"}
+    # docs with doc_id%7==0 (and %5!=0) exist only in v2 → their edges added
+    added_docs = {int(u.rsplit("/", 1)[1]) for u in
+                  out.loc[out["change"] == "added", "provenance_url"]}
+    removed_docs = {int(u.rsplit("/", 1)[1]) for u in
+                    out.loc[out["change"] == "removed", "provenance_url"]}
+    assert added_docs and all(d % 7 == 0 and d % 5 != 0 for d in added_docs)
+    assert removed_docs and all(d % 5 == 0 and d % 7 != 0 for d in removed_docs)
