@@ -2681,6 +2681,81 @@ FROM (SELECT * FROM v1 EXCEPT SELECT * FROM v2)
 """.format(ent=_ENT_SQL, rel=_REL_SQL)
 
 
+def kg_path_2hop(sf_dir: str):
+    """Graph-pattern query primitive: match (a)-[join]->(b)-[merge]->(c)
+    over the KG edge table and aggregate path counts per (a, c) — the
+    Ray-Data re-expression of the reference's Cypher traversal surface
+    (`graph_service.py` MATCH queries): each hop is a bucketed cogroup
+    join keyed on the shared endpoint, the path table never
+    materializes on the driver, and counts fold through the standard
+    partial-sum shuffle."""
+    import pyarrow.compute as pc
+
+    from code_graph_rag_ray.pipelines.kg import build_kg
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+    from code_graph_rag_ray.stages.relational import (
+        bucketed_join,
+        partial_groupby_sum,
+    )
+
+    pages = pages_from_documents(sf_dir)
+    relations = {w: w for w in RELATION_VOCAB_SORTED}
+    alias = pa.Table.from_pylist(
+        [{"alias": w, "entity_id": w, "prior": 1.0} for w in ENTITY_VOCAB_SORTED]
+    )
+    kg = build_kg(pages, alias, relations=relations,
+                  materialize_mentions=False, build_nodes=False)
+    edges = kg["edges"].select_columns(["subj", "pred", "obj"])
+
+    def hop(pred: str, names: tuple[str, str]):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["pred"], pred))
+            return pa.table({names[0]: b["subj"], names[1]: b["obj"]})
+        return edges.map_batches(f, batch_format="pyarrow")
+
+    h1 = hop("join", ("a", "mid"))
+    h2 = hop("merge", ("mid", "c"))
+    two = pa.schema([("a", pa.string()), ("mid", pa.string())])
+    paths = bucketed_join(
+        h1, h2, on="mid",
+        left_schema=two,
+        right_schema=pa.schema([("mid", pa.string()), ("c", pa.string())]),
+    )
+
+    def one(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "c": pa.array([], pa.string()),
+                             "one": pa.array([], pa.int64())})
+        return pa.table({"a": pc.cast(b["a"], pa.string()),
+                         "c": pc.cast(b["c"], pa.string()),
+                         "one": pa.array(np.ones(b.num_rows, np.int64))})
+
+    # (a, c) path groups are entity-pair-scale (corpus-scale on real
+    # data) — return the Dataset; like the rest of the aggregate family,
+    # an ALL-empty result degrades to a schema-less empty (facts 23/28)
+    return partial_groupby_sum(
+        paths.map_batches(one, batch_format="pyarrow"),
+        ["a", "c"], {"one": "n_paths"},
+    )
+
+
+KG_PATH_2HOP_SQL = f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+     idx AS (SELECT doc_id, source, toks, unnest(range(1, len(toks) - 1)) AS i FROM t),
+     e AS (
+       SELECT DISTINCT toks[i] AS subj, toks[i+1] AS pred, toks[i+2] AS obj,
+              'https://' || source || '.example.org/doc/' || doc_id AS provenance_url
+       FROM idx
+       WHERE toks[i] IN {{ent}} AND toks[i+1] IN {{rel}} AND toks[i+2] IN {{ent}}
+     )
+SELECT e1.subj AS a, e2.obj AS c, CAST(count(*) AS BIGINT) AS n_paths
+FROM e AS e1 JOIN e AS e2 ON e1.obj = e2.subj
+WHERE e1.pred = 'join' AND e2.pred = 'merge'
+GROUP BY e1.subj, e2.obj
+""".format(ent=_ENT_SQL, rel=_REL_SQL)
+
+
 def page_hosts(sf_dir: str):
     """Structure pass analog (M4): host hierarchy counts from page urls."""
     from ray.data.aggregate import Count
@@ -6982,6 +7057,7 @@ QUERIES = {
     "doc_decontaminate_fast": doc_decontaminate_fast,
     "kg_induced_schema": kg_induced_schema,
     "kg_edge_diff": kg_edge_diff,
+    "kg_path_2hop": kg_path_2hop,
     "corpus_wordpiece_vocab": corpus_wordpiece_vocab,
     "corpus_wordpiece_tokenize": corpus_wordpiece_tokenize,
     "corpus_wordpiece_fertility": corpus_wordpiece_fertility,
@@ -7190,4 +7266,5 @@ ORACLES = {
     "corpus_wordpiece_fertility": CORPUS_WORDPIECE_FERTILITY_SQL,
     "kg_induced_schema": KG_INDUCED_SCHEMA_SQL,
     "kg_edge_diff": KG_EDGE_DIFF_SQL,
+    "kg_path_2hop": KG_PATH_2HOP_SQL,
 }

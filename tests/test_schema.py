@@ -133,3 +133,24 @@ def test_kg_edge_diff_directions(tmp_path):
                     out.loc[out["change"] == "removed", "provenance_url"]}
     assert added_docs and all(d % 7 == 0 and d % 5 != 0 for d in added_docs)
     assert removed_docs and all(d % 5 == 0 and d % 7 != 0 for d in removed_docs)
+
+
+def test_kg_path_2hop_counts(tmp_path):
+    """(a)-[join]->(b)-[merge]->(c) pattern counts: two docs plant
+    'key join data' and 'data merge row' twice → 2 paths key→row."""
+    import pyarrow.parquet as pq
+
+    from code_graph_rag_ray.pipelines.catalog import kg_path_2hop
+
+    rows = [
+        {"doc_id": 1, "text": "key join data x data merge row", "lang": "en",
+         "source": "s"},
+        {"doc_id": 2, "text": "key join data y data merge row", "lang": "en",
+         "source": "s"},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = kg_path_2hop(str(tmp_path)).to_pandas()
+    got = out.set_index(["a", "c"])["n_paths"].to_dict()
+    # each doc contributes one (key join data) and one (data merge row):
+    # join edges: 2 × (key, data); merge edges: 2 × (data, row) → 4 paths
+    assert got[("key", "row")] == 4
