@@ -6473,7 +6473,16 @@ def customer_k_anonymity(sf_dir: str):
              "n": pc.cast(f["n"], pa.int64())}
         )
 
-    return counts.map_batches(risky, batch_format="pyarrow", batch_size=None)
+    # the violation set is dictionary-bounded (nations × segments) and can
+    # be legitimately EMPTY at larger scales — where Ray's schema-less
+    # empty blocks bypass the typed projection (NOTES fact 23) — so the
+    # result lands as a schema-stable driver frame like the other
+    # dictionary-scale audits
+    df = counts.map_batches(
+        risky, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    return _ensure_cols(df, {"c_nationkey": "int64",
+                             "c_mktsegment": "object", "n": "int64"})
 
 
 CUSTOMER_K_ANONYMITY_SQL = """
