@@ -6873,14 +6873,66 @@ GROUP BY doc_id
 # by tools/check_oracles.py --exact --physical (the driver-equivalent
 # sweep).
 QUERIES = {
-    # --- anchors (kept from every round's window) ---
+    # ------ driver 50-entry window (exactly 50 entries, ALL oracle- ------
+    # ------ backed; rows-only entries live below the boundary) ------
+    # r05 focus: the 19 queries never driver-checked in r01-r04 (each
+    # pre-verified locally via tools/check_oracles.py --physical)
+    "page_manifest": page_manifest,
+    "ext_packages": ext_packages,
+    "nation_revenue_pareto": nation_revenue_pareto,
+    "doc_minhash_sig": doc_minhash_sig,
+    "doc_top_by_lang": doc_top_by_lang,
+    "page_deps": page_deps,
+    "doc_split": doc_split,
+    "doc_sample_weighted": doc_sample_weighted,
+    "doc_chunks": doc_chunks,
+    "events_user_history": events_user_history,
+    "corpus_bigrams": corpus_bigrams,
+    "events_value_quantiles_by_type": events_value_quantiles_by_type,
+    "doc_decontaminate": doc_decontaminate,
+    "kg_induced_schema": kg_induced_schema,
+    "kg_edge_diff": kg_edge_diff,
+    "kg_path_2hop": kg_path_2hop,
+    "corpus_wordpiece_vocab": corpus_wordpiece_vocab,
+    "corpus_wordpiece_tokenize": corpus_wordpiece_tokenize,
+    "corpus_wordpiece_fertility": corpus_wordpiece_fertility,
+    # r05 new operators get inserted here (one anchor below moves out
+    # of the window per addition to keep the window at exactly 50)
+    # anchors: driver-green in earlier rounds, re-proved every session
     "kg_doc_triples": kg_doc_triples,
     "kg_fixture_pr": kg_fixture_pr,
     "kg_host_prior_gain": kg_host_prior_gain,
     "kg_precise_tier_gain": kg_precise_tier_gain,
-    "kg_robustness_curve": kg_robustness_curve,
-    # --- windows / sessions / streaming-shaped (first driver check) ---
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "doc_semdedup": doc_semdedup,
+    "doc_minhash_dedup_apply": doc_minhash_dedup_apply,
+    "doc_components": doc_components,
+    "doc_dsir_scores": doc_dsir_scores,
+    "events_attribution": events_attribution,
     "events_session_assign": events_session_assign,
+    "events_sessions": events_sessions,
+    "page_ppr": page_ppr,
+    "page_communities": page_communities,
+    "doc_simhash": doc_simhash,
+    "doc_global_rank": doc_global_rank,
+    "customer_record_linkage": customer_record_linkage,
+    "corpus_bpe_tokenize": corpus_bpe_tokenize,
+    "doc_pack_bpe": doc_pack_bpe,
+    "hybrid_retrieval": hybrid_retrieval,
+    "doc_tfidf_topk": doc_tfidf_topk,
+    "cooccur_clustering": cooccur_clustering,
+    "doc_embedding_vectors": doc_embedding_vectors,
+    "knn_brute": knn_brute,
+    "doc_para_dedup_apply": doc_para_dedup_apply,
+    "doc_scrub_pii": doc_scrub_pii,
+    "page_bfs_hops": page_bfs_hops,
+    "doc_exact_dup_clusters": doc_exact_dup_clusters,
+    # ------- end of the driver's 50-entry window (exactly 50 above) -------
+    # driver-green in r01-r04 (see CORRECTNESS_r0*.json); the oracle
+    # sweep re-proves them every session:
     "events_scd2": events_scd2,
     "events_debounce": events_debounce,
     "events_funnel_strict": events_funnel_strict,
@@ -6891,58 +6943,30 @@ QUERIES = {
     "events_rate_spikes": events_rate_spikes,
     "events_decayed_score": events_decayed_score,
     "events_dow_hour_heatmap": events_dow_hour_heatmap,
-    # --- sketches ---
     "events_user_hll": events_user_hll,
     "events_user_cms": events_user_cms,
-    # --- quantiles / robust aggregates ---
     "events_value_quantiles": events_value_quantiles,
     "doc_percent_rank": doc_percent_rank,
     "doc_mad_outliers": doc_mad_outliers,
     "orders_trimmed_mean": orders_trimmed_mean,
-    # --- splits / sampling / privacy ---
     "doc_split_leaks": doc_split_leaks,
     "doc_sample_stratified": doc_sample_stratified,
     "doc_split_by_source": doc_split_by_source,
     "customer_k_anonymity": customer_k_anonymity,
-    # --- reshape ---
     "lineitem_unpivot": lineitem_unpivot,
-    # --- text analysis / terms ---
-    "doc_tfidf_topk": doc_tfidf_topk,
     "doc_inverted_index": doc_inverted_index,
     "corpus_vocab_growth": corpus_vocab_growth,
     "source_trigram_diversity": source_trigram_diversity,
     "doc_lang_confusion": doc_lang_confusion,
-    # --- tokenizer / packing ---
-    "corpus_bpe_tokenize": corpus_bpe_tokenize,
     "corpus_bpe_fertility": corpus_bpe_fertility,
-    "doc_pack_bpe": doc_pack_bpe,
     "doc_pack_sequences": doc_pack_sequences,
-    # --- record linkage / similarity / embeddings ---
-    "customer_record_linkage": customer_record_linkage,
     "knn_hard_negatives": knn_hard_negatives,
     "doc_kmeans": doc_kmeans,
-    "doc_embedding_vectors": doc_embedding_vectors,
-    # --- dedup appliers / pair families ---
     "doc_jaccard_pairs": doc_jaccard_pairs,
-    "doc_para_dedup_apply": doc_para_dedup_apply,
-    "doc_minhash_dedup_apply": doc_minhash_dedup_apply,
-    # --- global ordering (new bounded sampler underneath) ---
-    "doc_global_rank": doc_global_rank,
     "doc_shuffle_rank": doc_shuffle_rank,
-    # --- graph family ---
-    "doc_components": doc_components,
     "doc_cooccurrence": doc_cooccurrence,
     "cooccur_triangles": cooccur_triangles,
-    "cooccur_clustering": cooccur_clustering,
     "page_community_terms": page_community_terms,
-    # --- manifest readers ---
-    "page_manifest": page_manifest,
-    "ext_packages": ext_packages,
-    # --- pareto ---
-    "nation_revenue_pareto": nation_revenue_pareto,
-    # ------- end of the driver's 50-entry window (exactly 50 above) -------
-    # driver-green in r01-r03 (see CORRECTNESS_r0*.json), oracle sweep
-    # re-proves them every session:
     "kg_doc_nodes": kg_doc_nodes,
     "kg_typed_nodes": kg_typed_nodes,
     "kg_edge_violations": kg_edge_violations,
@@ -6969,36 +6993,20 @@ QUERIES = {
     "orders_rollup": orders_rollup,
     "orders_cube": orders_cube,
     "events_customer_outer": events_customer_outer,
-    "q3_top_revenue_orders": q3_top_revenue_orders,
-    "q5_nation_revenue": q5_nation_revenue,
     "q10_returned_items": q10_returned_items,
     "q12_priority_by_returnflag": q12_priority_by_returnflag,
-    "q18_large_volume_customers": q18_large_volume_customers,
     "customer_name_ed1": customer_name_ed1,
     "corpus_bpe_merges": corpus_bpe_merges,
     "doc_minhash_pairs": doc_minhash_pairs,
-    "page_communities": page_communities,
     "doc_simhash_pairs": doc_simhash_pairs,
     "doc_jaccard_join": doc_jaccard_join,
     "doc_para_dedup": doc_para_dedup,
-    "hybrid_retrieval": hybrid_retrieval,
     "doc_boilerplate": doc_boilerplate,
-    "page_ppr": page_ppr,
-    "doc_semdedup": doc_semdedup,
     "doc_dup_spans_apply": doc_dup_spans_apply,
     "doc_source_mix": doc_source_mix,
-    "doc_dsir_scores": doc_dsir_scores,
-    "events_attribution": events_attribution,
     "events_transitions": events_transitions,
     "doc_bm25_topk": doc_bm25_topk,
-    "doc_minhash_sig": doc_minhash_sig,
-    "doc_simhash": doc_simhash,
-    "knn_brute": knn_brute,
-    "events_sessions": events_sessions,
-    "page_bfs_hops": page_bfs_hops,
     "doc_dup_spans": doc_dup_spans,
-    "doc_exact_dup_clusters": doc_exact_dup_clusters,
-    "q1_pricing_summary": q1_pricing_summary,
     "q4_status_revenue": q4_status_revenue,
     "orders_by_priority": orders_by_priority,
     "parts_by_brand": parts_by_brand,
@@ -7034,24 +7042,16 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_findings": doc_findings,
     "doc_repetition": doc_repetition,
-    "doc_scrub_pii": doc_scrub_pii,
     "doc_len_quantiles": doc_len_quantiles,
     "doc_lm_score": doc_lm_score,
     "events_hopping": events_hopping,
     "corpus_top_terms": corpus_top_terms,
     "doc_lang_counts": doc_lang_counts,
-    "doc_top_by_lang": doc_top_by_lang,
-    "page_deps": page_deps,
-    "doc_split": doc_split,
-    "doc_sample_weighted": doc_sample_weighted,
     "doc_lang_pred": doc_lang_pred,
-    "doc_chunks": doc_chunks,
-    "events_user_history": events_user_history,
-    "corpus_bigrams": corpus_bigrams,
-    "events_value_quantiles_by_type": events_value_quantiles_by_type,
     # rows-only (no SQL-expressible oracle; semantics pinned in tests/)
-    # and production (siphash) hash twins — md5 twins above carry the
+    # and production (siphash) hash twins -- md5 twins above carry the
     # bit-exact oracles; pytest pins cross-family structural parity
+    "kg_robustness_curve": kg_robustness_curve,
     "doc_embeddings": doc_embeddings,
     "doc_spectral_embeddings": doc_spectral_embeddings,
     "embedding_dup_pairs": embedding_dup_pairs,
@@ -7062,14 +7062,7 @@ QUERIES = {
     "doc_minhash_pairs_fast": doc_minhash_pairs_fast,
     "doc_simhash_pairs_fast": doc_simhash_pairs_fast,
     "doc_dup_spans_fast": doc_dup_spans_fast,
-    "doc_decontaminate": doc_decontaminate,
     "doc_decontaminate_fast": doc_decontaminate_fast,
-    "kg_induced_schema": kg_induced_schema,
-    "kg_edge_diff": kg_edge_diff,
-    "kg_path_2hop": kg_path_2hop,
-    "corpus_wordpiece_vocab": corpus_wordpiece_vocab,
-    "corpus_wordpiece_tokenize": corpus_wordpiece_tokenize,
-    "corpus_wordpiece_fertility": corpus_wordpiece_fertility,
 }
 
 MEDIA_FRAMES_SQL = """

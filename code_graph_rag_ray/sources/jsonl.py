@@ -91,6 +91,13 @@ def _b64_decode_array(col) -> pa.Array:
         + np.repeat(raw_off[:-1], out_len)
     )
     out = raw[idx] if total else np.empty(0, np.uint8)
+    if total > np.iinfo(np.int32).max:
+        # read_json is one task per file → one very large JSONL file is one
+        # batch; int32 offsets would silently wrap past 2 GiB of decoded html
+        raise ValueError(
+            f"decoded html batch is {total} bytes (> int32 offset range); "
+            "split the JSONL file so one file's html stays under 2 GiB"
+        )
     return pa.Array.from_buffers(
         pa.binary(), n,
         [None, pa.py_buffer(out_off.astype(np.int32)), pa.py_buffer(out)],
@@ -157,11 +164,18 @@ def write_pages_jsonl(pages: pa.Table, path: str) -> None:
     """Driver-side JSONL writer for tests/fixtures (one small table)."""
     import base64
     import json
+    from datetime import datetime, timedelta
 
     with open(path, "w") as f:
         for r in pages.to_pylist():
             ts = r["warc_ts"]
-            micros = int(ts.timestamp() * 1_000_000) if hasattr(ts, "timestamp") else int(ts)
+            # timezone-FREE micros: naive datetimes are wall-clock values,
+            # not local-time instants — .timestamp() would shift them by
+            # the host's UTC offset (observed 4h under America/New_York)
+            if isinstance(ts, datetime):
+                micros = (ts - datetime(1970, 1, 1)) // timedelta(microseconds=1)
+            else:
+                micros = int(ts)
             f.write(json.dumps(
                 {"url": r["url"], "warc_ts": micros,
                  "html": base64.b64encode(r["html"] or b"").decode(),

@@ -184,7 +184,7 @@ def wordpiece_tokenize(
 
     def tok(b: pa.Table) -> pa.Table:
         empty = pa.table(
-            {id_col: pa.array([], b[id_col].type if b.num_rows >= 0 else pa.int64()),
+            {id_col: pa.array([], b[id_col].type),
              "n_words": pa.array([], pa.int64()),
              "n_wp_tokens": pa.array([], pa.int64()),
              "n_fallback": pa.array([], pa.int64())}

@@ -57,6 +57,29 @@ def test_jsonl_roundtrips_pages_table_exactly(tmp_path):
     assert (got["warc_ts"].astype("int64") == want["warc_ts"].astype("int64")).all()
 
 
+def test_write_pages_jsonl_micros_are_timezone_free(tmp_path):
+    """Naive warc_ts datetimes must serialize as wall-clock micros, not
+    local-time instants — .timestamp() on a naive datetime shifts by the
+    host's UTC offset (4h error observed under America/New_York)."""
+    import json
+    from datetime import datetime, timedelta
+
+    ts = datetime(2024, 3, 15, 12, 30, 45, 123456)
+    want = (ts - datetime(1970, 1, 1)) // timedelta(microseconds=1)
+    pages = pa.table(
+        {"url": ["http://example.org/a"],
+         "warc_ts": pa.array([ts], pa.timestamp("us")),
+         "html": [b"<p>x</p>"], "text": ["x"], "lang": ["en"]}
+    )
+    path = str(tmp_path / "tz.jsonl")
+    write_pages_jsonl(pages, path)
+    rec = json.loads(open(path).read().strip())
+    assert rec["warc_ts"] == want
+    # and it must equal the distributed encoder's pc.cast path
+    enc = encode_pages_for_json(__import__("ray").data.from_arrow(pages))
+    assert enc.take_all()[0]["warc_ts"] == want
+
+
 def test_distributed_export_then_read_back(tmp_path):
     import ray.data as rd
 
