@@ -2756,6 +2756,102 @@ GROUP BY e1.subj, e2.obj
 """.format(ent=_ENT_SQL, rel=_REL_SQL)
 
 
+def _kg_edges(sf_dir: str):
+    """Shared KG edge table for the path-query family (subj, pred, obj
+    with per-provenance multiplicity, matching the oracle's DISTINCT
+    (subj,pred,obj,provenance_url) edge relation)."""
+    from code_graph_rag_ray.pipelines.kg import build_kg
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(sf_dir)
+    relations = {w: w for w in RELATION_VOCAB_SORTED}
+    alias = pa.Table.from_pylist(
+        [{"alias": w, "entity_id": w, "prior": 1.0} for w in ENTITY_VOCAB_SORTED]
+    )
+    kg = build_kg(pages, alias, relations=relations,
+                  materialize_mentions=False, build_nodes=False)
+    return kg["edges"].select_columns(["subj", "pred", "obj"])
+
+
+def kg_path_khop(sf_dir: str):
+    """Variable-length graph-pattern query: SIMPLE (cycle-excluded) 3-hop
+    paths (a)-[join]->(b)-[merge]->(c)-[filter]->(d) over the KG edge
+    table, path counts per (a, d) — the k-hop generalization of
+    kg_path_2hop via the pattern DSL (stages/paths.py). Reference analog:
+    Cypher variable-length MATCH (`tools/codebase_query.py`). Each hop is
+    one bucketed cogroup join; cycle exclusion is an incremental
+    vectorized filter, so cyclic paths are pruned before fanning out."""
+    from code_graph_rag_ray.stages.paths import match_pattern, path_counts
+
+    paths = match_pattern(
+        _kg_edges(sf_dir), "(a)-[join]->(b)-[merge]->(c)-[filter]->(d)"
+    )
+    return path_counts(paths, "a", "d")
+
+
+KG_PATH_KHOP_SQL = f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+     idx AS (SELECT doc_id, source, toks, unnest(range(1, len(toks) - 1)) AS i FROM t),
+     e AS (
+       SELECT DISTINCT toks[i] AS subj, toks[i+1] AS pred, toks[i+2] AS obj,
+              'https://' || source || '.example.org/doc/' || doc_id AS provenance_url
+       FROM idx
+       WHERE toks[i] IN {{ent}} AND toks[i+1] IN {{rel}} AND toks[i+2] IN {{ent}}
+     )
+SELECT e1.subj AS a, e3.obj AS d, CAST(count(*) AS BIGINT) AS n_paths
+FROM e AS e1
+JOIN e AS e2 ON e1.obj = e2.subj
+JOIN e AS e3 ON e2.obj = e3.subj
+WHERE e1.pred = 'join' AND e2.pred = 'merge' AND e3.pred = 'filter'
+  AND e1.subj <> e1.obj
+  AND e2.obj <> e1.subj AND e2.obj <> e1.obj
+  AND e3.obj <> e1.subj AND e3.obj <> e1.obj AND e3.obj <> e2.obj
+GROUP BY e1.subj, e3.obj
+""".format(ent=_ENT_SQL, rel=_REL_SQL)
+
+
+def kg_reachable_k3(sf_dir: str):
+    """Bounded multi-source reachability — (src)-[*0..3]->(node) with
+    min-hop distance, sources = every subject of a 'join' edge. The
+    labeled frontier BFS (stages/paths.py bounded_reachability): every
+    frontier row carries its origin, settled (src, node) pairs never
+    re-expand, O(k) exchanges total. Reference analog: Memgraph
+    variable-length reachability Cypher (`graph_service.py`)."""
+    import pyarrow.compute as pc
+
+    from code_graph_rag_ray.stages.paths import bounded_reachability
+
+    edges = _kg_edges(sf_dir)
+    seeds = edges.map_batches(
+        lambda b: pa.table(
+            {"node": b.filter(pc.equal(b["pred"], "join"))["subj"]}),
+        batch_format="pyarrow",
+    )
+    return bounded_reachability(edges, seeds, k=3)
+
+
+KG_REACHABLE_K3_SQL = f"""
+WITH RECURSIVE
+     t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+     idx AS (SELECT doc_id, source, toks, unnest(range(1, len(toks) - 1)) AS i FROM t),
+     e AS (
+       SELECT DISTINCT toks[i] AS subj, toks[i+1] AS pred, toks[i+2] AS obj
+       FROM idx
+       WHERE toks[i] IN {{ent}} AND toks[i+1] IN {{rel}} AND toks[i+2] IN {{ent}}
+     ),
+     seeds AS (SELECT DISTINCT subj AS src FROM e WHERE pred = 'join'),
+     r AS (
+       SELECT src, src AS node, 0 AS hops FROM seeds
+       UNION
+       SELECT r.src, e.obj AS node, r.hops + 1 AS hops
+       FROM r JOIN e ON e.subj = r.node
+       WHERE r.hops < 3
+     )
+SELECT src, node, CAST(min(hops) AS BIGINT) AS hops
+FROM r GROUP BY src, node
+""".format(ent=_ENT_SQL, rel=_REL_SQL)
+
+
 def page_hosts(sf_dir: str):
     """Structure pass analog (M4): host hierarchy counts from page urls."""
     from ray.data.aggregate import Count
@@ -6896,8 +6992,10 @@ QUERIES = {
     "corpus_wordpiece_vocab": corpus_wordpiece_vocab,
     "corpus_wordpiece_tokenize": corpus_wordpiece_tokenize,
     "corpus_wordpiece_fertility": corpus_wordpiece_fertility,
-    # r05 new operators get inserted here (one anchor below moves out
-    # of the window per addition to keep the window at exactly 50)
+    # r05 new operators (one anchor moved below the boundary per addition
+    # to keep the window at exactly 50)
+    "kg_path_khop": kg_path_khop,
+    "kg_reachable_k3": kg_reachable_k3,
     # anchors: driver-green in earlier rounds, re-proved every session
     "kg_doc_triples": kg_doc_triples,
     "kg_fixture_pr": kg_fixture_pr,
@@ -6928,11 +7026,11 @@ QUERIES = {
     "knn_brute": knn_brute,
     "doc_para_dedup_apply": doc_para_dedup_apply,
     "doc_scrub_pii": doc_scrub_pii,
-    "page_bfs_hops": page_bfs_hops,
-    "doc_exact_dup_clusters": doc_exact_dup_clusters,
     # ------- end of the driver's 50-entry window (exactly 50 above) -------
     # driver-green in r01-r04 (see CORRECTNESS_r0*.json); the oracle
     # sweep re-proves them every session:
+    "page_bfs_hops": page_bfs_hops,
+    "doc_exact_dup_clusters": doc_exact_dup_clusters,
     "events_scd2": events_scd2,
     "events_debounce": events_debounce,
     "events_funnel_strict": events_funnel_strict,
@@ -7269,4 +7367,6 @@ ORACLES = {
     "kg_induced_schema": KG_INDUCED_SCHEMA_SQL,
     "kg_edge_diff": KG_EDGE_DIFF_SQL,
     "kg_path_2hop": KG_PATH_2HOP_SQL,
+    "kg_path_khop": KG_PATH_KHOP_SQL,
+    "kg_reachable_k3": KG_REACHABLE_K3_SQL,
 }

@@ -1,0 +1,116 @@
+"""K-hop pattern matching + bounded reachability (stages/paths.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from code_graph_rag_ray.stages.paths import (
+    bounded_reachability,
+    match_pattern,
+    parse_pattern,
+    path_counts,
+)
+
+
+def _edges(rows):
+    return rd.from_arrow(pa.table({
+        "subj": pa.array([r[0] for r in rows], pa.string()),
+        "pred": pa.array([r[1] for r in rows], pa.string()),
+        "obj": pa.array([r[2] for r in rows], pa.string()),
+    }))
+
+
+def test_parse_pattern_basics():
+    v, p = parse_pattern("(a)-[join]->(b)-[merge|filter]->(c)")
+    assert v == ["a", "b", "c"]
+    assert p == [["join"], ["merge", "filter"]]
+    v, p = parse_pattern("(x)-[*]->(y)-[]->(z)")
+    assert p == [None, None]
+    with pytest.raises(ValueError, match="unique"):
+        parse_pattern("(a)-[p]->(a)")
+    with pytest.raises(ValueError):
+        parse_pattern("(a)-[p]-(b)")
+    with pytest.raises(ValueError):
+        parse_pattern("just text")
+
+
+def test_match_pattern_two_hop_counts():
+    e = _edges([
+        ("a", "join", "b"), ("b", "merge", "c"),
+        ("a", "join", "x"), ("x", "merge", "c"),
+        ("a", "sort", "b"),          # wrong pred: excluded
+        ("c", "merge", "a"),         # not reachable from a join edge head
+    ])
+    got = path_counts(
+        match_pattern(e, "(u)-[join]->(v)-[merge]->(w)"), "u", "w"
+    ).to_pandas()
+    assert got.set_index(["u", "w"])["n_paths"].to_dict() == {("a", "c"): 2}
+
+
+def test_match_pattern_cycle_exclusion():
+    # a -> b -> a is a valid 2-hop walk but NOT a simple path
+    e = _edges([("a", "p", "b"), ("b", "p", "a"), ("b", "p", "c")])
+    simple = match_pattern(e, "(x)-[p]->(y)-[p]->(z)").to_pandas()
+    walks = match_pattern(e, "(x)-[p]->(y)-[p]->(z)",
+                          distinct_nodes=False).to_pandas()
+    assert sorted(map(tuple, simple[["x", "y", "z"]].values.tolist())) == [
+        ("a", "b", "c")]
+    assert ("a", "b", "a") in set(map(tuple, walks[["x", "y", "z"]].values.tolist()))
+
+
+def test_match_pattern_any_pred_and_alternation():
+    e = _edges([("a", "p", "b"), ("b", "q", "c"), ("b", "r", "d")])
+    got = match_pattern(e, "(x)-[*]->(y)-[q|r]->(z)").to_pandas()
+    assert sorted(map(tuple, got[["x", "y", "z"]].values.tolist())) == [
+        ("a", "b", "c"), ("a", "b", "d")]
+
+
+def _py_reachability(rows, seeds, k):
+    """Reference BFS for the oracle check."""
+    adj: dict = {}
+    for s, _p, o in rows:
+        adj.setdefault(s, set()).add(o)
+    want = {}
+    for src in seeds:
+        dist = {src: 0}
+        frontier = [src]
+        for h in range(1, k + 1):
+            nxt = []
+            for n in frontier:
+                for m in adj.get(n, ()):
+                    if m not in dist:
+                        dist[m] = h
+                        nxt.append(m)
+            frontier = nxt
+        for n, d in dist.items():
+            want[(src, n)] = d
+    return want
+
+
+def test_bounded_reachability_matches_reference_bfs():
+    rows = [
+        ("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"), ("d", "p", "e"),
+        ("b", "p", "a"),                   # cycle back
+        ("a", "p", "c"),                   # shortcut: c settles at 1, not 2
+        ("z", "p", "z"),                   # self-loop seedless node
+    ]
+    seeds_list = ["a", "b", "q"]           # q has no edges at all
+    e = _edges(rows)
+    seeds = rd.from_arrow(pa.table({"node": pa.array(seeds_list, pa.string())}))
+    got = bounded_reachability(e, seeds, k=3).to_pandas()
+    gmap = {(r.src, r.node): r.hops for r in got.itertuples()}
+    assert gmap == _py_reachability(rows, seeds_list, 3)
+    # q reaches only itself (hops=0); the a→c shortcut makes e 3 hops away
+    assert gmap[("q", "q")] == 0
+    assert gmap[("a", "e")] == 3
+
+
+def test_bounded_reachability_early_stop_past_diameter():
+    rows = [("a", "p", "b")]
+    e = _edges(rows)
+    seeds = rd.from_arrow(pa.table({"node": pa.array(["a"], pa.string())}))
+    got = bounded_reachability(e, seeds, k=5).to_pandas()
+    gmap = {(r.src, r.node): r.hops for r in got.itertuples()}
+    assert gmap == {("a", "a"): 0, ("a", "b"): 1}
