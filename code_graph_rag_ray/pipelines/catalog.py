@@ -6911,6 +6911,206 @@ FROM base GROUP BY lang
 """
 
 
+def corpus_unigram_vocab(sf_dir: str):
+    """Unigram-LM (SentencePiece-style) piece table: every single
+    character (coverage set, unconditional) + top-64 length-2..5
+    substrings by occurrence-weighted frequency (≥ 5) — pure counting,
+    bit-exact in DuckDB (`stages/unigram.py`)."""
+    from code_graph_rag_ray.stages.unigram import unigram_vocab
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_vocab(ds, lmax=5, min_freq=5, top_k=64)
+
+
+def _unigram_vt(sf_dir: str) -> pa.Table:
+    from code_graph_rag_ray.stages.unigram import unigram_vocab
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    # singles (≤ alphabet) + 64 multis — bounded driver state by design
+    return pa.Table.from_pylist(
+        unigram_vocab(ds, lmax=5, min_freq=5, top_k=64).take_all(),
+        schema=pa.schema([("piece", pa.string()), ("freq", pa.int64())]),
+    )
+
+
+def corpus_unigram_tokenize(sf_dir: str):
+    """Viterbi maximum-likelihood tokenization (the unigram-LM inference
+    rule): per-document word and piece counts. The oracle replays the DP
+    bit-exactly with a bounded-width recursive CTE — the last lmax DP
+    scores ride as carried columns, both sides accumulate dp[j−l] +
+    ln(freq/total) with identical association and break ties toward the
+    shortest last piece (NOTES.md fact 30, extended from greedy walks to
+    DP)."""
+    from code_graph_rag_ray.stages.unigram import unigram_tokenize
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_tokenize(ds, _unigram_vt(sf_dir), lmax=5)
+
+
+def corpus_unigram_fertility(sf_dir: str):
+    """Per-language unigram-LM tokenizer fertility — the
+    corpus_wordpiece_fertility twin for the Viterbi tokenizer:
+    fertility_micro = (10^6·Σpieces) // Σwords. Pure BIGINT."""
+    from code_graph_rag_ray.stages.relational import (
+        adaptive_join,
+        partial_groupby_sum,
+    )
+    from code_graph_rag_ray.stages.unigram import unigram_tokenize
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    tok = unigram_tokenize(docs, _unigram_vt(sf_dir), lmax=5)
+    langs = _pq(sf_dir, "documents", ["doc_id", "lang"])
+    j = adaptive_join(
+        tok, langs, on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("n_words", pa.int64()),
+                               ("n_ug_pieces", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("lang", pa.string())]),
+    )
+
+    def one(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n_words": pa.array([], pa.int64()),
+                             "n_ug_pieces": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
+        return pa.table(
+            {"lang": pc.cast(b["lang"], pa.string()),
+             "n_words": pc.cast(b["n_words"], pa.int64()),
+             "n_ug_pieces": pc.cast(b["n_ug_pieces"], pa.int64()),
+             "one": pa.array(np.ones(b.num_rows, np.int64))}
+        )
+
+    agg = partial_groupby_sum(
+        j.map_batches(one, batch_format="pyarrow"),
+        ["lang"],
+        {"one": "n_docs", "n_words": "n_words",
+         "n_ug_pieces": "n_ug_pieces"},
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        w = b["n_words"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b["n_ug_pieces"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fert = np.where(w > 0, (t * 10**6) // np.maximum(w, 1), 0)
+        return b.append_column("fertility_micro",
+                               pa.array(fert.astype(np.int64)))
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_UG_VOCAB_CTES = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+  FROM documents),
+tw AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+wcnt AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM tw GROUP BY word),
+pieces AS (
+  SELECT substr(word, i, l) AS piece, CAST(sum(wc) AS BIGINT) AS freq
+  FROM (
+    SELECT word, wc, l, unnest(range(1, len(word) - l + 2)) AS i
+    FROM (SELECT word, wc, unnest([1, 2, 3, 4, 5]) AS l FROM wcnt)
+    WHERE len(word) >= l)
+  GROUP BY piece),
+vocab AS (
+  SELECT piece, freq FROM pieces WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, freq FROM (
+    SELECT piece, freq FROM pieces WHERE len(piece) >= 2 AND freq >= 5
+    ORDER BY freq DESC, piece ASC LIMIT 64))
+"""
+
+CORPUS_UNIGRAM_VOCAB_SQL = _UG_VOCAB_CTES + "SELECT piece, freq FROM vocab"
+
+# Viterbi DP as a bounded-width recursive CTE: pos strictly advances
+# (termination); d0..d4 carry dp[pos]..dp[pos-4], k0..k4 the piece counts
+# of those DP states. c_l = dp[pos+1-l] + lp(piece ending at pos+1), NULL
+# exactly when the lookback is out of range (the carried column is NULL)
+# or the piece is OOV; single-char coverage keeps c1 always live. The
+# smallest l whose candidate equals the max wins ties — the engine's
+# ascending-l strictly-greater scan picks the same l.
+_UG_WALK_CTES = """,
+lpv AS (
+  SELECT piece,
+         ln(CAST(freq AS DOUBLE))
+           - ln(CAST((SELECT sum(freq) FROM vocab) AS DOUBLE)) AS lp
+  FROM vocab),
+dwords AS (SELECT DISTINCT word FROM tw),
+walk AS (
+  SELECT word, 0 AS pos,
+         CAST(0 AS DOUBLE) AS d0, CAST(NULL AS DOUBLE) AS d1,
+         CAST(NULL AS DOUBLE) AS d2, CAST(NULL AS DOUBLE) AS d3,
+         CAST(NULL AS DOUBLE) AS d4,
+         0 AS k0, 0 AS k1, 0 AS k2, 0 AS k3, 0 AS k4
+  FROM dwords
+  UNION ALL
+  SELECT word, pos + 1,
+         best_s, d0, d1, d2, d3,
+         CASE best_l WHEN 1 THEN k0 WHEN 2 THEN k1 WHEN 3 THEN k2
+                     WHEN 4 THEN k3 ELSE k4 END + 1,
+         k0, k1, k2, k3
+  FROM (
+    SELECT word, pos, d0, d1, d2, d3, d4, k0, k1, k2, k3, k4,
+           greatest(c1, c2, c3, c4, c5) AS best_s,
+           CASE WHEN c1 = greatest(c1, c2, c3, c4, c5) THEN 1
+                WHEN c2 = greatest(c1, c2, c3, c4, c5) THEN 2
+                WHEN c3 = greatest(c1, c2, c3, c4, c5) THEN 3
+                WHEN c4 = greatest(c1, c2, c3, c4, c5) THEN 4
+                ELSE 5 END AS best_l
+    FROM (
+      SELECT w.word, w.pos, w.d0, w.d1, w.d2, w.d3, w.d4,
+             w.k0, w.k1, w.k2, w.k3, w.k4,
+             coalesce(w.d0 + (SELECT lp FROM lpv v
+                              WHERE v.piece = substr(w.word, w.pos + 1, 1)),
+                      -1e308) AS c1,
+             coalesce(w.d1 + (SELECT lp FROM lpv v
+                              WHERE v.piece = substr(w.word, w.pos, 2)),
+                      -1e308) AS c2,
+             coalesce(w.d2 + (SELECT lp FROM lpv v
+                              WHERE v.piece = substr(w.word, w.pos - 1, 3)),
+                      -1e308) AS c3,
+             coalesce(w.d3 + (SELECT lp FROM lpv v
+                              WHERE v.piece = substr(w.word, w.pos - 2, 4)),
+                      -1e308) AS c4,
+             coalesce(w.d4 + (SELECT lp FROM lpv v
+                              WHERE v.piece = substr(w.word, w.pos - 3, 5)),
+                      -1e308) AS c5
+      FROM walk w WHERE w.pos < len(w.word)))
+),
+fin AS (SELECT word, k0 AS np FROM walk WHERE pos = len(word)),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(f.np) AS BIGINT) AS n_ug_pieces
+  FROM tw t JOIN fin f USING (word)
+  GROUP BY t.doc_id)
+"""
+
+CORPUS_UNIGRAM_TOKENIZE_SQL = _UG_VOCAB_CTES + _UG_WALK_CTES + """
+SELECT d.doc_id,
+       coalesce(p.n_words, 0) AS n_words,
+       coalesce(p.n_ug_pieces, 0) AS n_ug_pieces
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+CORPUS_UNIGRAM_FERTILITY_SQL = _UG_VOCAB_CTES + _UG_WALK_CTES + """,
+base AS (
+  SELECT d.doc_id, d.lang,
+         coalesce(p.n_words, 0) AS n_words,
+         coalesce(p.n_ug_pieces, 0) AS n_ug_pieces
+  FROM documents d LEFT JOIN per_doc p USING (doc_id))
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_ug_pieces) AS BIGINT) AS n_ug_pieces,
+       CAST(CASE WHEN sum(n_words) > 0
+                 THEN (1000000::HUGEINT * sum(n_ug_pieces)) // sum(n_words)
+                 ELSE 0 END AS BIGINT) AS fertility_micro
+FROM base GROUP BY lang
+"""
+
+
 def doc_decontaminate_fast(sf_dir: str):
     """Benchmark decontamination on the PRODUCTION hash family (dict-encoded
     siphash n-gram combine — the vectorized path `decontaminate` defaults
@@ -6996,6 +7196,9 @@ QUERIES = {
     # to keep the window at exactly 50)
     "kg_path_khop": kg_path_khop,
     "kg_reachable_k3": kg_reachable_k3,
+    "corpus_unigram_vocab": corpus_unigram_vocab,
+    "corpus_unigram_tokenize": corpus_unigram_tokenize,
+    "corpus_unigram_fertility": corpus_unigram_fertility,
     # anchors: driver-green in earlier rounds, re-proved every session
     "kg_doc_triples": kg_doc_triples,
     "kg_fixture_pr": kg_fixture_pr,
@@ -7023,10 +7226,10 @@ QUERIES = {
     "doc_tfidf_topk": doc_tfidf_topk,
     "cooccur_clustering": cooccur_clustering,
     "doc_embedding_vectors": doc_embedding_vectors,
+    # ------- end of the driver's 50-entry window (exactly 50 above) -------
     "knn_brute": knn_brute,
     "doc_para_dedup_apply": doc_para_dedup_apply,
     "doc_scrub_pii": doc_scrub_pii,
-    # ------- end of the driver's 50-entry window (exactly 50 above) -------
     # driver-green in r01-r04 (see CORRECTNESS_r0*.json); the oracle
     # sweep re-proves them every session:
     "page_bfs_hops": page_bfs_hops,
@@ -7369,4 +7572,7 @@ ORACLES = {
     "kg_path_2hop": KG_PATH_2HOP_SQL,
     "kg_path_khop": KG_PATH_KHOP_SQL,
     "kg_reachable_k3": KG_REACHABLE_K3_SQL,
+    "corpus_unigram_vocab": CORPUS_UNIGRAM_VOCAB_SQL,
+    "corpus_unigram_tokenize": CORPUS_UNIGRAM_TOKENIZE_SQL,
+    "corpus_unigram_fertility": CORPUS_UNIGRAM_FERTILITY_SQL,
 }

