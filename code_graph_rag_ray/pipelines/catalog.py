@@ -2852,6 +2852,42 @@ FROM r GROUP BY src, node
 """.format(ent=_ENT_SQL, rel=_REL_SQL)
 
 
+def kg_fact_fusion(sf_dir: str):
+    """Truth discovery over conflicting provenances: per (subj, pred) the
+    majority-vote object with vote counts and the integer-exact dominance
+    ratio — the content-determined replacement for cgr's last-write-wins
+    MERGE (`graph_service.py:395-428`). Votes fold through the standard
+    partial-count shuffle; the corpus-scale grouped argmax is the
+    hash-bucket + vectorized-pandas pattern (stages/fusion.py)."""
+    from code_graph_rag_ray.stages.fusion import fuse_facts
+
+    return fuse_facts(_kg_edges(sf_dir))
+
+
+KG_FACT_FUSION_SQL = f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+     idx AS (SELECT doc_id, source, toks, unnest(range(1, len(toks) - 1)) AS i FROM t),
+     e AS (
+       SELECT DISTINCT toks[i] AS subj, toks[i+1] AS pred, toks[i+2] AS obj,
+              'https://' || source || '.example.org/doc/' || doc_id AS provenance_url
+       FROM idx
+       WHERE toks[i] IN {{ent}} AND toks[i+1] IN {{rel}} AND toks[i+2] IN {{ent}}
+     ),
+     v AS (SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS votes
+           FROM e GROUP BY subj, pred, obj),
+     w AS (
+       SELECT subj, pred, obj, votes,
+              CAST(sum(votes) OVER (PARTITION BY subj, pred) AS BIGINT) AS total_votes,
+              CAST(count(*) OVER (PARTITION BY subj, pred) AS BIGINT) AS n_objs,
+              row_number() OVER (PARTITION BY subj, pred
+                                 ORDER BY votes DESC, obj ASC) AS rn
+       FROM v)
+SELECT subj, pred, obj, votes, total_votes, n_objs,
+       CAST((1000000::HUGEINT * votes) // total_votes AS BIGINT) AS dominance_micro
+FROM w WHERE rn = 1
+""".format(ent=_ENT_SQL, rel=_REL_SQL)
+
+
 def page_hosts(sf_dir: str):
     """Structure pass analog (M4): host hierarchy counts from page urls."""
     from ray.data.aggregate import Count
@@ -7199,6 +7235,7 @@ QUERIES = {
     "corpus_unigram_vocab": corpus_unigram_vocab,
     "corpus_unigram_tokenize": corpus_unigram_tokenize,
     "corpus_unigram_fertility": corpus_unigram_fertility,
+    "kg_fact_fusion": kg_fact_fusion,
     # anchors: driver-green in earlier rounds, re-proved every session
     "kg_doc_triples": kg_doc_triples,
     "kg_fixture_pr": kg_fixture_pr,
@@ -7225,8 +7262,8 @@ QUERIES = {
     "hybrid_retrieval": hybrid_retrieval,
     "doc_tfidf_topk": doc_tfidf_topk,
     "cooccur_clustering": cooccur_clustering,
-    "doc_embedding_vectors": doc_embedding_vectors,
     # ------- end of the driver's 50-entry window (exactly 50 above) -------
+    "doc_embedding_vectors": doc_embedding_vectors,
     "knn_brute": knn_brute,
     "doc_para_dedup_apply": doc_para_dedup_apply,
     "doc_scrub_pii": doc_scrub_pii,
@@ -7575,4 +7612,5 @@ ORACLES = {
     "corpus_unigram_vocab": CORPUS_UNIGRAM_VOCAB_SQL,
     "corpus_unigram_tokenize": CORPUS_UNIGRAM_TOKENIZE_SQL,
     "corpus_unigram_fertility": CORPUS_UNIGRAM_FERTILITY_SQL,
+    "kg_fact_fusion": KG_FACT_FUSION_SQL,
 }
