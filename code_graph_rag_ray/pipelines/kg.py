@@ -247,26 +247,47 @@ def incremental_update(
     construction (the invariant cgr needed issue #532 to win back). A page
     deleted from the corpus is expressed as a changed page with empty html.
     """
+    import os
+
     import ray
 
     import pyarrow.compute as pc2
 
     alias_ref = ray.put(alias_tbl)
 
-    # changed-url set: small by definition of an incremental batch
-    changed_urls = set(
-        changed_pages.select_columns(["url"]).to_pandas()["url"]
+    # changed-url set: small for a watch-mode batch, but MEASURED, not
+    # assumed — past the broadcast budget (a full-recrawl change set) the
+    # drop degrades to a bucketed ANTI semi-join, the same adaptivity
+    # contract every other broadcast in the engine has (relational.py
+    # adaptive_join).
+    from code_graph_rag_ray.stages.relational import (
+        BROADCAST_BUDGET_BYTES,
+        bucketed_join,
     )
-    url_arr_ref = ray.put(pa.array(sorted(changed_urls), pa.string()))
 
-    from code_graph_rag_ray.functions.broadcast import get_broadcast
+    url_ds = changed_pages.select_columns(["url"]).materialize()
+    budget = int(os.environ.get("GRAFT_BROADCAST_BUDGET",
+                                BROADCAST_BUDGET_BYTES))
+    if (url_ds.size_bytes() or 0) <= budget:
+        changed_urls = set(url_ds.to_pandas()["url"])
+        url_arr_ref = ray.put(pa.array(sorted(changed_urls), pa.string()))
 
-    def drop_changed(b: pa.Table) -> pa.Table:
-        return b.filter(
-            pc2.invert(pc2.is_in(b["url"], value_set=get_broadcast(url_arr_ref)))
+        from code_graph_rag_ray.functions.broadcast import get_broadcast
+
+        def drop_changed(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pc2.invert(pc2.is_in(b["url"],
+                                     value_set=get_broadcast(url_arr_ref)))
+            )
+
+        surviving = prev_mentions.map_batches(drop_changed,
+                                              batch_format="pyarrow")
+    else:
+        # only the url key column crosses the anti shuffle
+        surviving = bucketed_join(
+            prev_mentions, url_ds, on="url", how="anti",
+            right_schema=pa.schema([("url", pa.string())]),
         )
-
-    surviving = prev_mentions.map_batches(drop_changed, batch_format="pyarrow")
 
     text = changed_pages.map_batches(extract_text_batch, batch_format="pyarrow")
     fresh = link_mentions(text, alias_ref, relations=relations, registry=registry)

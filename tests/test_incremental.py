@@ -64,3 +64,34 @@ def test_incremental_equals_clean_rebuild():
     ext_i = set(inc["external_edges"].to_pandas().obj)
     ext_c = set(clean["external_edges"].to_pandas().obj)
     assert ext_i == ext_c
+
+
+def test_incremental_bucketed_fallback_bit_equal(monkeypatch):
+    """Budget forced to 0 → the changed-url drop takes the bucketed ANTI
+    semi-join path; the result must be bit-equal to the broadcast path
+    (the adaptive_join contract applied to incremental_update)."""
+    fx_a = generate_pages(80, seed=43)
+    fx_b = generate_pages(80, seed=77)
+    a, b = fx_a.pages.to_pylist(), fx_b.pages.to_pylist()
+    changed = []
+    for i in range(10):
+        r = dict(a[i])
+        r["html"] = b[i]["html"]
+        changed.append(r)
+    changed_tbl = pa.Table.from_pylist(changed, schema=fx_a.pages.schema)
+
+    kg1 = build_kg(rd.from_arrow(fx_a.pages), fx_a.alias_dict)
+    prev = kg1["mentions"].materialize()
+
+    broadcast = incremental_update(
+        rd.from_arrow(changed_tbl), fx_a.alias_dict, prev_mentions=prev,
+        build_nodes=False,
+    )
+    e_broadcast = _edge_set(broadcast["edges"].to_pandas())
+
+    monkeypatch.setenv("GRAFT_BROADCAST_BUDGET", "0")
+    bucketed = incremental_update(
+        rd.from_arrow(changed_tbl), fx_a.alias_dict, prev_mentions=prev,
+        build_nodes=False,
+    )
+    assert _edge_set(bucketed["edges"].to_pandas()) == e_broadcast
