@@ -2930,6 +2930,33 @@ FROM documents
 """
 
 
+def warc_pages(sf_dir: str):
+    """WARC source end-to-end (`sources/warc.py` — Common Crawl's native
+    frame): export the deterministic pages corpus as WARC shards
+    (distributed, one shard per batch written inside the task), read it
+    back through the WARC frame, extract text. Output (url, text) must
+    equal the parquet-path page_extract_text — the oracle is the same
+    closed-form SQL, so a frame bug anywhere (date precision, payload
+    slicing, record skipping) breaks the hash."""
+    import hashlib
+    import shutil
+
+    from code_graph_rag_ray.sources.pages import pages_from_documents
+    from code_graph_rag_ray.sources.warc import (
+        read_pages_warc,
+        write_pages_warc_dataset,
+    )
+    from code_graph_rag_ray.stages.extract import extract_text_batch
+
+    out = "/tmp/graft_warc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    shutil.rmtree(out, ignore_errors=True)
+    write_pages_warc_dataset(pages_from_documents(sf_dir), out).count()
+    pages = read_pages_warc(out)
+    return pages.map_batches(
+        extract_text_batch, batch_format="pyarrow"
+    ).select_columns(["url", "text"])
+
+
 def page_structure(sf_dir: str):
     """Structure pass (M4 analog): url → host/folder/page containment
     edges, exact-deduped (Pass-1 Package/Folder/CONTAINS_* translation)."""
@@ -7236,6 +7263,7 @@ QUERIES = {
     "corpus_unigram_tokenize": corpus_unigram_tokenize,
     "corpus_unigram_fertility": corpus_unigram_fertility,
     "kg_fact_fusion": kg_fact_fusion,
+    "warc_pages": warc_pages,
     # anchors: driver-green in earlier rounds, re-proved every session
     "kg_doc_triples": kg_doc_triples,
     "kg_fixture_pr": kg_fixture_pr,
@@ -7261,8 +7289,8 @@ QUERIES = {
     "doc_pack_bpe": doc_pack_bpe,
     "hybrid_retrieval": hybrid_retrieval,
     "doc_tfidf_topk": doc_tfidf_topk,
-    "cooccur_clustering": cooccur_clustering,
     # ------- end of the driver's 50-entry window (exactly 50 above) -------
+    "cooccur_clustering": cooccur_clustering,
     "doc_embedding_vectors": doc_embedding_vectors,
     "knn_brute": knn_brute,
     "doc_para_dedup_apply": doc_para_dedup_apply,
@@ -7613,4 +7641,5 @@ ORACLES = {
     "corpus_unigram_tokenize": CORPUS_UNIGRAM_TOKENIZE_SQL,
     "corpus_unigram_fertility": CORPUS_UNIGRAM_FERTILITY_SQL,
     "kg_fact_fusion": KG_FACT_FUSION_SQL,
+    "warc_pages": PAGE_EXTRACT_TEXT_SQL,
 }
