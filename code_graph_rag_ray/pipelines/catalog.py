@@ -2603,6 +2603,33 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _kg_edges_version(sf_dir: str, mod: int):
+    """Edge table of corpus version "documents with doc_id % mod != 0"
+    (the kg_edge_diff / kg_edge_diff_ckpt version generator)."""
+    import pyarrow.compute as pc
+
+    from code_graph_rag_ray.pipelines.kg import build_kg
+    from code_graph_rag_ray.sources.pages import _docs_to_pages_batch
+
+    relations = {w: w for w in RELATION_VOCAB_SORTED}
+    alias = pa.Table.from_pylist(
+        [{"alias": w, "entity_id": w, "prior": 1.0} for w in ENTITY_VOCAB_SORTED]
+    )
+    docs = _pq(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.subtract(b["doc_id"],
+                        pc.multiply(pc.divide(b["doc_id"], mod), mod))
+        return b.filter(pc.not_equal(m, 0))
+
+    pages = docs.map_batches(keep, batch_format="pyarrow").map_batches(
+        _docs_to_pages_batch, batch_format="pyarrow"
+    )
+    kg = build_kg(pages, alias, relations=relations,
+                  materialize_mentions=False, build_nodes=False)
+    return kg["edges"].select_columns(["subj", "pred", "obj", "provenance_url"])
+
+
 def kg_edge_diff(sf_dir: str):
     """KG diff between two corpus versions — the CDC counterpart of
     incremental_update at EDGE granularity (reference analog: the
@@ -2613,36 +2640,12 @@ def kg_edge_diff(sf_dir: str):
     the composite-key bucketed ANTI join both ways — edge tables are
     corpus-scale on BOTH sides, so neither is broadcast and nothing
     lands on the driver."""
-    import pyarrow.compute as pc
-
-    from code_graph_rag_ray.pipelines.kg import build_kg
-    from code_graph_rag_ray.sources.pages import _docs_to_pages_batch
     from code_graph_rag_ray.stages.relational import bucketed_join
-
-    relations = {w: w for w in RELATION_VOCAB_SORTED}
-    alias = pa.Table.from_pylist(
-        [{"alias": w, "entity_id": w, "prior": 1.0} for w in ENTITY_VOCAB_SORTED]
-    )
-
-    def edges_version(mod: int):
-        docs = _pq(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
-
-        def keep(b: pa.Table) -> pa.Table:
-            m = pc.subtract(b["doc_id"],
-                            pc.multiply(pc.divide(b["doc_id"], mod), mod))
-            return b.filter(pc.not_equal(m, 0))
-
-        pages = docs.map_batches(keep, batch_format="pyarrow").map_batches(
-            _docs_to_pages_batch, batch_format="pyarrow"
-        )
-        kg = build_kg(pages, alias, relations=relations,
-                      materialize_mentions=False, build_nodes=False)
-        return kg["edges"].select_columns(
-            ["subj", "pred", "obj", "provenance_url"])
 
     key = ["subj", "pred", "obj", "provenance_url"]
     schema = pa.schema([(c, pa.string()) for c in key])
-    v1, v2 = edges_version(7), edges_version(5)
+    v1 = _kg_edges_version(sf_dir, 7)
+    v2 = _kg_edges_version(sf_dir, 5)
 
     def tag(change: str):
         def f(b: pa.Table) -> pa.Table:
@@ -2679,6 +2682,32 @@ UNION ALL
 SELECT subj, pred, obj, provenance_url, 'removed' AS change
 FROM (SELECT * FROM v1 EXCEPT SELECT * FROM v2)
 """.format(ent=_ENT_SQL, rel=_REL_SQL)
+
+
+def kg_edge_diff_ckpt(sf_dir: str):
+    """Checkpointed CDC twin of kg_edge_diff: materialize both corpus
+    versions' edge tables as hash(subj)-partitioned resume_materialize
+    trees, then diff PARTITION-BY-PARTITION reading only manifests +
+    digest-changed partitions (`stages/diff.py diff_materialized`) — zero
+    shuffle, one task per changed partition, identical output to the
+    streaming twin (same oracle). The production shape once snapshots are
+    checkpointed: snapshot N's tree already exists, so a real run pays
+    only v2's build + the changed-partition reads."""
+    import hashlib
+    import shutil
+
+    from code_graph_rag_ray.stages.diff import diff_materialized
+    from code_graph_rag_ray.state.lineage import resume_materialize
+
+    key = ["subj", "pred", "obj", "provenance_url"]
+    root = "/tmp/graft_ediff_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    shutil.rmtree(root, ignore_errors=True)
+    for mod, name in ((7, "v1"), (5, "v2")):
+        resume_materialize(
+            _kg_edges_version(sf_dir, mod), f"{root}/{name}", key="subj",
+            sort_by=key, num_partitions=16,
+        )
+    return diff_materialized(f"{root}/v1", f"{root}/v2", on=key)
 
 
 def kg_path_2hop(sf_dir: str):
@@ -7264,6 +7293,7 @@ QUERIES = {
     "corpus_unigram_fertility": corpus_unigram_fertility,
     "kg_fact_fusion": kg_fact_fusion,
     "warc_pages": warc_pages,
+    "kg_edge_diff_ckpt": kg_edge_diff_ckpt,
     # anchors: driver-green in earlier rounds, re-proved every session
     "kg_doc_triples": kg_doc_triples,
     "kg_fixture_pr": kg_fixture_pr,
@@ -7288,8 +7318,8 @@ QUERIES = {
     "corpus_bpe_tokenize": corpus_bpe_tokenize,
     "doc_pack_bpe": doc_pack_bpe,
     "hybrid_retrieval": hybrid_retrieval,
-    "doc_tfidf_topk": doc_tfidf_topk,
     # ------- end of the driver's 50-entry window (exactly 50 above) -------
+    "doc_tfidf_topk": doc_tfidf_topk,
     "cooccur_clustering": cooccur_clustering,
     "doc_embedding_vectors": doc_embedding_vectors,
     "knn_brute": knn_brute,
@@ -7642,4 +7672,5 @@ ORACLES = {
     "corpus_unigram_fertility": CORPUS_UNIGRAM_FERTILITY_SQL,
     "kg_fact_fusion": KG_FACT_FUSION_SQL,
     "warc_pages": PAGE_EXTRACT_TEXT_SQL,
+    "kg_edge_diff_ckpt": KG_EDGE_DIFF_SQL,
 }

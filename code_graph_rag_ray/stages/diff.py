@@ -77,6 +77,80 @@ def snapshot_diff(
     return j.map_batches(classify, batch_format="pandas")
 
 
+def diff_materialized(a_dir: str, b_dir: str, *, on: list[str]) -> Dataset:
+    """Checkpoint-level CDC: diff two `resume_materialize` output trees
+    partition-by-partition, reading ONLY manifests + CHANGED partitions.
+
+    Both trees must share the partitioner (same key, same partition
+    count — asserted from the manifests): hash alignment is what makes
+    the per-partition diff exact, since a given row can only ever live in
+    the same ``part=K`` on both sides. Unchanged partitions are pruned on
+    manifest digest equality alone (`state/lineage.py partition_digests`)
+    — no data read, no shuffle anywhere; each changed partition is one
+    task doing two local reads and two vectorized anti-filters. The
+    production shape for "what changed between corpus snapshot N and
+    N+1" once both snapshots are checkpointed (the streaming twin,
+    `pipelines/catalog.py kg_edge_diff`, rebuilds both sides instead).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from code_graph_rag_ray.state.lineage import partition_digests, read_manifest
+
+    da, db = partition_digests(a_dir), partition_digests(b_dir)
+    ma, mb = read_manifest(a_dir), read_manifest(b_dir)
+    if set(ma["partitions"]) != set(mb["partitions"]):
+        raise ValueError(
+            f"partitioner mismatch: {len(ma['partitions'])} vs "
+            f"{len(mb['partitions'])} partitions — diff_materialized "
+            "requires both trees written with the same key and "
+            "num_partitions"
+        )
+    changed = sorted(p for p in set(da) | set(db) if da.get(p) != db.get(p))
+    out_schema = pa.schema([(c, pa.string()) for c in on]
+                           + [("change", pa.string())])
+    if not changed:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def read_part(root: str, part: str) -> pa.Table:
+        pdir = os.path.join(root, part)
+        if not os.path.isdir(pdir):
+            return pa.schema([(c, pa.string()) for c in on]).empty_table()
+        tabs = [
+            pq.read_table(os.path.join(pdir, f), columns=on)
+            for f in sorted(os.listdir(pdir)) if f.endswith(".parquet")
+        ]
+        t = pa.concat_tables(tabs) if tabs else None
+        if t is None:
+            return pa.schema([(c, pa.string()) for c in on]).empty_table()
+        return pa.table({c: pc.cast(t[c], pa.string()) for c in on})
+
+    def mint(t: pa.Table):
+        cols = [pc.fill_null(t[c], "\x00null") for c in on]
+        return cols[0] if len(cols) == 1 else pc.binary_join_element_wise(
+            *cols, "\x1f")
+
+    def diff_part(b: pa.Table) -> pa.Table:
+        outs = [out_schema.empty_table()]
+        for part in b["partname"].to_pylist():
+            ta, tb = read_part(a_dir, part), read_part(b_dir, part)
+            ka, kb = mint(ta), mint(tb)
+            add = tb.filter(pc.invert(pc.is_in(kb, value_set=pc.unique(ka)))) \
+                if tb.num_rows else tb
+            rem = ta.filter(pc.invert(pc.is_in(ka, value_set=pc.unique(kb)))) \
+                if ta.num_rows else ta
+            for t, label in ((add, "added"), (rem, "removed")):
+                outs.append(t.append_column(
+                    "change", pa.array([label] * t.num_rows, pa.string())))
+        return pa.concat_tables(outs)
+
+    return rd.from_items(
+        [{"partname": p} for p in changed], override_num_blocks=len(changed)
+    ).map_batches(diff_part, batch_format="pyarrow", batch_size=None)
+
+
 def scd2_history(
     ds: Dataset,
     *,

@@ -171,6 +171,56 @@ def resume_materialize(
     return partition_manifest(out_dir, expected=num_partitions)
 
 
+def partition_digests(out_dir: str) -> dict[str, str]:
+    """Order-insensitive content digest per completed partition, CACHED in
+    the manifest: "<rows>:<hex>" where hex = mod-2^64 sum of stable row
+    hashes over every column (sorted by name). Computed lazily by ONE read
+    of each partition the first time it's requested, then persisted — so a
+    checkpoint diff (`stages/diff.py diff_materialized`) prunes unchanged
+    partitions on manifest equality alone, reading no data for them.
+
+    The digest is content-derived and order-insensitive (sum of per-row
+    hashes), so it is stable across rewrite ordering, file naming and
+    parquet encoder metadata — the properties a bytes-level file hash
+    would NOT have."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from code_graph_rag_ray.functions.hashing import stable_hash_array
+
+    man = read_manifest(out_dir) or partition_manifest(out_dir)
+    digests: dict[str, str] = dict(man.get("digests") or {})
+    if set(digests) == set(man.get("partitions", {})):
+        return digests
+    for name, rows in man.get("partitions", {}).items():
+        if name in digests:
+            continue
+        pdir = os.path.join(out_dir, name)
+        if rows == 0 or not os.path.isdir(pdir):
+            digests[name] = "0:0"
+            continue
+        files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        total = np.uint64(0)
+        n = 0
+        for f in files:
+            t = pq.read_table(os.path.join(pdir, f))
+            t = t.drop_columns([c for c in t.column_names if c == "part"])
+            cols = [pc.fill_null(pc.cast(t[c], pa.string()), "\x00null")
+                    for c in sorted(t.column_names)]
+            joined = cols[0] if len(cols) == 1 else (
+                pc.binary_join_element_wise(*cols, "\x1f"))
+            with np.errstate(over="ignore"):
+                total = total + stable_hash_array(joined).sum(dtype=np.uint64)
+            n += t.num_rows
+        digests[name] = f"{n}:{int(total):x}"
+    man["digests"] = digests
+    with open(_manifest_path(out_dir), "w") as f:
+        json.dump(man, f, indent=1)
+    return digests
+
+
 def partition_manifest(out_dir: str, *, expected: int | None = None) -> dict:
     """Row counts per hive partition directory under a materialized output.
 
