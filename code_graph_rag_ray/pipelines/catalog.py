@@ -5563,6 +5563,38 @@ KG_FIXTURE_PR_SQL = (
 )
 
 
+def kg_organic_pr(sf_dir: str):
+    """Second-family resolution gate: the FULL KG pipeline on the
+    Zipf-shaped organic-web fixture (`sources/organic.py` — disjoint name
+    space, Zipfian entity popularity, power-law hosts, article-shaped
+    html with style/comment/list structure). Gold triples are recorded at
+    plant time, independent of the engine; the oracle asserts exact
+    resolution (1.0/1.0) — proving P/R=1.0 is not an artifact of the
+    first generator's shape (the organic-corpus-eval analog,
+    `evals/README.md:61-141`)."""
+    import ray.data as rd
+
+    from code_graph_rag_ray.functions.scoring import score_sets
+    from code_graph_rag_ray.pipelines.kg import build_kg
+    from code_graph_rag_ray.sources.organic import generate_organic_pages
+
+    del sf_dir  # fixture corpus is seeded, independent of sf
+    fx = generate_organic_pages(300, seed=7)
+    kg = build_kg(rd.from_arrow(fx.pages), fx.alias_dict, build_nodes=False)
+    edges = kg["edges"].to_pandas()
+    pred = set(map(tuple, edges[["subj", "pred", "obj", "provenance_url"]]
+                   .itertuples(index=False)))
+    gold = {(r["subj"], r["pred"], r["obj"], r["url"])
+            for r in fx.expected_triples.to_pylist()}
+    s = score_sets(pred, gold)
+    return pd.DataFrame(
+        [{"precision": round(s.precision, 4), "recall": round(s.recall, 4)}]
+    )
+
+
+KG_ORGANIC_PR_SQL = KG_FIXTURE_PR_SQL
+
+
 def kg_host_prior_gain(sf_dir: str):
     """J3 cross-page context as a measurable gate: run the KG pipeline
     WITHOUT and WITH the corpus-mined host-prior tier on the seeded
@@ -7294,6 +7326,7 @@ QUERIES = {
     "kg_fact_fusion": kg_fact_fusion,
     "warc_pages": warc_pages,
     "kg_edge_diff_ckpt": kg_edge_diff_ckpt,
+    "kg_organic_pr": kg_organic_pr,
     # anchors: driver-green in earlier rounds, re-proved every session
     "kg_doc_triples": kg_doc_triples,
     "kg_fixture_pr": kg_fixture_pr,
@@ -7317,8 +7350,8 @@ QUERIES = {
     "customer_record_linkage": customer_record_linkage,
     "corpus_bpe_tokenize": corpus_bpe_tokenize,
     "doc_pack_bpe": doc_pack_bpe,
-    "hybrid_retrieval": hybrid_retrieval,
     # ------- end of the driver's 50-entry window (exactly 50 above) -------
+    "hybrid_retrieval": hybrid_retrieval,
     "doc_tfidf_topk": doc_tfidf_topk,
     "cooccur_clustering": cooccur_clustering,
     "doc_embedding_vectors": doc_embedding_vectors,
@@ -7673,4 +7706,5 @@ ORACLES = {
     "kg_fact_fusion": KG_FACT_FUSION_SQL,
     "warc_pages": PAGE_EXTRACT_TEXT_SQL,
     "kg_edge_diff_ckpt": KG_EDGE_DIFF_SQL,
+    "kg_organic_pr": KG_ORGANIC_PR_SQL,
 }
