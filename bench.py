@@ -180,7 +180,9 @@ def run_bench() -> dict:
             "corpus_bpe_merges", "corpus_bpe_tokenize",
             "cooccur_clustering", "customer_record_linkage",
             "doc_dsir_scores", "doc_decontaminate",
-            "doc_decontaminate_fast", "corpus_wordpiece_tokenize")
+            "doc_decontaminate_fast", "corpus_wordpiece_tokenize",
+            "kg_path_khop", "kg_reachable_k3", "kg_fact_fusion",
+            "corpus_unigram_tokenize", "warc_pages")
         from code_graph_rag_ray.stages.relational import clear_broadcast_cache
 
         for name in names:
