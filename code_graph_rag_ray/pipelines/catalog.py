@@ -2881,6 +2881,65 @@ FROM r GROUP BY src, node
 """.format(ent=_ENT_SQL, rel=_REL_SQL)
 
 
+def kg_ego_subgraph(sf_dir: str):
+    """Ego-network extraction — the RAG "fetch the neighborhood of this
+    entity" query (`tools/semantic_search.py` + Cypher neighborhood MATCH
+    analog): the INDUCED subgraph on every node within 2 directed hops of
+    the seed entity 'spark'. Composition of bounded labeled reachability
+    (stages/paths.py) + two bucketed SEMI joins (edges ⋉ reach on subj,
+    then on obj — only the key column crosses each shuffle) + the
+    partial-count distinct; the reach set never lands on the driver."""
+    import pyarrow.compute as pc
+
+    from code_graph_rag_ray.stages.paths import bounded_reachability
+    from code_graph_rag_ray.stages.relational import (
+        bucketed_join,
+        partial_groupby_sum,
+    )
+
+    edges = _kg_edges(sf_dir).materialize()  # consumed by 3 branches
+    seeds = rd.from_arrow(pa.table({"node": pa.array(["spark"], pa.string())}))
+    reach = bounded_reachability(edges, seeds, k=2).map_batches(
+        lambda b: pa.table({"node": pc.cast(b["node"], pa.string())}),
+        batch_format="pyarrow",
+    )
+    eschema = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                         ("obj", pa.string())])
+    nschema = pa.schema([("node", pa.string())])
+    inner = bucketed_join(edges, reach, on="subj", right_on="node",
+                          how="semi", left_schema=eschema,
+                          right_schema=nschema)
+    inner = bucketed_join(inner, reach, on="obj", right_on="node",
+                          how="semi", left_schema=eschema,
+                          right_schema=nschema)
+    return partial_groupby_sum(
+        inner, ["subj", "pred", "obj"], {}, count_alias="__n"
+    ).drop_columns(["__n"])
+
+
+KG_EGO_SUBGRAPH_SQL = f"""
+WITH RECURSIVE
+     t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+     idx AS (SELECT doc_id, source, toks, unnest(range(1, len(toks) - 1)) AS i FROM t),
+     e AS (
+       SELECT DISTINCT toks[i] AS subj, toks[i+1] AS pred, toks[i+2] AS obj
+       FROM idx
+       WHERE toks[i] IN {{ent}} AND toks[i+1] IN {{rel}} AND toks[i+2] IN {{ent}}
+     ),
+     r AS (
+       SELECT 'spark' AS node, 0 AS hops
+       UNION
+       SELECT e.obj AS node, r.hops + 1 AS hops
+       FROM r JOIN e ON e.subj = r.node
+       WHERE r.hops < 2
+     ),
+     reach AS (SELECT DISTINCT node FROM r)
+SELECT DISTINCT subj, pred, obj
+FROM e
+WHERE subj IN (SELECT node FROM reach) AND obj IN (SELECT node FROM reach)
+""".format(ent=_ENT_SQL, rel=_REL_SQL)
+
+
 def kg_fact_fusion(sf_dir: str):
     """Truth discovery over conflicting provenances: per (subj, pred) the
     majority-vote object with vote counts and the integer-exact dominance
@@ -7327,6 +7386,7 @@ QUERIES = {
     "warc_pages": warc_pages,
     "kg_edge_diff_ckpt": kg_edge_diff_ckpt,
     "kg_organic_pr": kg_organic_pr,
+    "kg_ego_subgraph": kg_ego_subgraph,
     # anchors: driver-green in earlier rounds, re-proved every session
     "kg_doc_triples": kg_doc_triples,
     "kg_fixture_pr": kg_fixture_pr,
@@ -7349,8 +7409,8 @@ QUERIES = {
     "doc_global_rank": doc_global_rank,
     "customer_record_linkage": customer_record_linkage,
     "corpus_bpe_tokenize": corpus_bpe_tokenize,
-    "doc_pack_bpe": doc_pack_bpe,
     # ------- end of the driver's 50-entry window (exactly 50 above) -------
+    "doc_pack_bpe": doc_pack_bpe,
     "hybrid_retrieval": hybrid_retrieval,
     "doc_tfidf_topk": doc_tfidf_topk,
     "cooccur_clustering": cooccur_clustering,
@@ -7707,4 +7767,5 @@ ORACLES = {
     "warc_pages": PAGE_EXTRACT_TEXT_SQL,
     "kg_edge_diff_ckpt": KG_EDGE_DIFF_SQL,
     "kg_organic_pr": KG_ORGANIC_PR_SQL,
+    "kg_ego_subgraph": KG_EGO_SUBGRAPH_SQL,
 }
