@@ -2839,6 +2839,38 @@ GROUP BY e1.subj, e3.obj
 """.format(ent=_ENT_SQL, rel=_REL_SQL)
 
 
+def kg_path_varlen(sf_dir: str):
+    """Variable-length pattern segment: (a)-[join*1..2]->(b) simple-path
+    counts — the Cypher ``[:join*1..2]`` form, desugared by the DSL into
+    a union of fixed expansions with anonymous intermediates projected
+    away (stages/paths.py match_pattern)."""
+    from code_graph_rag_ray.stages.paths import match_pattern, path_counts
+
+    paths = match_pattern(_kg_edges(sf_dir), "(a)-[join*1..2]->(b)")
+    return path_counts(paths, "a", "b")
+
+
+KG_PATH_VARLEN_SQL = f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+     idx AS (SELECT doc_id, source, toks, unnest(range(1, len(toks) - 1)) AS i FROM t),
+     e AS (
+       SELECT DISTINCT toks[i] AS subj, toks[i+1] AS pred, toks[i+2] AS obj,
+              'https://' || source || '.example.org/doc/' || doc_id AS provenance_url
+       FROM idx
+       WHERE toks[i] IN {{ent}} AND toks[i+1] IN {{rel}} AND toks[i+2] IN {{ent}}
+     ),
+     p1 AS (SELECT subj AS a, obj AS b FROM e
+            WHERE pred = 'join' AND subj <> obj),
+     p2 AS (SELECT e1.subj AS a, e2.obj AS b
+            FROM e AS e1 JOIN e AS e2 ON e1.obj = e2.subj
+            WHERE e1.pred = 'join' AND e2.pred = 'join'
+              AND e1.subj <> e1.obj
+              AND e2.obj <> e1.subj AND e2.obj <> e1.obj),
+     u AS (SELECT a, b FROM p1 UNION ALL SELECT a, b FROM p2)
+SELECT a, b, CAST(count(*) AS BIGINT) AS n_paths FROM u GROUP BY a, b
+""".format(ent=_ENT_SQL, rel=_REL_SQL)
+
+
 def kg_reachable_k3(sf_dir: str):
     """Bounded multi-source reachability — (src)-[*0..3]->(node) with
     min-hop distance, sources = every subject of a 'join' edge. The
@@ -7387,6 +7419,7 @@ QUERIES = {
     "kg_edge_diff_ckpt": kg_edge_diff_ckpt,
     "kg_organic_pr": kg_organic_pr,
     "kg_ego_subgraph": kg_ego_subgraph,
+    "kg_path_varlen": kg_path_varlen,
     # anchors: driver-green in earlier rounds, re-proved every session
     "kg_doc_triples": kg_doc_triples,
     "kg_fixture_pr": kg_fixture_pr,
@@ -7408,8 +7441,8 @@ QUERIES = {
     "doc_simhash": doc_simhash,
     "doc_global_rank": doc_global_rank,
     "customer_record_linkage": customer_record_linkage,
-    "corpus_bpe_tokenize": corpus_bpe_tokenize,
     # ------- end of the driver's 50-entry window (exactly 50 above) -------
+    "corpus_bpe_tokenize": corpus_bpe_tokenize,
     "doc_pack_bpe": doc_pack_bpe,
     "hybrid_retrieval": hybrid_retrieval,
     "doc_tfidf_topk": doc_tfidf_topk,
@@ -7768,4 +7801,5 @@ ORACLES = {
     "kg_edge_diff_ckpt": KG_EDGE_DIFF_SQL,
     "kg_organic_pr": KG_ORGANIC_PR_SQL,
     "kg_ego_subgraph": KG_EGO_SUBGRAPH_SQL,
+    "kg_path_varlen": KG_PATH_VARLEN_SQL,
 }

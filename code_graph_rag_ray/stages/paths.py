@@ -36,35 +36,50 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 _HOP_RE = re.compile(
-    r"\(\s*(?P<src>\w+)\s*\)\s*-\s*\[\s*(?P<pred>[\w|*]*)\s*\]\s*->"
+    r"\(\s*(?P<src>\w+)\s*\)\s*-\s*\["
+    r"\s*(?P<pred>[\w|]*|\*)\s*"
+    r"(?:\*\s*(?P<lo>\d+)\s*\.\.\s*(?P<hi>\d+)\s*)?"
+    r"\]\s*->"
 )
 _TAIL_RE = re.compile(r"\(\s*(?P<dst>\w+)\s*\)\s*$")
 
+#: hop spec: (predicates-or-None, min_hops, max_hops); fixed hops are (p, 1, 1)
+HopSpec = tuple
 
-def parse_pattern(pattern: str) -> tuple[list[str], list[list[str] | None]]:
+
+def parse_pattern(pattern: str) -> tuple[list[str], list[HopSpec]]:
     """Parse ``(a)-[join]->(b)-[merge|filter]->(c)`` into
-    ``(['a','b','c'], [['join'], ['merge','filter']])``.
+    ``(['a','b','c'], [(['join'], 1, 1), (['merge','filter'], 1, 1)])``.
 
     Hop predicates: a name matches that predicate, ``p|q`` matches either,
-    ``*`` or empty matches ANY predicate (returned as ``None``). Variable
-    names must be unique — a repeated variable would be a join-back
-    constraint the simple-path matcher doesn't model.
+    ``*`` or empty matches ANY predicate (``None``). A ``*lo..hi`` suffix
+    makes the hop VARIABLE-LENGTH: ``[join*1..3]`` matches 1–3 join
+    edges, ``[*1..2]`` 1–2 edges of any predicate (Cypher's ``[:p*1..3]``).
+    Variable names must be unique — a repeated variable would be a
+    join-back constraint the simple-path matcher doesn't model.
     """
-    pos, vars_, preds = 0, [], []
+    pos, vars_, hops = 0, [], []
     for m in _HOP_RE.finditer(pattern):
         if m.start() != pos:
             raise ValueError(f"unparsable pattern near {pattern[pos:m.start()]!r}")
         pos = m.end()
         vars_.append(m.group("src"))
         p = m.group("pred")
-        preds.append(None if p in ("", "*") else p.split("|"))
+        preds = None if p in ("", "*") else p.split("|")
+        if m.group("lo") is not None:
+            lo, hi = int(m.group("lo")), int(m.group("hi"))
+            if not (1 <= lo <= hi):
+                raise ValueError(f"bad hop range *{lo}..{hi} in {pattern!r}")
+        else:
+            lo = hi = 1
+        hops.append((preds, lo, hi))
     tail = _TAIL_RE.match(pattern[pos:])
-    if not preds or tail is None:
+    if not hops or tail is None:
         raise ValueError(f"pattern must be (v)-[p]->(v)...: {pattern!r}")
     vars_.append(tail.group("dst"))
     if len(set(vars_)) != len(vars_):
         raise ValueError(f"pattern variables must be unique: {vars_}")
-    return vars_, preds
+    return vars_, hops
 
 
 def _hop_edges(edges: Dataset, preds: list[str] | None,
@@ -88,17 +103,60 @@ def match_pattern(
     distinct_nodes: bool = True,
     num_buckets: int | None = None,
 ) -> Dataset:
-    """Match a fixed-length path pattern over ``edges``; one output row
-    per path, columns = the pattern's variable names (all string).
+    """Match a path pattern over ``edges``; one output row per path,
+    columns = the pattern's NAMED variables (all string).
 
-    ``distinct_nodes=True`` keeps only SIMPLE paths (every bound variable
-    distinct — Cypher's default trail semantics tightened to node
-    uniqueness), applied incrementally after each hop so cyclic paths are
-    pruned before they fan out further.
+    Variable-length hops (``[p*lo..hi]``) expand into a UNION of fixed
+    expansions (one per length combination — keep ranges small); their
+    intermediate nodes are anonymous and projected away, so a path of
+    each expanded length contributes one row over the named endpoints.
+
+    ``distinct_nodes=True`` keeps only SIMPLE paths (every bound variable,
+    anonymous ones included, distinct — Cypher's trail semantics
+    tightened to node uniqueness), applied incrementally after each hop
+    so cyclic paths are pruned before they fan out further.
     """
+    import itertools
+
+    vars_, hops = parse_pattern(pattern)
+    if all(lo == 1 and hi == 1 for _, lo, hi in hops):
+        return _match_fixed(edges, vars_, [p for p, _, _ in hops],
+                            subj=subj, pred=pred, obj=obj,
+                            distinct_nodes=distinct_nodes,
+                            num_buckets=num_buckets)
+    ranges = [range(lo, hi + 1) for _, lo, hi in hops]
+    out = None
+    for combo in itertools.product(*ranges):
+        evars: list[str] = [vars_[0]]
+        epreds: list[list[str] | None] = []
+        for i, n in enumerate(combo):
+            for k in range(n - 1):
+                evars.append(f"__v{i}_{k}")
+                epreds.append(hops[i][0])
+            evars.append(vars_[i + 1])
+            epreds.append(hops[i][0])
+        m = _match_fixed(edges, evars, epreds, subj=subj, pred=pred,
+                         obj=obj, distinct_nodes=distinct_nodes,
+                         num_buckets=num_buckets)
+        m = m.map_batches(lambda b, _v=tuple(vars_): b.select(list(_v)),
+                          batch_format="pyarrow")
+        out = m if out is None else out.union(m)
+    return out
+
+
+def _match_fixed(
+    edges: Dataset,
+    vars_: list[str],
+    preds: list[list[str] | None],
+    *,
+    subj: str,
+    pred: str,
+    obj: str,
+    distinct_nodes: bool,
+    num_buckets: int | None,
+) -> Dataset:
     from code_graph_rag_ray.stages.relational import bucketed_join
 
-    vars_, preds = parse_pattern(pattern)
     paths = _hop_edges(edges, preds[0], (vars_[0], vars_[1]),
                        subj=subj, pred=pred, obj=obj)
     if distinct_nodes:

@@ -25,15 +25,35 @@ def _edges(rows):
 def test_parse_pattern_basics():
     v, p = parse_pattern("(a)-[join]->(b)-[merge|filter]->(c)")
     assert v == ["a", "b", "c"]
-    assert p == [["join"], ["merge", "filter"]]
+    assert p == [(["join"], 1, 1), (["merge", "filter"], 1, 1)]
     v, p = parse_pattern("(x)-[*]->(y)-[]->(z)")
-    assert p == [None, None]
+    assert p == [(None, 1, 1), (None, 1, 1)]
+    v, p = parse_pattern("(a)-[join*1..3]->(b)-[*1..2]->(c)")
+    assert p == [(["join"], 1, 3), (None, 1, 2)]
     with pytest.raises(ValueError, match="unique"):
         parse_pattern("(a)-[p]->(a)")
+    with pytest.raises(ValueError, match="bad hop range"):
+        parse_pattern("(a)-[p*3..2]->(b)")
     with pytest.raises(ValueError):
         parse_pattern("(a)-[p]-(b)")
     with pytest.raises(ValueError):
         parse_pattern("just text")
+
+
+def test_match_pattern_variable_length():
+    # chain a->b->c->d on pred p, plus a shortcut a->c on q
+    e = _edges([("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+                ("a", "q", "c")])
+    got = match_pattern(e, "(x)-[p*1..3]->(y)").to_pandas()
+    pairs = sorted(map(tuple, got[["x", "y"]].values.tolist()))
+    # 1 hop: ab, bc, cd; 2 hops: ac, bd; 3 hops: ad — q edge excluded
+    assert pairs == sorted([("a", "b"), ("b", "c"), ("c", "d"),
+                            ("a", "c"), ("b", "d"), ("a", "d")])
+    # variable segment composes with a fixed hop; anonymous vars projected
+    got2 = match_pattern(e, "(x)-[q]->(y)-[p*1..2]->(z)").to_pandas()
+    assert list(got2.columns) == ["x", "y", "z"]
+    assert sorted(map(tuple, got2[["x", "y", "z"]].values.tolist())) == [
+        ("a", "c", "d")]
 
 
 def test_match_pattern_two_hop_counts():
