@@ -89,6 +89,77 @@ def test_unigram_tokenize_end_to_end_counts():
     assert (out["n_ug_pieces"] >= out["n_words"] * 0).all()
 
 
+def test_viterbi_fuzz_matches_bruteforce():
+    """Hypothesis sweep: random piece tables and words — the DP must equal
+    exhaustive segmentation enumeration wherever the optimum is unique
+    (score compare with a tolerance gate to skip float-tie cases, whose
+    resolution is pinned by the deterministic tie-rule tests)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = "ab"
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(alphabet, min_size=2, max_size=3),
+            st.integers(1, 50), min_size=0, max_size=6),
+        st.text(alphabet, min_size=1, max_size=7),
+    )
+    def run(multis, word):
+        freqs = {c: 5 for c in alphabet}
+        freqs.update(multis)
+        tot = math.log(float(sum(freqs.values())))
+        lp = {p: math.log(float(f)) - tot for p, f in freqs.items()}
+        got = _viterbi_pieces(word, lp, 3)
+        want = _brute_best_pieces(word, lp, 3)
+        # piece counts may differ only on exact score ties between
+        # different-count segmentations; brute returns max-score then
+        # first-found — accept equality of the score instead
+        if got != want:
+            best = _brute_best_score(word, lp, 3)
+            alt = _score_of_count(word, lp, 3, got)
+            assert alt is not None and abs(alt - best) < 1e-12
+    run()
+
+
+def _brute_best_score(word, lp, lmax):
+    best = [None]
+
+    def rec(pos, score):
+        if pos == len(word):
+            if best[0] is None or score > best[0]:
+                best[0] = score
+            return
+        for l in range(1, min(lmax, len(word) - pos) + 1):
+            v = lp.get(word[pos:pos + l])
+            if v is not None:
+                rec(pos + l, score + v)
+
+    rec(0, 0.0)
+    return best[0]
+
+
+def _score_of_count(word, lp, lmax, k):
+    """Best score among segmentations with exactly k pieces."""
+    best = [None]
+
+    def rec(pos, score, n):
+        if n > k:
+            return
+        if pos == len(word):
+            if n == k and (best[0] is None or score > best[0]):
+                best[0] = score
+            return
+        for l in range(1, min(lmax, len(word) - pos) + 1):
+            v = lp.get(word[pos:pos + l])
+            if v is not None:
+                rec(pos + l, score + v, n + 1)
+
+    rec(0, 0.0, 0)
+    return best[0]
+
+
 def test_piece_logprobs_normalize():
     vt = pa.table({"piece": ["a", "b"], "freq": pa.array([3, 1], pa.int64())})
     lp = piece_logprobs(vt)

@@ -56,6 +56,34 @@ def test_parse_skips_non_page_records_and_rejects_garbage():
         parse_warc_records(b"HTTP/1.1 200 OK\r\n\r\n")
 
 
+def test_frame_fuzz_roundtrip_hostile_payloads():
+    """Payloads containing CRLF runs, 'WARC/1.1' banners and fake headers
+    must roundtrip intact — the Content-Length jump never scans payload
+    bytes, so embedded frame-lookalikes cannot desync the walk."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from code_graph_rag_ray.sources.warc import _record_bytes
+
+    hostile = st.binary(max_size=60).map(
+        lambda b: b + b"\r\n\r\nWARC/1.1\r\nContent-Length: 999\r\n\r\n")
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.one_of(st.binary(max_size=80), hostile),
+                    min_size=0, max_size=6))
+    def run(payloads):
+        data = b"".join(
+            _record_bytes(f"http://example.org/{i}", 1_000_000 + i, p, "en")
+            for i, p in enumerate(payloads)
+        )
+        t = parse_warc_records(data)
+        assert t["html"].to_pylist() == list(payloads)
+        assert t["url"].to_pylist() == [
+            f"http://example.org/{i}" for i in range(len(payloads))]
+
+    run()
+
+
 def test_distributed_export_then_read_back(tmp_path):
     from code_graph_rag_ray.sources.pages import generate_pages
 
