@@ -2734,7 +2734,9 @@ def kg_path_2hop(sf_dir: str):
     )
     kg = build_kg(pages, alias, relations=relations,
                   materialize_mentions=False, build_nodes=False)
-    edges = kg["edges"].select_columns(["subj", "pred", "obj"])
+    # both hops filter the same edge table — pin it once (else the KG
+    # build lineage executes once per hop)
+    edges = kg["edges"].select_columns(["subj", "pred", "obj"]).materialize()
 
     def hop(pred: str, names: tuple[str, str]):
         def f(b: pa.Table) -> pa.Table:
@@ -2882,7 +2884,9 @@ def kg_reachable_k3(sf_dir: str):
 
     from code_graph_rag_ray.stages.paths import bounded_reachability
 
-    edges = _kg_edges(sf_dir)
+    # seeds and the per-round adjacency both derive from the edge table —
+    # pin it once (else the KG build lineage executes twice)
+    edges = _kg_edges(sf_dir).materialize()
     seeds = edges.map_batches(
         lambda b: pa.table(
             {"node": b.filter(pc.equal(b["pred"], "join"))["subj"]}),

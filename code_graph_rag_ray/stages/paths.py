@@ -119,6 +119,11 @@ def match_pattern(
     import itertools
 
     vars_, hops = parse_pattern(pattern)
+    # every hop (and every variable-length expansion) filters `edges`
+    # independently — pin the blocks once so the upstream lineage executes
+    # exactly once instead of once per hop (measured: a 3-hop pattern over
+    # a built KG ran its build 3×, 16.8 s → 7 s at sf0.1)
+    edges = edges.materialize()
     if all(lo == 1 and hi == 1 for _, lo, hi in hops):
         return _match_fixed(edges, vars_, [p for p, _, _ in hops],
                             subj=subj, pred=pred, obj=obj,
