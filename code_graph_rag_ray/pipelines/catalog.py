@@ -2809,15 +2809,17 @@ def kg_path_khop(sf_dir: str):
     paths (a)-[join]->(b)-[merge]->(c)-[filter]->(d) over the KG edge
     table, path counts per (a, d) — the k-hop generalization of
     kg_path_2hop via the pattern DSL (stages/paths.py). Reference analog:
-    Cypher variable-length MATCH (`tools/codebase_query.py`). Each hop is
-    one bucketed cogroup join; cycle exclusion is an incremental
-    vectorized filter, so cyclic paths are pruned before fanning out."""
-    from code_graph_rag_ray.stages.paths import match_pattern, path_counts
+    Cypher variable-length MATCH (`tools/codebase_query.py`). FACTORIZED
+    counting (stages/paths.py count_pattern): hop tables pre-count per
+    distinct pair, joins carry distinct bindings + multiplicities, cycle
+    exclusion filters bindings — the combinatorial path relation (~39M
+    rows at sf0.1 on the provenance-multiplicity KG) never
+    materializes."""
+    from code_graph_rag_ray.stages.paths import count_pattern
 
-    paths = match_pattern(
+    return count_pattern(
         _kg_edges(sf_dir), "(a)-[join]->(b)-[merge]->(c)-[filter]->(d)"
     )
-    return path_counts(paths, "a", "d")
 
 
 KG_PATH_KHOP_SQL = f"""
@@ -2845,11 +2847,11 @@ def kg_path_varlen(sf_dir: str):
     """Variable-length pattern segment: (a)-[join*1..2]->(b) simple-path
     counts — the Cypher ``[:join*1..2]`` form, desugared by the DSL into
     a union of fixed expansions with anonymous intermediates projected
-    away (stages/paths.py match_pattern)."""
-    from code_graph_rag_ray.stages.paths import match_pattern, path_counts
+    away; counts via the factorized binding-multiplicity chain
+    (stages/paths.py count_pattern)."""
+    from code_graph_rag_ray.stages.paths import count_pattern
 
-    paths = match_pattern(_kg_edges(sf_dir), "(a)-[join*1..2]->(b)")
-    return path_counts(paths, "a", "b")
+    return count_pattern(_kg_edges(sf_dir), "(a)-[join*1..2]->(b)")
 
 
 KG_PATH_VARLEN_SQL = f"""

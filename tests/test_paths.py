@@ -8,6 +8,7 @@ import ray.data as rd
 
 from code_graph_rag_ray.stages.paths import (
     bounded_reachability,
+    count_pattern,
     match_pattern,
     parse_pattern,
     path_counts,
@@ -85,6 +86,27 @@ def test_match_pattern_any_pred_and_alternation():
     got = match_pattern(e, "(x)-[*]->(y)-[q|r]->(z)").to_pandas()
     assert sorted(map(tuple, got[["x", "y", "z"]].values.tolist())) == [
         ("a", "b", "c"), ("a", "b", "d")]
+
+
+def test_count_pattern_equals_materialized_path_counts():
+    """The factorized binding-multiplicity chain must count exactly what
+    path_counts(match_pattern(...)) counts — incl. parallel edges (the
+    multiplicity case it exists for), cycles, and varlen segments."""
+    rows = (
+        [("a", "p", "b")] * 3 + [("b", "q", "c")] * 2   # 6 parallel 2-hop paths
+        + [("a", "p", "c"), ("c", "q", "a"),              # cycle back
+           ("b", "q", "d"), ("d", "p", "b"), ("a", "q", "d")]
+    )
+    e = _edges(rows)
+    for pat in ("(x)-[p]->(y)-[q]->(z)",
+                "(x)-[*]->(y)-[*]->(z)",
+                "(x)-[p|q*1..2]->(y)"):
+        src, dst = ("x", "z") if "(z)" in pat else ("x", "y")
+        want = path_counts(match_pattern(e, pat), src, dst).to_pandas()
+        got = count_pattern(e, pat).to_pandas()
+        w = want.set_index([src, dst])["n_paths"].to_dict()
+        g = got.set_index([src, dst])["n_paths"].to_dict()
+        assert g == w, (pat, g, w)
 
 
 def _py_reachability(rows, seeds, k):
