@@ -6020,6 +6020,56 @@ def events_value_quantiles(sf_dir: str):
     )
 
 
+def events_value_hdr(sf_dir: str):
+    """Mergeable HDR-style quantile SKETCH over the value column — the
+    bounded-memory 100 TB twin of events_value_quantiles' exact
+    refinement: fixed-point milli-units, pure-integer bucketing (top 8
+    significant bits kept, bit_length via smear+popcount — NOTES fact
+    17), one partial-count shuffle over ≤ (64−7)·2^7 buckets, driver
+    finish reads only the bounded bucket table. Estimates carry relative
+    error ≤ 2^-7 and are DETERMINISTIC and merge-order independent
+    (buckets are pure value functions; merging is addition — unlike
+    t-digest/KLL, whose centroids depend on compaction order), which is
+    what makes this sketch bit-exactly oracle-checkable."""
+    from code_graph_rag_ray.stages.sketch import hdr_quantiles
+
+    ds = _pq(sf_dir, "events", ["value"])
+    return hdr_quantiles(ds, "value", {
+        "p25_milli": 0.25, "p50_milli": 0.50,
+        "p90_milli": 0.90, "p99_milli": 0.99,
+    })
+
+
+EVENTS_VALUE_HDR_SQL = """
+WITH v AS (
+  SELECT greatest(CAST(floor(value * 1000::DOUBLE) AS BIGINT), 0) AS vi
+  FROM events WHERE value IS NOT NULL),
+s AS (SELECT vi, vi | (vi >> 1) AS x FROM v),
+s2 AS (SELECT vi, x | (x >> 2) AS x FROM s),
+s3 AS (SELECT vi, x | (x >> 4) AS x FROM s2),
+s4 AS (SELECT vi, x | (x >> 8) AS x FROM s3),
+s5 AS (SELECT vi, x | (x >> 16) AS x FROM s4),
+s6 AS (SELECT vi, x | (x >> 32) AS x FROM s5),
+b AS (SELECT vi, bit_count(x) - 1 AS e FROM s6),
+l AS (SELECT CASE WHEN e - 7 > 0 THEN (vi >> (e - 7)) << (e - 7)
+             ELSE vi END AS lb
+      FROM b),
+w AS (SELECT lb, sum(c) OVER (ORDER BY lb) AS cum FROM
+      (SELECT lb, count(*) AS c FROM l GROUP BY lb)),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM l)
+SELECT n1.n AS n,
+  (SELECT CAST(min(lb) AS BIGINT) FROM w
+   WHERE cum >= greatest(ceil(0.25::DOUBLE * n1.n), 1)) AS p25_milli,
+  (SELECT CAST(min(lb) AS BIGINT) FROM w
+   WHERE cum >= greatest(ceil(0.50::DOUBLE * n1.n), 1)) AS p50_milli,
+  (SELECT CAST(min(lb) AS BIGINT) FROM w
+   WHERE cum >= greatest(ceil(0.90::DOUBLE * n1.n), 1)) AS p90_milli,
+  (SELECT CAST(min(lb) AS BIGINT) FROM w
+   WHERE cum >= greatest(ceil(0.99::DOUBLE * n1.n), 1)) AS p99_milli
+FROM n1
+"""
+
+
 EVENTS_VALUE_QUANTILES_SQL = """
 SELECT CAST(count(value) AS BIGINT) AS n,
        quantile_disc(value, 0.25) AS p25,
@@ -7426,6 +7476,7 @@ QUERIES = {
     "kg_organic_pr": kg_organic_pr,
     "kg_ego_subgraph": kg_ego_subgraph,
     "kg_path_varlen": kg_path_varlen,
+    "events_value_hdr": events_value_hdr,
     # anchors: driver-green in earlier rounds, re-proved every session
     "kg_doc_triples": kg_doc_triples,
     "kg_fixture_pr": kg_fixture_pr,
@@ -7446,8 +7497,8 @@ QUERIES = {
     "page_communities": page_communities,
     "doc_simhash": doc_simhash,
     "doc_global_rank": doc_global_rank,
-    "customer_record_linkage": customer_record_linkage,
     # ------- end of the driver's 50-entry window (exactly 50 above) -------
+    "customer_record_linkage": customer_record_linkage,
     "corpus_bpe_tokenize": corpus_bpe_tokenize,
     "doc_pack_bpe": doc_pack_bpe,
     "hybrid_retrieval": hybrid_retrieval,
@@ -7808,4 +7859,5 @@ ORACLES = {
     "kg_organic_pr": KG_ORGANIC_PR_SQL,
     "kg_ego_subgraph": KG_EGO_SUBGRAPH_SQL,
     "kg_path_varlen": KG_PATH_VARLEN_SQL,
+    "events_value_hdr": EVENTS_VALUE_HDR_SQL,
 }

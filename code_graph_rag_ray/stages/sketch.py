@@ -262,3 +262,87 @@ def heavy_hitters(ds: Dataset, col: str, m: int) -> Dataset:
         lambda t: t.filter(pc.greater(pc.multiply(t["n"], m), n_total)),
         batch_format="pyarrow",
     )
+
+
+def hdr_bucket_lower_bounds(vi: np.ndarray, sub_bits: int) -> np.ndarray:
+    """HDR-histogram bucket LOWER BOUND per nonnegative int64 value:
+    values below 2^sub_bits map to themselves (exact); larger values keep
+    their top ``sub_bits+1`` significant bits (the rest zeroed), giving a
+    relative error ≤ 2^-sub_bits. Pure integer ops — bit_length via the
+    smear+popcount identity (NOTES.md fact 17), so DuckDB replays the
+    exact buckets with bit_count."""
+    vi = np.maximum(vi, 0).astype(np.int64)
+    x = vi.astype(np.uint64)
+    for sh in (1, 2, 4, 8, 16, 32):
+        x = x | (x >> np.uint64(sh))
+    e = _popcount64(x) - 1  # bit_length(vi) - 1; -1 for vi == 0
+    shift = np.maximum(e - sub_bits, 0)
+    return (vi >> shift) << shift
+
+
+def hdr_histogram(
+    ds: Dataset,
+    col: str,
+    *,
+    scale: int = 1000,
+    sub_bits: int = 7,
+) -> Dataset:
+    """Mergeable HDR-style quantile-sketch histogram: (lb, c) rows, one
+    per occupied bucket. The double column is fixed-pointed to
+    ``floor(value·scale)`` integer units, bucketed by
+    :func:`hdr_bucket_lower_bounds`, and folded through the standard
+    partial-count shuffle. Bucket count is bounded (≈ 2^sub_bits ·
+    (64 − sub_bits)) regardless of input size — the 100 TB path where the
+    exact selection's refinement rounds are too many passes. Negative
+    values clamp into bucket 0 (document the domain); DETERMINISTIC and
+    merge-order independent by construction (buckets are pure functions
+    of values, merging is addition), unlike t-digest/KLL whose centroids
+    depend on compaction order."""
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+
+    def bucket(b: pa.Table) -> pa.Table:
+        arr = b[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        vi = np.floor(v[keep] * scale).astype(np.int64)
+        lb = hdr_bucket_lower_bounds(vi, sub_bits)
+        return pa.table({"lb": pa.array(lb)})
+
+    return partial_groupby_sum(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["lb"], {}, count_alias="c",
+    )
+
+
+def hdr_quantiles(
+    ds: Dataset,
+    col: str,
+    qs: dict[str, float],
+    *,
+    scale: int = 1000,
+    sub_bits: int = 7,
+):
+    """One-row quantile estimates off the mergeable histogram: for each
+    q the SMALLEST bucket lower bound whose cumulative count reaches
+    ceil(q·n) (quantile_disc's rank rule applied to bucket bounds).
+    Estimates are in fixed-point units (``<name>_milli`` at the default
+    scale) with relative error ≤ 2^-sub_bits; the finish reads only the
+    bounded bucket table."""
+    import pandas as pd
+
+    rows = hdr_histogram(ds, col, scale=scale, sub_bits=sub_bits).take_all()
+    if not rows:
+        return pd.DataFrame([{"n": 0, **{k: 0 for k in qs}}])
+    lbs = np.asarray([r["lb"] for r in rows], np.int64)
+    cs = np.asarray([r["c"] for r in rows], np.int64)
+    order = np.argsort(lbs)
+    lbs, cs = lbs[order], cs[order]
+    cum = np.cumsum(cs)
+    n = int(cum[-1])
+    out = {"n": n}
+    for name, q in qs.items():
+        rank = int(np.ceil(q * n))
+        out[name] = int(lbs[int(np.searchsorted(cum, max(rank, 1)))])
+    return pd.DataFrame([out])

@@ -106,3 +106,38 @@ def test_heavy_hitters_empty_answer_and_int_keys():
     # every key passes at m=51 (each freq 1/50 > 1/51), counts exact
     out = heavy_hitters(ds, "k", 51).take_all()
     assert sorted((r["k"], r["n"]) for r in out) == [(i, 10) for i in range(50)]
+
+
+def test_hdr_quantiles_error_bound_and_layout_invariance():
+    from code_graph_rag_ray.stages.sketch import hdr_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([
+        rng.lognormal(3.0, 1.2, 4000),      # heavy tail
+        rng.uniform(0, 0.05, 500),          # sub-milli values → bucket 0
+    ])
+    tbl = pa.table({"value": pa.array(vals, pa.float64())})
+    qs = {"p50": 0.50, "p90": 0.90, "p99": 0.99}
+    out = hdr_quantiles(rd.from_arrow(tbl), "value", qs).iloc[0]
+    assert out["n"] == len(vals)
+    vi = np.floor(vals * 1000).astype(np.int64)
+    for name, q in qs.items():
+        exact = np.sort(vi)[int(np.ceil(q * len(vi))) - 1]
+        est = out[name]
+        # lower bound of the true value's bucket: within 2^-7 relative
+        assert est <= exact
+        assert exact - est <= max(exact, 1) / 128 + 1, (name, est, exact)
+    # merge-order / layout invariance: different block structure, same row
+    out2 = hdr_quantiles(rd.from_arrow(tbl).repartition(13), "value", qs).iloc[0]
+    assert (out2 == out).all()
+
+
+def test_hdr_small_values_are_exact():
+    from code_graph_rag_ray.stages.sketch import hdr_quantiles
+
+    # all fixed-point values < 2^7 map to themselves: sketch == exact
+    vals = np.array([0.001, 0.002, 0.05, 0.1, 0.127]) * 1.0
+    tbl = pa.table({"value": pa.array(np.repeat(vals, 20), pa.float64())})
+    out = hdr_quantiles(rd.from_arrow(tbl), "value", {"p50": 0.5}).iloc[0]
+    vi = np.sort(np.floor(np.repeat(vals, 20) * 1000).astype(np.int64))
+    assert out["p50"] == vi[int(np.ceil(0.5 * len(vi))) - 1]
