@@ -6070,6 +6070,50 @@ FROM n1
 """
 
 
+def events_value_hdr_by_type(sf_dir: str):
+    """Per-event-type mergeable HDR quantile sketch — the grouped twin of
+    events_value_hdr (same determinism/error contract; the finish reads
+    |types| × bounded-buckets rows)."""
+    from code_graph_rag_ray.stages.sketch import hdr_quantiles_grouped
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+    return hdr_quantiles_grouped(ds, "value", "event_type", {
+        "p50_milli": 0.50, "p90_milli": 0.90, "p99_milli": 0.99,
+    })
+
+
+EVENTS_VALUE_HDR_BY_TYPE_SQL = """
+WITH v AS (
+  SELECT event_type,
+         greatest(CAST(floor(value * 1000::DOUBLE) AS BIGINT), 0) AS vi
+  FROM events WHERE value IS NOT NULL),
+s AS (SELECT event_type, vi, vi | (vi >> 1) AS x FROM v),
+s2 AS (SELECT event_type, vi, x | (x >> 2) AS x FROM s),
+s3 AS (SELECT event_type, vi, x | (x >> 4) AS x FROM s2),
+s4 AS (SELECT event_type, vi, x | (x >> 8) AS x FROM s3),
+s5 AS (SELECT event_type, vi, x | (x >> 16) AS x FROM s4),
+s6 AS (SELECT event_type, vi, x | (x >> 32) AS x FROM s5),
+l AS (SELECT event_type,
+             CASE WHEN bit_count(x) - 1 - 7 > 0
+                  THEN (vi >> (bit_count(x) - 1 - 7)) << (bit_count(x) - 1 - 7)
+                  ELSE vi END AS lb
+      FROM s6),
+g AS (SELECT event_type, lb, count(*) AS c FROM l GROUP BY event_type, lb),
+w AS (SELECT event_type, lb,
+             sum(c) OVER (PARTITION BY event_type ORDER BY lb) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM g)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(min(CASE WHEN cum >= greatest(ceil(0.50::DOUBLE * n), 1)
+                THEN lb END) AS BIGINT) AS p50_milli,
+       CAST(min(CASE WHEN cum >= greatest(ceil(0.90::DOUBLE * n), 1)
+                THEN lb END) AS BIGINT) AS p90_milli,
+       CAST(min(CASE WHEN cum >= greatest(ceil(0.99::DOUBLE * n), 1)
+                THEN lb END) AS BIGINT) AS p99_milli
+FROM w GROUP BY event_type, n
+"""
+
+
 EVENTS_VALUE_QUANTILES_SQL = """
 SELECT CAST(count(value) AS BIGINT) AS n,
        quantile_disc(value, 0.25) AS p25,
@@ -7498,6 +7542,7 @@ QUERIES = {
     "doc_simhash": doc_simhash,
     "doc_global_rank": doc_global_rank,
     # ------- end of the driver's 50-entry window (exactly 50 above) -------
+    "events_value_hdr_by_type": events_value_hdr_by_type,
     "customer_record_linkage": customer_record_linkage,
     "corpus_bpe_tokenize": corpus_bpe_tokenize,
     "doc_pack_bpe": doc_pack_bpe,
@@ -7860,4 +7905,5 @@ ORACLES = {
     "kg_ego_subgraph": KG_EGO_SUBGRAPH_SQL,
     "kg_path_varlen": KG_PATH_VARLEN_SQL,
     "events_value_hdr": EVENTS_VALUE_HDR_SQL,
+    "events_value_hdr_by_type": EVENTS_VALUE_HDR_BY_TYPE_SQL,
 }

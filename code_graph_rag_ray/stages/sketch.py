@@ -346,3 +346,54 @@ def hdr_quantiles(
         rank = int(np.ceil(q * n))
         out[name] = int(lbs[int(np.searchsorted(cum, max(rank, 1)))])
     return pd.DataFrame([out])
+
+
+def hdr_quantiles_grouped(
+    ds: Dataset,
+    col: str,
+    group: str,
+    qs: dict[str, float],
+    *,
+    scale: int = 1000,
+    sub_bits: int = 7,
+):
+    """Per-group quantile estimates off the mergeable HDR histogram —
+    one row per group value. Same determinism/error contract as
+    :func:`hdr_quantiles`; the shuffle folds (group, lb) partial counts
+    and the finish reads only |groups| × bounded-buckets rows."""
+    import pandas as pd
+
+    from code_graph_rag_ray.stages.relational import partial_groupby_sum
+
+    def bucket(b: pa.Table) -> pa.Table:
+        arr = b[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        vi = np.floor(v[keep] * scale).astype(np.int64)
+        g = pc.cast(b[group], pa.string())
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        g = g.filter(pa.array(keep))
+        return pa.table({group: g,
+                         "lb": pa.array(hdr_bucket_lower_bounds(vi, sub_bits))})
+
+    rows = partial_groupby_sum(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        [group, "lb"], {}, count_alias="c",
+    ).take_all()
+    if not rows:
+        return pd.DataFrame(columns=[group, "n", *qs]).astype({"n": "int64"})
+    df = pd.DataFrame(rows).sort_values([group, "lb"], kind="mergesort")
+    out = []
+    for gval, gdf in df.groupby(group, sort=True):
+        cum = gdf["c"].to_numpy(np.int64).cumsum()
+        lbs = gdf["lb"].to_numpy(np.int64)
+        n = int(cum[-1])
+        row = {group: gval, "n": n}
+        for name, q in qs.items():
+            rank = max(int(np.ceil(q * n)), 1)
+            row[name] = int(lbs[int(np.searchsorted(cum, rank))])
+        out.append(row)
+    return pd.DataFrame(out)

@@ -141,3 +141,23 @@ def test_hdr_small_values_are_exact():
     out = hdr_quantiles(rd.from_arrow(tbl), "value", {"p50": 0.5}).iloc[0]
     vi = np.sort(np.floor(np.repeat(vals, 20) * 1000).astype(np.int64))
     assert out["p50"] == vi[int(np.ceil(0.5 * len(vi))) - 1]
+
+
+def test_hdr_grouped_matches_global_per_group():
+    from code_graph_rag_ray.stages.sketch import hdr_quantiles, hdr_quantiles_grouped
+
+    rng = np.random.default_rng(9)
+    tbl = pa.table({
+        "g": pa.array(rng.choice(["a", "b", "c"], 3000).tolist(), pa.string()),
+        "value": pa.array(rng.lognormal(2.0, 1.0, 3000), pa.float64()),
+    })
+    ds = rd.from_arrow(tbl)
+    grouped = hdr_quantiles_grouped(ds, "value", "g", {"p50": 0.5, "p90": 0.9})
+    df = tbl.to_pandas()
+    for _, row in grouped.iterrows():
+        sub = pa.table({"value": pa.array(
+            df[df["g"] == row["g"]]["value"].to_numpy(), pa.float64())})
+        solo = hdr_quantiles(rd.from_arrow(sub), "value",
+                             {"p50": 0.5, "p90": 0.9}).iloc[0]
+        assert row["n"] == solo["n"]
+        assert row["p50"] == solo["p50"] and row["p90"] == solo["p90"]
