@@ -5794,6 +5794,19 @@ def kg_robustness_curve(sf_dir: str):
     return robustness_curve()
 
 
+def kg_organic_robustness(sf_dir: str):
+    """The degradation eval repeated on the SECOND fixture family
+    (Zipf/organic corpus): same deterministic damage, same scoring,
+    structurally different generator — degradation behavior is a pipeline
+    property, not a generator artifact. Rows-only like its twin (the
+    metric is a pipeline property); pytest pins rate-0 exactness and
+    recall decay."""
+    from code_graph_rag_ray.sources.adversarial import organic_robustness_curve
+
+    del sf_dir
+    return organic_robustness_curve()
+
+
 # ---------------------------------------------------------------------------
 # page manifest (S7 dependency-manifest reader analog)
 # ---------------------------------------------------------------------------
@@ -7676,6 +7689,7 @@ QUERIES = {
     # and production (siphash) hash twins -- md5 twins above carry the
     # bit-exact oracles; pytest pins cross-family structural parity
     "kg_robustness_curve": kg_robustness_curve,
+    "kg_organic_robustness": kg_organic_robustness,
     "doc_embeddings": doc_embeddings,
     "doc_spectral_embeddings": doc_spectral_embeddings,
     "embedding_dup_pairs": embedding_dup_pairs,

@@ -140,3 +140,44 @@ def robustness_curve(
                      "precision": round(s.precision, 4),
                      "recall": round(s.recall, 4)})
     return pd.DataFrame(rows)
+
+
+def organic_robustness_curve(
+    rates: tuple[float, ...] = (0.0, 0.2, 0.5),
+    *,
+    n_pages: int = 300,
+    fixture_seed: int = 7,
+    mutation_seed: int = 0,
+    shouty_two_tier: bool = True,
+    kinds: tuple[str, ...] = KINDS,
+):
+    """The robustness curve run on the SECOND fixture family
+    (`sources/organic.py` — Zipf popularity, article-shaped html): same
+    deterministic damage, same scoring, a structurally different corpus.
+    Together with :func:`robustness_curve` this pins that degradation
+    behavior is a property of the pipeline, not of one generator's
+    shape."""
+    import pandas as pd
+    import ray.data as rd
+
+    from code_graph_rag_ray.functions.scoring import score_sets
+    from code_graph_rag_ray.pipelines.kg import build_kg
+    from code_graph_rag_ray.sources.organic import generate_organic_pages
+
+    fx = generate_organic_pages(n_pages, seed=fixture_seed)
+    gold = {(r["subj"], r["pred"], r["obj"], r["url"])
+            for r in fx.expected_triples.to_pylist()}
+    rows = []
+    for rate in rates:
+        mutated, log = mutate_pages(fx.pages, rate, seed=mutation_seed,
+                                    kinds=kinds)
+        kg = build_kg(rd.from_arrow(mutated), fx.alias_dict,
+                      build_nodes=False, shouty_two_tier=shouty_two_tier)
+        edges = kg["edges"].to_pandas()
+        pred = set(map(tuple, edges[
+            ["subj", "pred", "obj", "provenance_url"]].itertuples(index=False)))
+        s = score_sets(pred, gold)
+        rows.append({"rate": rate, "n_mutated": log.num_rows,
+                     "precision": round(s.precision, 4),
+                     "recall": round(s.recall, 4)})
+    return pd.DataFrame(rows)

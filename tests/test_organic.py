@@ -56,3 +56,18 @@ def test_generator_is_deterministic():
     assert a.expected_triples.equals(b.expected_triples)
     c = generate_organic_pages(80, seed=12)
     assert not a.pages.equals(c.pages)
+
+
+def test_organic_robustness_rate0_exact_and_decay():
+    from code_graph_rag_ray.sources.adversarial import organic_robustness_curve
+
+    df = organic_robustness_curve(rates=(0.0, 0.5), n_pages=150)
+    r0 = df[df["rate"] == 0.0].iloc[0]
+    assert r0["precision"] == 1.0 and r0["recall"] == 1.0
+    assert r0["n_mutated"] == 0
+    r5 = df[df["rate"] == 0.5].iloc[0]
+    assert r5["n_mutated"] > 0
+    assert r5["recall"] <= r0["recall"]
+    # damaged pages must not create WRONG internal facts wholesale:
+    # precision stays high (spam/typos mint externals, not internal edges)
+    assert r5["precision"] >= 0.95
