@@ -182,7 +182,52 @@ def partition_digests(out_dir: str) -> dict[str, str]:
     The digest is content-derived and order-insensitive (sum of per-row
     hashes), so it is stable across rewrite ordering, file naming and
     parquet encoder metadata — the properties a bytes-level file hash
-    would NOT have."""
+    would NOT have.
+
+    Scale shape: hashing runs as ONE RAY TASK PER PARTITION (data is read
+    and folded inside the task; the driver collects only (name, digest)
+    pairs). Falls back to in-process hashing when no Ray session exists —
+    a digest must also be computable from plain tooling."""
+    man = read_manifest(out_dir) or partition_manifest(out_dir)
+    digests: dict[str, str] = dict(man.get("digests") or {})
+    if set(digests) == set(man.get("partitions", {})):
+        return digests
+    todo = []
+    for name, rows in man.get("partitions", {}).items():
+        if name in digests:
+            continue
+        pdir = os.path.join(out_dir, name)
+        if rows == 0 or not os.path.isdir(pdir):
+            digests[name] = "0:0"
+        else:
+            todo.append((name, pdir))
+    if todo:
+        try:
+            import ray
+
+            in_ray = ray.is_initialized()
+        except Exception:  # pragma: no cover - ray always importable here
+            in_ray = False
+        if in_ray:
+            import ray
+
+            fn = ray.remote(num_cpus=1)(_digest_partition_dir)
+            for (name, _), d in zip(
+                todo, ray.get([fn.remote(p) for _, p in todo])
+            ):
+                digests[name] = d
+        else:
+            for name, pdir in todo:
+                digests[name] = _digest_partition_dir(pdir)
+    man["digests"] = digests
+    with open(_manifest_path(out_dir), "w") as f:
+        json.dump(man, f, indent=1)
+    return digests
+
+
+def _digest_partition_dir(pdir: str) -> str:
+    """"<rows>:<hex mod-2^64 row-hash sum>" of one partition directory —
+    pure function of row content (see partition_digests)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -190,35 +235,19 @@ def partition_digests(out_dir: str) -> dict[str, str]:
 
     from code_graph_rag_ray.functions.hashing import stable_hash_array
 
-    man = read_manifest(out_dir) or partition_manifest(out_dir)
-    digests: dict[str, str] = dict(man.get("digests") or {})
-    if set(digests) == set(man.get("partitions", {})):
-        return digests
-    for name, rows in man.get("partitions", {}).items():
-        if name in digests:
-            continue
-        pdir = os.path.join(out_dir, name)
-        if rows == 0 or not os.path.isdir(pdir):
-            digests[name] = "0:0"
-            continue
-        files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
-        total = np.uint64(0)
-        n = 0
-        for f in files:
-            t = pq.read_table(os.path.join(pdir, f))
-            t = t.drop_columns([c for c in t.column_names if c == "part"])
-            cols = [pc.fill_null(pc.cast(t[c], pa.string()), "\x00null")
-                    for c in sorted(t.column_names)]
-            joined = cols[0] if len(cols) == 1 else (
-                pc.binary_join_element_wise(*cols, "\x1f"))
-            with np.errstate(over="ignore"):
-                total = total + stable_hash_array(joined).sum(dtype=np.uint64)
-            n += t.num_rows
-        digests[name] = f"{n}:{int(total):x}"
-    man["digests"] = digests
-    with open(_manifest_path(out_dir), "w") as f:
-        json.dump(man, f, indent=1)
-    return digests
+    total = np.uint64(0)
+    n = 0
+    for f in sorted(f for f in os.listdir(pdir) if f.endswith(".parquet")):
+        t = pq.read_table(os.path.join(pdir, f))
+        t = t.drop_columns([c for c in t.column_names if c == "part"])
+        cols = [pc.fill_null(pc.cast(t[c], pa.string()), "\x00null")
+                for c in sorted(t.column_names)]
+        joined = cols[0] if len(cols) == 1 else (
+            pc.binary_join_element_wise(*cols, "\x1f"))
+        with np.errstate(over="ignore"):
+            total = total + stable_hash_array(joined).sum(dtype=np.uint64)
+        n += t.num_rows
+    return f"{n}:{int(total):x}"
 
 
 def partition_manifest(out_dir: str, *, expected: int | None = None) -> dict:
